@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (collect of an already-small result,
+or count for large ones) after a warm-up of the session; per-query time is
+wall clock for plan + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesyslog_spark.queries import QUERIES  # noqa: E402
+from kinesyslog_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (scan/agg/join/window/setop/rollup/
+# string/json/relay-parse/dedup/similarity/text). Every registered query
+# runs if BENCH_ALL=1.
+HEADLINE = [
+    "q01_scan_filter",
+    "q02_pricing_summary",
+    "q03_shipping_priority",
+    "q08_top2_orders_per_customer",
+    "q10_sessionization",
+    "q13_rollup_revenue",
+    "q18_hourly_event_counts",
+    "q21_cosine_topk",
+    "q22_top_tokens",
+    "q24_relay_parse",
+    "q25_relay_envelopes",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    names = list(QUERIES) if os.environ.get("BENCH_ALL") else [
+        n for n in HEADLINE if n in QUERIES
+    ]
+
+    # Warm up JVM/codegen paths once with a trivial action.
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Declared query inventory (SURVEY.md §2b) + DuckDB oracle SQL.
+
+Every operator the engine claims is registered here twice:
+  QUERIES[name]  -> Callable[(SparkSession, sf_dir), DataFrame]  (Spark plan)
+  ORACLE[name]   -> ANSI SQL string DuckDB runs on the same parquet views
+
+Determinism contract (SURVEY §2b): UTC session, no rand/current-time, every
+double output ROUND(x, 4), timestamps output as epoch millis, result sets
+carry a unique ordering key, and computed columns are aliased identically
+on both sides (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query implementation and (optionally) its oracle SQL."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# Import for registration side effects (order defines display order).
+from kinesyslog_spark.queries import relational  # noqa: E402,F401
+from kinesyslog_spark.queries import strings_json  # noqa: E402,F401
+from kinesyslog_spark.queries import relay  # noqa: E402,F401
+from kinesyslog_spark.queries import llm  # noqa: E402,F401

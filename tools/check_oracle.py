@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark AND its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, column names, and values
+(order-insensitive, exact after the ROUND(,4) determinism rules).
+
+Usage:
+    python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from kinesyslog_spark.queries import ORACLE, QUERIES  # noqa: E402
+from kinesyslog_spark.session import get_spark  # noqa: E402
+from kinesyslog_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def norm_cell(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return f"{type(v).__name__}:{v}"
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def check(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if name not in ORACLE:
+        return True, f"rows-only ({len(srows)} rows, no oracle)"
+    ores = con.execute(ORACLE[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    problems = []
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+    if not problems:
+        s_n, o_n = norm_rows(scols, srows), norm_rows(ocols, orows)
+        if s_n != o_n:
+            diffs = [
+                (a, b) for a, b in zip(s_n, o_n) if a != b
+            ][:3]
+            problems.append(f"{sum(a != b for a, b in zip(s_n, o_n))} value diffs, first: {diffs}")
+    if problems:
+        return False, "; ".join(problems)
+    return True, f"OK ({len(srows)} rows)"
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.001"
+    names = [a for a in args if not a.startswith("/")] or list(QUERIES)
+    spark = get_spark("oracle-check")
+    con = duck_con(sf_dir)
+    failed = []
+    for name in names:
+        try:
+            ok, msg = check(name, spark, con, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXC {type(e).__name__}: {str(e)[:500]}"
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {name}: {msg}", flush=True)
+        if not ok:
+            failed.append(name)
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if failed:
+        print("failed:", ", ".join(failed))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
