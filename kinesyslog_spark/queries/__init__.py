@@ -37,3 +37,4 @@ from kinesyslog_spark.queries import relational  # noqa: E402,F401
 from kinesyslog_spark.queries import strings_json  # noqa: E402,F401
 from kinesyslog_spark.queries import relay  # noqa: E402,F401
 from kinesyslog_spark.queries import llm  # noqa: E402,F401
+from kinesyslog_spark.queries import dedup  # noqa: E402,F401

@@ -1,0 +1,277 @@
+r"""Near-duplicate detection over `documents` (north-star dedup family).
+
+Three independent candidate-generation strategies, each verified with an
+exact measure — the standard shape of dedup at 100 TB, where the all-pairs
+cross product is impossible and the shuffle key must be a *bucket*:
+
+- q26 MinHash + LSH banding   (shuffle key = band bucket)
+- q27 SimHash + block LSH     (shuffle key = 8-bit fingerprint block;
+                               hamming<=7 over 64 bits guarantees a shared
+                               block, so blocking loses no candidates)
+- q28 char-n-gram Jaccard     (shuffle key = length band — near-dups have
+                               near-equal length, a standard prefix filter;
+                               dups here cross the lang column, so lang is
+                               deliberately NOT a blocking key)
+
+Each emits (doc_a, doc_b, measure) pairs, doc_a < doc_b, fully ordered.
+Exact dedup (hash-groupBy) is q20 in queries/llm.py.
+
+Scale notes:
+- Candidate pairs are generated per-bucket, so the worst case is the
+  largest bucket, not N². At 100 TB: raise bands/rows (q26), widen the
+  block count (q27), narrow length bands (q28), and salt/cap hot buckets
+  (boilerplate documents) before the self-join.
+- Verification joins back to the per-doc shingle arrays by doc_id — two
+  hash joins on the (small) candidate set, never a re-shuffle of the
+  corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesyslog_spark.operators.text import (
+    HEX_HIGH,
+    TOKEN_RE,
+    char_grams,
+    hamming_distance,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    simhash_fingerprint,
+    tokens,
+    word_shingles,
+)
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.tables import load_table
+
+MINHASH_K = 12
+LSH_BANDS = 4
+LSH_ROWS = 3
+JACCARD_THR = 0.5
+SIMHASH_BITS = 64
+SIMHASH_BLOCKS = 8  # 8 blocks x 8 bits: hamming<=7 guarantees a shared block
+HAMMING_THR = 4
+NGRAM_N = 5
+LEN_BAND = 25
+
+
+def _pair_candidates(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing every key column."""
+    x = keyed.select(*key_cols, F.col("doc_id").alias("doc_a"))
+    y = keyed.select(*key_cols, F.col("doc_id").alias("doc_b"))
+    return (
+        x.join(y, on=key_cols)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, thr: float) -> DataFrame:
+    """Join shingle arrays back by doc_id and keep exact Jaccard >= thr."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= thr)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q26 — MinHash + LSH banding (word 3-gram shingles)
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle() -> str:
+    sig = ",\n      ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))" for i in range(MINHASH_K)
+    )
+    bands = ", ".join(str(b) for b in range(LSH_BANDS))
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+    ), docs AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM tk WHERE len(toks) >= 3
+    ), sigs AS (
+      SELECT doc_id, [{sig}] AS sig FROM docs
+    ), bands AS (
+      SELECT doc_id, b.band_idx,
+             md5(sig[{LSH_ROWS}*b.band_idx + 1] || sig[{LSH_ROWS}*b.band_idx + 2]
+                 || sig[{LSH_ROWS}*b.band_idx + 3]) AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest([{bands}]) AS band_idx) b
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+        ROUND(len(list_intersect(a.sh, b.sh)) /
+          CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4) AS jaccard
+      FROM cand JOIN docs a ON a.doc_id = cand.doc_a JOIN docs b ON b.doc_id = cand.doc_b
+    ) WHERE jaccard >= {JACCARD_THR}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q26_minhash_lsh", oracle=_minhash_oracle())
+def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
+    )
+    sigs = sh.select("doc_id", *minhash_signature(F.col("sh"), MINHASH_K))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            lsh_band_keys([f"mh{i}" for i in range(MINHASH_K)], LSH_BANDS, LSH_ROWS)
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_idx", "bd.band_key")
+    cand = _pair_candidates(bands, ["band_idx", "band_key"])
+    return _verify_jaccard(cand, sh, JACCARD_THR)
+
+
+# ---------------------------------------------------------------------------
+# Q27 — SimHash fingerprint + block LSH, Hamming-distance verify
+# ---------------------------------------------------------------------------
+
+def _simhash_oracle() -> str:
+    high = ", ".join(f"'{h}'" for h in HEX_HIGH)
+    bit = (
+        "CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN substring(h, {j}, 1)"
+        f" IN ({high}) THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+    )
+    fp = " || ".join(bit.format(j=j) for j in range(1, SIMHASH_BITS + 1))
+    blocks = ", ".join(str(b) for b in range(SIMHASH_BLOCKS))
+    ham = " + ".join(
+        f"(CASE WHEN substring(fa, {j}, 1) <> substring(fb, {j}, 1) THEN 1 ELSE 0 END)"
+        for j in range(1, SIMHASH_BITS + 1)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+    ), hs AS (
+      SELECT doc_id, list_transform(toks, t -> sha256(t)) AS hl FROM tk WHERE len(toks) >= 1
+    ), fps AS (
+      SELECT doc_id, ({fp}) AS fp FROM hs
+    ), blocks AS (
+      SELECT doc_id, fp, b.block_idx, substring(fp, 1 + 8 * b.block_idx, 8) AS block_val
+      FROM fps CROSS JOIN (SELECT unnest([{blocks}]) AS block_idx) b
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.fp AS fa, y.fp AS fb
+      FROM blocks x JOIN blocks y
+        ON x.block_idx = y.block_idx AND x.block_val = y.block_val AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b, ({ham}) AS hamming FROM cand
+    ) WHERE hamming <= {HAMMING_THR}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q27_simhash_pairs", oracle=_simhash_oracle())
+def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select("doc_id", simhash_fingerprint(F.col("toks")).alias("fp"))
+    )
+    blocks = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("block_idx"),
+                    F.substring("fp", 1 + 8 * b, 8).alias("block_val"),
+                )
+                for b in range(SIMHASH_BLOCKS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.block_idx", "bk.block_val")
+    x = blocks.select("block_idx", "block_val", F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"))
+    y = blocks.select("block_idx", "block_val", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"))
+    cand = (
+        x.join(y, on=["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b",
+            hamming_distance(F.col("fa"), F.col("fb"), SIMHASH_BITS).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THR)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q28 — character-n-gram Jaccard with (lang, length-band) blocking
+# ---------------------------------------------------------------------------
+# Length banding is a principled prefix filter: Jaccard >= t implies
+# |len_a - len_b| is bounded, so near-dup pairs land in the same or
+# adjacent band (each doc is emitted into both), and distant-length pairs
+# are never even candidates.
+
+def _ngram_oracle() -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, lang, length(text) AS n,
+             list_distinct(list_transform(range(1, length(text) - {NGRAM_N - 2}),
+                 i -> text[i:i+{NGRAM_N - 1}])) AS sh
+      FROM documents WHERE length(text) >= {NGRAM_N}
+    ), blocked AS (
+      SELECT doc_id, n, n // {LEN_BAND} + o.off AS bucket
+      FROM docs CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM blocked x JOIN blocked y
+        ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+      WHERE abs(x.n - y.n) <= {LEN_BAND}
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+        ROUND(len(list_intersect(a.sh, b.sh)) /
+          CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4) AS jaccard
+      FROM cand JOIN docs a ON a.doc_id = cand.doc_a JOIN docs b ON b.doc_id = cand.doc_b
+    ) WHERE jaccard >= {JACCARD_THR}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q28_ngram_jaccard", oracle=_ngram_oracle())
+def q28_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= NGRAM_N)
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        char_grams(F.col("text"), NGRAM_N).alias("sh"),
+    )
+    blocked = base.select(
+        "doc_id", "n",
+        F.explode(
+            F.array(
+                (F.col("n") / LEN_BAND).cast("int"),
+                (F.col("n") / LEN_BAND).cast("int") + 1,
+            )
+        ).alias("bucket"),
+    )
+    x = blocked.select("bucket", F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    y = blocked.select("bucket", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cand = (
+        x.join(y, on=["bucket"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.abs(F.col("na") - F.col("nb")) <= LEN_BAND))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(cand, base.select("doc_id", "sh"), JACCARD_THR)
