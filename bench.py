@@ -35,6 +35,9 @@ HEADLINE = [
     "q22_top_tokens",
     "q24_relay_parse",
     "q25_relay_envelopes",
+    "q26_minhash_lsh",
+    "q30_language_id",
+    "q35_ann_ivf_topk",
 ]
 
 

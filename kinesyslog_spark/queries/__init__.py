@@ -38,3 +38,6 @@ from kinesyslog_spark.queries import strings_json  # noqa: E402,F401
 from kinesyslog_spark.queries import relay  # noqa: E402,F401
 from kinesyslog_spark.queries import llm  # noqa: E402,F401
 from kinesyslog_spark.queries import dedup  # noqa: E402,F401
+from kinesyslog_spark.queries import ann  # noqa: E402,F401
+from kinesyslog_spark.queries import textan  # noqa: E402,F401
+from kinesyslog_spark.queries import multimodal  # noqa: E402,F401

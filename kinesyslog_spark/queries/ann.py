@@ -1,0 +1,223 @@
+r"""Approximate-nearest-neighbor search over `embeddings` (north star).
+
+The brute-force cosine top-k baseline is q21 (queries/llm.py). These are
+the *scale paths* — at 100 TB a probe cannot scan every vector:
+
+- q29 sign-LSH bucket NN: hash every vector to a bucket by the sign bits
+  of its leading dimensions (axis-aligned random-hyperplane LSH); search
+  only within the bucket. Per-bucket quadratic, bounded by bucket size;
+  add bits (or multiple hash tables) as the corpus grows.
+- q35 IVF top-k: partition the corpus into coarse lists (here: the label
+  column stands in for k-means cells), route each probe to its nearest
+  centroid (a broadcast join against a tiny centroid table), and scan only
+  that list. The centroid build is two aggregations (posexplode -> per-
+  (list, dim) mean -> re-assembled vector) — exactly how an IVF index
+  build distributes.
+
+Both are deterministic (no rand) so they hash-match the DuckDB oracle;
+recall loss vs q21 is the documented LSH/IVF tradeoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.tables import load_table, spread
+
+EMB_DIM = 64
+BUCKET_BITS = 4
+N_PROBES = 10
+TOP_K = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+
+def _norm(col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+_ORACLE_DOT = (
+    f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> {{a}}[i] * {{b}}[i]))"
+)
+
+
+def _sign_bucket(col: Column, bits: int) -> Column:
+    return F.concat(
+        *[
+            F.when(F.element_at(col, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, bits + 1)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q29 — nearest neighbor within sign-LSH bucket
+# ---------------------------------------------------------------------------
+
+def _q29_oracle() -> str:
+    bucket = " || ".join(
+        f"(CASE WHEN emb[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, BUCKET_BITS + 1)
+    )
+    dot = _ORACLE_DOT.format(a="x.emb", b="y.emb")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), b AS (
+      SELECT vec_id, emb, {bucket} AS bucket,
+             sqrt(list_sum(list_transform(emb, v -> v * v))) AS nrm
+      FROM e
+    ), pairs AS (
+      SELECT x.vec_id AS vec_id, y.vec_id AS nn_id,
+             ROUND({dot} / (x.nrm * y.nrm), 4) AS sim
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+    )
+    SELECT vec_id, nn_id, sim FROM (
+      SELECT vec_id, nn_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@query("q29_lsh_bucket_nn", oracle=_q29_oracle())
+def q29_lsh_bucket_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        "emb",
+        _sign_bucket(F.col("emb"), BUCKET_BITS).alias("bucket"),
+        _norm(F.col("emb")).alias("nrm"),
+    )
+    x = e.select("bucket", F.col("vec_id").alias("vec_id"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    y = e.select("bucket", F.col("vec_id").alias("nn_id"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    pairs = (
+        x.join(y, "bucket")
+        .filter(F.col("vec_id") != F.col("nn_id"))
+        .select(
+            "vec_id", "nn_id",
+            F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "sim")
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q35 — IVF-style top-k: route probe to nearest coarse centroid, scan list
+# ---------------------------------------------------------------------------
+
+def _q35_oracle() -> str:
+    dot_pc = _ORACLE_DOT.format(a="p.emb", b="c.cvec")
+    dot_pe = _ORACLE_DOT.format(a="p.emb", b="e.emb")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), pos AS (
+      SELECT label, i.i AS pos, emb[i.i] AS v
+      FROM e CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) i
+    ), cent AS (
+      SELECT label, list(m ORDER BY pos) AS cvec
+      FROM (SELECT label, pos, avg(v) AS m FROM pos GROUP BY label, pos)
+      GROUP BY label
+    ), p AS (
+      SELECT vec_id AS pid, emb FROM e WHERE vec_id < {N_PROBES}
+    ), routed AS (
+      SELECT pid, target_label FROM (
+        SELECT p.pid, c.label AS target_label,
+               ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY
+                 ROUND({dot_pc} / (sqrt(list_sum(list_transform(p.emb, v -> v*v)))
+                   * sqrt(list_sum(list_transform(c.cvec, v -> v*v)))), 4) DESC,
+                 c.label) AS rn
+        FROM p CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), scanned AS (
+      SELECT r.pid, e.vec_id,
+             ROUND({dot_pe} / (sqrt(list_sum(list_transform(p.emb, v -> v*v)))
+               * sqrt(list_sum(list_transform(e.emb, v -> v*v)))), 4) AS sim
+      FROM routed r
+      JOIN p ON p.pid = r.pid
+      JOIN e ON e.label = r.target_label AND e.vec_id <> r.pid
+    )
+    SELECT pid, vec_id, sim, rn FROM (
+      SELECT pid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY sim DESC, vec_id) AS rn
+      FROM scanned
+    ) WHERE rn <= {TOP_K}
+    ORDER BY pid, rn
+    """
+
+
+@query("q35_ann_ivf_topk", oracle=_q35_oracle())
+def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+
+    # IVF build: coarse centroids = per-list (label) dimension means.
+    cent = (
+        e.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    )
+
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("emb").alias("pemb")
+    )
+
+    # Route each probe to its nearest centroid — broadcast the tiny
+    # centroid table (a handful of rows even with thousands of IVF lists).
+    routed = (
+        probes.crossJoin(F.broadcast(cent))
+        .select(
+            "pid", "pemb", F.col("label").alias("target_label"),
+            F.round(
+                _dot(F.col("pemb"), F.col("cvec")) / (_norm(F.col("pemb")) * _norm(F.col("cvec"))), 4
+            ).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("pid").orderBy(F.desc("csim"), F.asc("target_label"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select("pid", "pemb", "target_label")
+    )
+
+    # Scan only the routed list: broadcast the (tiny) probe set into the
+    # corpus scan — the corpus side is never shuffled.
+    scanned = (
+        e.join(F.broadcast(routed), (e["label"] == routed["target_label"]) & (e["vec_id"] != routed["pid"]))
+        .select(
+            "pid", "vec_id",
+            F.round(_dot(F.col("pemb"), F.col("emb")) / (_norm(F.col("pemb")) * _norm(F.col("emb"))), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("pid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scanned.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("pid", "rn")
+    )

@@ -35,16 +35,17 @@ from kinesyslog_spark.operators.text import (
     HEX_HIGH,
     TOKEN_RE,
     char_grams,
-    hamming_distance,
+    fp_halves,
+    hamming_from_halves,
     jaccard,
     lsh_band_keys,
-    minhash_signature,
-    simhash_fingerprint,
+    minhash_df,
+    simhash_df,
     tokens,
     word_shingles,
 )
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import load_table
+from kinesyslog_spark.tables import load_table, persist_now, spread
 
 MINHASH_K = 12
 LSH_BANDS = 4
@@ -57,10 +58,21 @@ NGRAM_N = 5
 LEN_BAND = 25
 
 
+def _par(df: DataFrame) -> int:
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def _pair_candidates(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing every key column."""
-    x = keyed.select(*key_cols, F.col("doc_id").alias("doc_a"))
-    y = keyed.select(*key_cols, F.col("doc_id").alias("doc_b"))
+    """Distinct (doc_a < doc_b) pairs sharing every key column.
+
+    The self-join inputs are explicitly hash-repartitioned on the bucket
+    key: their byte size is tiny (AQE would coalesce the exchange to one
+    partition) but the join *output* fans out quadratically per bucket —
+    a bytes-small, compute-heavy stage that must stay wide. Explicit
+    numPartitions is honored by AQE."""
+    n = _par(keyed)
+    x = keyed.select(*key_cols, F.col("doc_id").alias("doc_a")).repartition(n, *key_cols)
+    y = keyed.select(*key_cols, F.col("doc_id").alias("doc_b")).repartition(n, *key_cols)
     return (
         x.join(y, on=key_cols)
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -70,11 +82,17 @@ def _pair_candidates(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, thr: float) -> DataFrame:
-    """Join shingle arrays back by doc_id and keep exact Jaccard >= thr."""
+    """Join shingle arrays back by doc_id and keep exact Jaccard >= thr.
+
+    cand is explicitly repartitioned for the same reason as above: a few
+    MB of candidate pairs coalesce to one AQE partition, but each row
+    costs an array_intersect over the two shingle sets — the verify must
+    run wide. The shingle sides broadcast (runtime-sized by AQE)."""
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.join(a, "doc_a").join(b, "doc_b")
+        cand.repartition(_par(cand))
+        .join(a, "doc_a").join(b, "doc_b")
         .select("doc_a", "doc_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
         .filter(F.col("jaccard") >= thr)
         .orderBy("doc_a", "doc_b")
@@ -87,7 +105,8 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, thr: float) -> DataFrame:
 
 def _minhash_oracle() -> str:
     sig = ",\n      ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))" for i in range(MINHASH_K)
+        f"list_min(list_transform(sh, s -> CAST('0x' || substring(md5('{i}:' || s), 1, 15) AS BIGINT)))"
+        for i in range(MINHASH_K)
     )
     bands = ", ".join(str(b) for b in range(LSH_BANDS))
     return f"""
@@ -101,8 +120,8 @@ def _minhash_oracle() -> str:
       SELECT doc_id, [{sig}] AS sig FROM docs
     ), bands AS (
       SELECT doc_id, b.band_idx,
-             md5(sig[{LSH_ROWS}*b.band_idx + 1] || sig[{LSH_ROWS}*b.band_idx + 2]
-                 || sig[{LSH_ROWS}*b.band_idx + 3]) AS band_key
+             md5(sig[{LSH_ROWS}*b.band_idx + 1]::VARCHAR || ',' || sig[{LSH_ROWS}*b.band_idx + 2]::VARCHAR
+                 || ',' || sig[{LSH_ROWS}*b.band_idx + 3]::VARCHAR) AS band_key
       FROM sigs CROSS JOIN (SELECT unnest([{bands}]) AS band_idx) b
     ), cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -121,13 +140,20 @@ def _minhash_oracle() -> str:
 
 @query("q26_minhash_lsh", oracle=_minhash_oracle())
 def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # Persist the shingle arrays: they feed the signature pipeline AND both
+    # sides of the verification join — without this the (interpreted,
+    # HOF-heavy) shingling runs three times.
     sh = (
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)
         .select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
     )
-    sigs = sh.select("doc_id", *minhash_signature(F.col("sh"), MINHASH_K))
+    sh = persist_now(sh)
+    # Signatures via explode + MIN aggregation (codegen; map-side combine)
+    # rather than per-row interpreted array folds; materialized because the
+    # band self-join reads the signature pipeline from both sides.
+    sigs = persist_now(minhash_df(sh, ["doc_id"], "sh", MINHASH_K))
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -178,15 +204,23 @@ def _simhash_oracle() -> str:
 
 @query("q27_simhash_pairs", oracle=_simhash_oracle())
 def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    fps = (
-        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-        .filter(F.size("toks") >= 1)
-        .select("doc_id", simhash_fingerprint(F.col("toks")).alias("fp"))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    # Fingerprints via explode + 64 SUM aggregates (whole-stage codegen,
+    # map-side combine); persisted because both sides of the block
+    # self-join read them. Each fingerprint is also carried as two 32-bit
+    # ints so the pair filter is xor+popcount, not 64 string compares.
+    hi, lo = fp_halves(F.col("fp"))
+    fps = persist_now(
+        simhash_df(toks, ["doc_id"], "toks")
+        .select("doc_id", "fp", hi.alias("hi"), lo.alias("lo"))
     )
     blocks = fps.select(
         "doc_id",
-        "fp",
+        "hi",
+        "lo",
         F.explode(
             F.array(*[
                 F.struct(
@@ -196,21 +230,25 @@ def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(SIMHASH_BLOCKS)
             ])
         ).alias("bk"),
-    ).select("doc_id", "fp", "bk.block_idx", "bk.block_val")
-    x = blocks.select("block_idx", "block_val", F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"))
-    y = blocks.select("block_idx", "block_val", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"))
-    cand = (
+    ).select("doc_id", "hi", "lo", "bk.block_idx", "bk.block_val")
+    n_par = _par(fps)
+    x = blocks.select("block_idx", "block_val", F.col("doc_id").alias("doc_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a")).repartition(n_par, "block_idx", "block_val")
+    y = blocks.select("block_idx", "block_val", F.col("doc_id").alias("doc_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b")).repartition(n_par, "block_idx", "block_val")
+    # Hamming is evaluated and thresholded BEFORE the distinct: on a
+    # skewed corpus the block self-join emits millions of candidate rows,
+    # and deduplicating them while still carrying fingerprints would
+    # shuffle ~100x more bytes than the few surviving triples.
+    return (
         x.join(y, on=["block_idx", "block_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fa", "fb")
-        .distinct()
-    )
-    return (
-        cand.select(
+        .select(
             "doc_a", "doc_b",
-            hamming_distance(F.col("fa"), F.col("fb"), SIMHASH_BITS).alias("hamming"),
+            hamming_from_halves(
+                F.col("hi_a"), F.col("lo_a"), F.col("hi_b"), F.col("lo_b")
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_THR)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -230,13 +268,21 @@ def _ngram_oracle() -> str:
              list_distinct(list_transform(range(1, length(text) - {NGRAM_N - 2}),
                  i -> text[i:i+{NGRAM_N - 1}])) AS sh
       FROM documents WHERE length(text) >= {NGRAM_N}
+    ), keyed AS (
+      SELECT doc_id, n, sh,
+             list_min(list_transform(sh, s -> CAST('0x' || substring(md5('0:' || s), 1, 15) AS BIGINT))) AS mh0,
+             list_min(list_transform(sh, s -> CAST('0x' || substring(md5('1:' || s), 1, 15) AS BIGINT))) AS mh1
+      FROM docs
     ), blocked AS (
-      SELECT doc_id, n, n // {LEN_BAND} + o.off AS bucket
-      FROM docs CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+      SELECT doc_id, n, t.t, CASE t.t WHEN 0 THEN mh0 ELSE mh1 END AS mh,
+             n // {LEN_BAND} + o.off AS bucket
+      FROM keyed
+      CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+      CROSS JOIN (SELECT unnest([0, 1]) AS t) t
     ), cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM blocked x JOIN blocked y
-        ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ON x.t = y.t AND x.mh = y.mh AND x.bucket = y.bucket AND x.doc_id < y.doc_id
       WHERE abs(x.n - y.n) <= {LEN_BAND}
     )
     SELECT doc_a, doc_b, jaccard FROM (
@@ -251,25 +297,40 @@ def _ngram_oracle() -> str:
 
 @query("q28_ngram_jaccard", oracle=_ngram_oracle())
 def q28_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= NGRAM_N)
-    base = docs.select(
-        "doc_id",
-        F.length("text").alias("n"),
-        char_grams(F.col("text"), NGRAM_N).alias("sh"),
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(F.length("text") >= NGRAM_N)
+    # Persisted: feeds the blocking pipeline and both verify-join sides.
+    base = persist_now(
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n"),
+            char_grams(F.col("text"), NGRAM_N).alias("sh"),
+        )
     )
-    blocked = base.select(
-        "doc_id", "n",
-        F.explode(
-            F.array(
-                (F.col("n") / LEN_BAND).cast("int"),
-                (F.col("n") / LEN_BAND).cast("int") + 1,
-            )
-        ).alias("bucket"),
+    # Blocking = length band (prefix filter) AND agreement in one of two
+    # MinHash tables. The length band alone leaves O(band_size^2) pairs
+    # whose 500-element shingle arrays would then be shuffled into the
+    # verify join; one MinHash coordinate agreeing (P = jaccard per
+    # table, so 1-(1-j)^2 over two tables — >0.999 at the j>=0.9 the
+    # planted dups sit at) cuts candidates to near the true-pair count.
+    keyed = persist_now(minhash_df(base, ["doc_id", "n"], "sh", 2))
+    blocked = (
+        keyed.select(
+            "doc_id", "n",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("t"),
+            "mh0", "mh1",
+            ((F.col("n") / LEN_BAND).cast("int")).alias("b0"),
+        )
+        .select(
+            "doc_id", "n", "t",
+            F.when(F.col("t") == 0, F.col("mh0")).otherwise(F.col("mh1")).alias("mh"),
+            F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+        )
     )
-    x = blocked.select("bucket", F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    y = blocked.select("bucket", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    n_par = _par(keyed)
+    x = blocked.select("t", "mh", "bucket", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")).repartition(n_par, "t", "mh", "bucket")
+    y = blocked.select("t", "mh", "bucket", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")).repartition(n_par, "t", "mh", "bucket")
     cand = (
-        x.join(y, on=["bucket"])
+        x.join(y, on=["t", "mh", "bucket"])
         .filter((F.col("doc_a") < F.col("doc_b")) & (F.abs(F.col("na") - F.col("nb")) <= LEN_BAND))
         .select("doc_a", "doc_b")
         .distinct()

@@ -39,6 +39,11 @@ def get_spark(app_name: str = "kinesyslog_spark", cpus: str | int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Default 10 MB is conservative for modern executor memory; 64 MB
+        # lets AQE convert mid-size dimension/intermediate sides (e.g. a
+        # persisted shingle table at bench scale) to broadcast at runtime.
+        # Adaptive: a genuinely large side is still shuffled.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -37,6 +37,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition before per-row-heavy compute.
+
+    Small local test files arrive as ONE input split, which serializes
+    expensive per-row work (higher-order array functions run interpreted,
+    outside whole-stage codegen) onto a single core. On a real cluster a
+    100 TB scan has thousands of natural splits and this is a no-op
+    decision; locally the one-time shuffle of the raw column is repaid
+    ~32x by parallel evaluation. Callers apply it only in front of
+    array/shingle/hash pipelines, never plain Catalyst expressions.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
+def persist_now(df: DataFrame) -> DataFrame:
+    """Persist AND materialize (cheap count action) an intermediate that
+    multiple plan subtrees will read.
+
+    Lazy persist is not enough when a self-join or broadcast build
+    duplicates the producing subtree: the broadcast-exchange jobs and the
+    main stages race, each recomputing the expensive pipeline before the
+    cache is populated (measured 5-10x first-run slowdowns). Materializing
+    once up front costs one tiny job and makes every consumer a cache
+    read. Use only for intermediates that are small relative to the
+    corpus (signatures, candidate pairs, profiles)."""
+    df = df.persist()
+    df.count()
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -1,0 +1,65 @@
+"""Unit tests for operator building blocks (non-oracle behaviors)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_decode_media_is_stubbed():
+    from kinesyslog_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG...", "image")
+
+
+def test_fake_decode_meta_deterministic():
+    from kinesyslog_spark.operators.multimodal import fake_decode_meta
+
+    a = fake_decode_meta(b"x" * 123, 6)
+    assert a == fake_decode_meta(b"y" * 123, 9)  # same length + modality class
+    assert a["modality"] == "image" and a["n_bytes"] == 123
+
+
+def test_word_shingles(spark):
+    from kinesyslog_spark.operators.text import tokens, word_shingles
+
+    df = spark.createDataFrame([("the quick brown fox the quick brown",)], ["text"])
+    out = df.select(
+        word_shingles(tokens(F.col("text")), 3).alias("sh")
+    ).head()["sh"]
+    assert sorted(out) == sorted(
+        {"the quick brown", "quick brown fox", "brown fox the", "fox the quick"}
+    )
+
+
+def test_simhash_matches_reference_impl(spark):
+    from kinesyslog_spark.operators.text import simhash_fingerprint, tokens
+
+    text = "alpha beta gamma alpha"
+    toks = text.split()
+    scores = [0] * 64
+    for t in toks:
+        h = hashlib.sha256(t.encode()).hexdigest()
+        for j in range(64):
+            scores[j] += 1 if h[j] in "89abcdef" else -1
+    expect = "".join("1" if s > 0 else "0" for s in scores)
+
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = df.select(simhash_fingerprint(tokens(F.col("text"))).alias("fp")).head()["fp"]
+    assert got == expect
+
+
+def test_winnow_fingerprints_subset_of_gram_hashes(spark):
+    from kinesyslog_spark.operators.text import winnow_fingerprints
+
+    text = "abcdefghijklmnop"
+    grams = [text[i:i + 8] for i in range(len(text) - 7)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    expect = sorted({min(hs[i:i + 4]) for i in range(len(hs) - 3)})
+
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = df.select(winnow_fingerprints(F.col("text"), 8, 4).alias("fp")).head()["fp"]
+    assert sorted(got) == expect
