@@ -41,3 +41,4 @@ from kinesyslog_spark.queries import dedup  # noqa: E402,F401
 from kinesyslog_spark.queries import ann  # noqa: E402,F401
 from kinesyslog_spark.queries import textan  # noqa: E402,F401
 from kinesyslog_spark.queries import multimodal  # noqa: E402,F401
+from kinesyslog_spark.queries import framing  # noqa: E402,F401

@@ -1,0 +1,156 @@
+r"""UDP/TCP → spool-directory ingest bridge (reference S1/S2, server.py +
+protocol.py, re-scoped for a Spark engine).
+
+Spark has no TCP/UDP syslog source, so ingestion is a small asyncio
+daemon that terminates sockets, frames messages (F1 terminator framing
+for TCP; one datagram = one message for UDP, protocol.py:46-48), stamps
+(source, dest, recv_ts, seq), and publishes JSON-line files atomically
+(write temp → rename) into a directory that the Structured Streaming
+file source tails (streaming/relay.py). Files roll on count or age —
+the micro-batching analog of the reference's ring-buffer batches
+(≤128 msgs/slot, constant.py:3).
+
+TLS termination (S3) and PROXY protocol (S4) are bridge-side concerns
+layered onto the TCP listener; out of scope this round (documented in
+SURVEY §2a), as is the UDP chunked-GELF path which feeds
+streaming/state.py instead.
+
+This module is infrastructure, not a query operator: correctness is
+covered by the loopback test in tests/test_bridge.py.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import time
+import uuid
+
+from kinesyslog_spark.constants import MAX_MESSAGE_LENGTH
+
+ROLL_COUNT = 128
+ROLL_SECONDS = 1.0
+TERMINATORS = b"\n\x00\r"
+
+
+class SpoolWriter:
+    """Buffers stamped lines and publishes them atomically as JSON files."""
+
+    def __init__(self, out_dir: str, roll_count: int = ROLL_COUNT,
+                 roll_seconds: float = ROLL_SECONDS):
+        self.out_dir = out_dir
+        self.roll_count = roll_count
+        self.roll_seconds = roll_seconds
+        self._buf: list[dict] = []
+        self._last_roll = time.monotonic()
+        self._seq = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def add(self, raw: str, source: str, dest: int) -> None:
+        self._buf.append(
+            {
+                "raw": raw[:MAX_MESSAGE_LENGTH],
+                "source": source,
+                "dest": dest,
+                "recv_ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())
+                + f".{int(time.time_ns() // 1000) % 1_000_000:06d}",
+                "seq": self._seq,
+            }
+        )
+        self._seq += 1
+        if len(self._buf) >= self.roll_count:
+            self.flush()
+
+    def maybe_roll(self) -> None:
+        if self._buf and time.monotonic() - self._last_roll >= self.roll_seconds:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._buf:
+            return
+        name = f"lines-{time.time_ns()}-{uuid.uuid4().hex[:8]}.json"
+        tmp = os.path.join(self.out_dir, f"_tmp-{name}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in self._buf:
+                f.write(json.dumps(row) + "\n")
+        os.rename(tmp, os.path.join(self.out_dir, name))  # atomic publish
+        self._buf = []
+        self._last_roll = time.monotonic()
+
+
+class _UdpProtocol(asyncio.DatagramProtocol):
+    def __init__(self, writer: SpoolWriter, port: int):
+        self.writer, self.port = writer, port
+
+    def datagram_received(self, data: bytes, addr) -> None:
+        # One datagram = one message (protocol.py:46-48 appends '\n' to
+        # reuse the framer; here the framing is already done).
+        text = data.decode("utf-8", "backslashreplace").rstrip("\n\x00\r")
+        if text:
+            self.writer.add(text, addr[0], self.port)
+
+
+async def _handle_tcp(reader: asyncio.StreamReader,
+                      writer_t: asyncio.StreamWriter,
+                      spool: SpoolWriter, port: int) -> None:
+    peer = writer_t.get_extra_info("peername")[0]
+    buf = b""
+    try:
+        while True:
+            data = await reader.read(65536)
+            if not data:
+                break
+            buf += data
+            # F1 terminator framing over the accumulated stream.
+            while True:
+                idx = min(
+                    (buf.find(t) for t in (b"\n", b"\x00", b"\r") if buf.find(t) >= 0),
+                    default=-1,
+                )
+                if idx < 0:
+                    break
+                line, buf = buf[:idx], buf[idx + 1:]
+                if line:
+                    spool.add(
+                        line.decode("utf-8", "backslashreplace"), peer, port
+                    )
+    finally:
+        if buf:  # connection close flushes the remainder (protocol.py:56-58)
+            spool.add(buf.decode("utf-8", "backslashreplace"), peer, port)
+        writer_t.close()
+
+
+async def run_bridge(out_dir: str, udp_port: int = 0, tcp_port: int = 0,
+                     host: str = "127.0.0.1",
+                     ready: asyncio.Event | None = None,
+                     stop: asyncio.Event | None = None) -> tuple[int, int]:
+    """Run UDP+TCP listeners until `stop` is set. Ports 0 = ephemeral;
+    the bound ports are returned (and readable after `ready`)."""
+    spool = SpoolWriter(out_dir)
+    loop = asyncio.get_running_loop()
+
+    transport, _ = await loop.create_datagram_endpoint(
+        lambda: _UdpProtocol(spool, udp_port), local_addr=(host, udp_port)
+    )
+    udp_bound = transport.get_extra_info("sockname")[1]
+
+    server = await asyncio.start_server(
+        lambda r, w: _handle_tcp(r, w, spool, tcp_port), host, tcp_port
+    )
+    tcp_bound = server.sockets[0].getsockname()[1]
+
+    run_bridge.bound = (udp_bound, tcp_bound)  # type: ignore[attr-defined]
+    if ready is not None:
+        ready.set()
+    stop = stop or asyncio.Event()
+    try:
+        while not stop.is_set():
+            await asyncio.sleep(0.1)
+            spool.maybe_roll()
+    finally:
+        spool.flush()
+        transport.close()
+        server.close()
+        await server.wait_closed()
+    return udp_bound, tcp_bound

@@ -1,0 +1,118 @@
+r"""W5 — arbitrary stateful streaming: chunked-GELF reassembly with the
+5-second timeout the reference left as a TODO (protocol.py:288).
+
+`applyInPandasWithState` keyed by msg_id; state = the chunks seen so far.
+Semantics mirror gelf.py:11-50: chunks dedup by seq (first wins,
+gelf.py:41-44), emit when all `chunk_cnt` arrive, cap 128 chunks
+(gelf.py:20); PLUS the fix: a processing-time timeout clears incomplete
+groups so state is bounded (the reference grows without bound).
+
+The pure-Python core (`_ChunkAssembler`) is separated from the Spark
+wiring so the state-machine semantics (dedup, completion, overflow,
+timeout) unit-test without a streaming harness; the streaming test in
+tests/test_streaming.py replays chunk files through the real query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kinesyslog_spark.constants import GELF_MAX_CHUNKS
+
+OUTPUT_SCHEMA = "msg_id long, n_chunks int, message binary"
+STATE_SCHEMA = "seqs array<int>, payloads array<binary>, total int"
+DEFAULT_TIMEOUT_MS = 5000
+
+
+class _ChunkAssembler:
+    """gelf.py GelfMessage semantics as a pure function of chunk batches."""
+
+    def __init__(self, seqs: list[int] | None = None,
+                 payloads: list[bytes] | None = None, total: int = -1):
+        self.chunks: dict[int, bytes] = dict(zip(seqs or [], payloads or []))
+        self.total = total
+
+    def add(self, seq: int, cnt: int, payload: bytes) -> None:
+        if cnt > GELF_MAX_CHUNKS:  # gelf.py:20 assert -> drop group
+            self.total = -2
+            return
+        if self.total == -1:
+            self.total = cnt
+        if seq not in self.chunks:  # dedup, first chunk wins (gelf.py:41-44)
+            self.chunks[seq] = payload
+
+    @property
+    def complete(self) -> bool:
+        return self.total > 0 and len(self.chunks) >= self.total
+
+    @property
+    def poisoned(self) -> bool:
+        return self.total == -2
+
+    def assemble(self) -> bytes:
+        return b"".join(p for _, p in sorted(self.chunks.items()))
+
+    def to_state(self) -> tuple[list[int], list[bytes], int]:
+        return (list(self.chunks.keys()), list(self.chunks.values()), self.total)
+
+
+def make_reassemble_fn(timeout_ms: int = DEFAULT_TIMEOUT_MS):
+    """applyInPandasWithState body factory for chunk rows
+    (msg_id, chunk_seq, chunk_cnt, payload)."""
+
+    def reassemble_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (msg_id,) = key
+        if state.hasTimedOut:
+            # The fixed TODO: incomplete after the window -> discard state.
+            state.remove()
+            yield pd.DataFrame(columns=["msg_id", "n_chunks", "message"])
+            return
+
+        asm = _ChunkAssembler(*state.get) if state.exists else _ChunkAssembler()
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                asm.add(int(row.chunk_seq), int(row.chunk_cnt), bytes(row.payload))
+
+        if asm.complete or asm.poisoned:
+            if state.exists:
+                state.remove()
+            if asm.complete:
+                yield pd.DataFrame(
+                    [{"msg_id": msg_id, "n_chunks": asm.total, "message": asm.assemble()}]
+                )
+                return
+            yield pd.DataFrame(columns=["msg_id", "n_chunks", "message"])
+            return
+
+        state.update(asm.to_state())
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(columns=["msg_id", "n_chunks", "message"])
+
+    return reassemble_fn
+
+
+# Default-config body (importable for direct unit testing).
+reassemble_fn = make_reassemble_fn()
+
+
+def reassemble_chunks_stream(chunks, timeout_ms: int = DEFAULT_TIMEOUT_MS):
+    """Streaming chunk reassembly: groupBy(msg_id) + stateful apply.
+
+    NOTE: with ProcessingTimeTimeout the query schedules state-cleanup
+    micro-batches continuously, so `processAllAvailable()` on a consumer
+    never settles — poll the sink instead (see tests/test_streaming.py)."""
+    return chunks.groupBy("msg_id").applyInPandasWithState(
+        make_reassemble_fn(timeout_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,180 @@
+"""Streaming surface W1-W7 (SURVEY §2c): file-drop replay through real
+Structured Streaming queries, stateful chunk reassembly, window shapes,
+and the end-to-end streaming relay into the record spool."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kinesyslog_spark.sinks.records import read_spool
+from kinesyslog_spark.streaming.relay import LINE_SCHEMA, start_relay
+from kinesyslog_spark.streaming.state import (
+    _ChunkAssembler,
+    reassemble_chunks_stream,
+)
+from kinesyslog_spark.streaming.windows import (
+    dedup_events,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def _write_json(path, rows):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, path)
+
+
+def _events_df(spark):
+    rows = [
+        (1, "2024-01-01 00:05:00", 7, "click", 1.0),
+        (2, "2024-01-01 00:55:00", 7, "click", 2.0),
+        (3, "2024-01-01 01:05:00", 8, "view", 3.0),
+        (2, "2024-01-01 00:55:00", 7, "click", 2.0),  # duplicate id
+    ]
+    return spark.createDataFrame(
+        rows, "id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        F.col("id"), F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value"
+    )
+
+
+def test_tumbling_and_sliding_batch_twin(spark):
+    ev = _events_df(spark)
+    tumb = {(r["start"].hour, r["event_type"]): r["n"] for r in tumbling_counts(ev).collect()}
+    assert tumb[(0, "click")] == 3 and tumb[(1, "view")] == 1
+    slide = sliding_counts(ev, "10 minutes", "5 minutes").collect()
+    # each event appears in exactly width/slide = 2 panes
+    assert sum(r["n"] for r in slide if r["event_type"] == "view") == 2
+
+
+def test_session_window_gap(spark):
+    ev = _events_df(spark)
+    sess = session_windows(ev, gap="30 minutes", key="user_id").collect()
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r["n"])
+    # user 7: 00:05 | 00:55 x2 (incl. dup id) -> gap 50min > 30min -> 2 sessions
+    assert sorted(by_user[7]) == [1, 2] and by_user[8] == [1]
+
+
+def test_dedup_events_batch(spark):
+    assert dedup_events(_events_df(spark)).count() == 3
+
+
+def test_chunk_assembler_semantics():
+    asm = _ChunkAssembler()
+    asm.add(1, 3, b"B")
+    asm.add(0, 3, b"A")
+    assert not asm.complete
+    asm.add(1, 3, b"XX")  # duplicate seq: first wins (gelf.py:41-44)
+    asm.add(2, 3, b"C")
+    assert asm.complete and asm.assemble() == b"ABC"
+    poisoned = _ChunkAssembler()
+    poisoned.add(0, 500, b"x")  # > 128 chunks -> dropped (gelf.py:20)
+    assert poisoned.poisoned
+
+
+def test_chunk_reassembly_stream(spark, tmp_path):
+    in_dir = str(tmp_path / "chunks")
+    os.makedirs(in_dir)
+    # batch 1: msg 1 complete (out of order), msg 2 partial
+    _write_json(os.path.join(in_dir, "b1.json"), [
+        {"msg_id": 1, "chunk_seq": 1, "chunk_cnt": 2, "payload": "bb"},
+        {"msg_id": 1, "chunk_seq": 0, "chunk_cnt": 2, "payload": "aa"},
+        {"msg_id": 2, "chunk_seq": 0, "chunk_cnt": 2, "payload": "xx"},
+    ])
+    chunks = (
+        spark.readStream.schema("msg_id long, chunk_seq int, chunk_cnt int, payload string")
+        .json(in_dir)
+        .select("msg_id", "chunk_seq", "chunk_cnt", F.encode("payload", "UTF-8").alias("payload"))
+    )
+    # Long timeout so the partial msg-2 state survives the test's polling.
+    out = reassemble_chunks_stream(chunks, timeout_ms=120_000)
+    q = (
+        out.select("msg_id", "n_chunks", F.decode("message", "UTF-8").alias("message"))
+        .writeStream.format("memory").queryName("reasm").outputMode("append").start()
+    )
+
+    def poll(expect):
+        deadline = time.time() + 90
+        got = {}
+        while time.time() < deadline:
+            got = {r["msg_id"]: r["message"] for r in spark.sql("SELECT * FROM reasm").collect()}
+            if got == expect:
+                return got
+            time.sleep(0.5)
+        return got
+
+    try:
+        # msg 1 completes out of order; msg 2 incomplete -> held in state
+        assert poll({1: "aabb"}) == {1: "aabb"}
+        _write_json(os.path.join(in_dir, "b2.json"), [
+            {"msg_id": 2, "chunk_seq": 1, "chunk_cnt": 2, "payload": "yy"},
+        ])
+        assert poll({1: "aabb", 2: "xxyy"}) == {1: "aabb", 2: "xxyy"}
+    finally:
+        q.stop()
+
+
+def test_reassemble_fn_timeout_path():
+    """The 5-s timeout (the reference's unenforced TODO, protocol.py:288)
+    drops incomplete state without emitting."""
+    from kinesyslog_spark.streaming.state import reassemble_fn
+
+    class FakeState:
+        hasTimedOut = True
+        removed = False
+        exists = True
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    frames = list(reassemble_fn((42,), iter([]), st))
+    assert st.removed
+    assert all(f.empty for f in frames)
+
+
+def test_streaming_relay_end_to_end(spark, tmp_path):
+    in_dir, spool_dir, ckpt = (str(tmp_path / d) for d in ("in", "spool", "ckpt"))
+    os.makedirs(in_dir)
+    _write_json(os.path.join(in_dir, "lines1.json"), [
+        {"raw": "<13>1 2024-01-01T00:00:01.000000+00:00 h1 app - - - hello",
+         "source": "10.0.0.1", "dest": 514,
+         "recv_ts": "2024-01-01T00:00:02.000000", "seq": 0},
+        {"raw": "totally unparsable",
+         "source": "10.0.0.2", "dest": 6514,
+         "recv_ts": "2024-01-01T00:00:03.000000", "seq": 1},
+    ])
+    q = start_relay(spark, in_dir, spool_dir, ckpt, trigger_seconds=1)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if os.path.isdir(spool_dir) and any(
+                n.startswith("firehose_event-") for n in os.listdir(spool_dir)
+            ):
+                break
+            time.sleep(0.5)
+        back = read_spool(spark, spool_dir)
+        flat = back.select(
+            "logGroup", "logStream", F.explode("logEvents").alias("e")
+        ).collect()
+        by_stream = {r["logStream"]: r for r in flat}
+        assert by_stream["10.0.0.1"]["logGroup"] == "kinesyslog/syslog/514"
+        assert by_stream["10.0.0.1"]["e"]["message"].endswith("hello")
+        # P6 rewrite applied to the unparsable line
+        assert by_stream["10.0.0.2"]["e"]["message"].startswith("<13>1 2024-01-01T00:00:03")
+        assert len(by_stream["10.0.0.1"]["e"]["id"]) == 56
+    finally:
+        q.stop()
