@@ -42,3 +42,4 @@ from kinesyslog_spark.queries import ann  # noqa: E402,F401
 from kinesyslog_spark.queries import textan  # noqa: E402,F401
 from kinesyslog_spark.queries import multimodal  # noqa: E402,F401
 from kinesyslog_spark.queries import framing  # noqa: E402,F401
+from kinesyslog_spark.queries import gelf  # noqa: E402,F401

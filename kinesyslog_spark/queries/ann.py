@@ -31,6 +31,7 @@ EMB_DIM = 64
 BUCKET_BITS = 4
 N_PROBES = 10
 TOP_K = 5
+NEARDUP_COS = 0.4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,4 +221,91 @@ def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scanned.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
         .orderBy("pid", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q38 — embedding-cosine near-duplicate pairs via MULTI-PROBE sign LSH
+# ---------------------------------------------------------------------------
+# Each vector is hashed into its sign bucket AND the 4 buckets at Hamming
+# distance 1 (single-bit flips) — multi-probe LSH (Lv et al., VLDB'07):
+# near neighbors that straddle one hyperplane still collide, lifting
+# recall from ~50% to >90% at the same bucket width. Candidates sharing
+# any probe bucket are verified with exact cosine >= threshold.
+
+def _q38_probe_sql(flip: int) -> str:
+    """Bucket string with bit `flip` inverted (0 = no flip)."""
+    bits = []
+    for i in range(1, BUCKET_BITS + 1):
+        inv = "<" if i == flip else ">="
+        bits.append(f"(CASE WHEN emb[{i}] {inv} 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def _q38_oracle() -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT vec_id, emb, nrm, {_q38_probe_sql(f)} AS bucket FROM b"
+        for f in range(0, BUCKET_BITS + 1)
+    )
+    dot = _ORACLE_DOT.format(a="pa.emb", b="pb.emb")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), b AS (
+      SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, v -> v * v))) AS nrm FROM e
+    ), probes AS ({probes}
+    ), cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM probes x JOIN probes y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, sim FROM (
+      SELECT vec_a, vec_b, ROUND({dot} / (pa.nrm * pb.nrm), 4) AS sim
+      FROM cand JOIN b pa ON pa.vec_id = cand.vec_a JOIN b pb ON pb.vec_id = cand.vec_b
+    ) WHERE sim >= {NEARDUP_COS}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@query("q38_embedding_neardup", oracle=_q38_oracle())
+def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.tables import persist_now
+
+    base = persist_now(
+        _emb(spark, sf_dir).select(
+            "vec_id", "emb", _norm(F.col("emb")).alias("nrm")
+        )
+    )
+
+    def probe_bucket(flip: int) -> Column:
+        bits = []
+        for i in range(1, BUCKET_BITS + 1):
+            raw = F.element_at("emb", i) >= 0
+            bit = ~raw if i == flip else raw
+            bits.append(F.when(bit, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    probes = base.select(
+        "vec_id",
+        F.explode(F.array(*[probe_bucket(f) for f in range(0, BUCKET_BITS + 1)])).alias("bucket"),
+    )
+    n = probes.sparkSession.sparkContext.defaultParallelism
+    x = probes.select("bucket", F.col("vec_id").alias("vec_a")).repartition(n, "bucket")
+    y = probes.select("bucket", F.col("vec_id").alias("vec_b")).repartition(n, "bucket")
+    cand = (
+        x.join(y, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    pa = base.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    pb = base.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        cand.repartition(n)
+        .join(pa, "vec_a").join(pb, "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= NEARDUP_COS)
+        .orderBy("vec_a", "vec_b")
     )
