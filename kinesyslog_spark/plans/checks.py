@@ -1,0 +1,88 @@
+r"""Physical-plan inspection utilities — the engine's scale guardrails.
+
+A query that is correct at sf0.01 but scans every column, misses a
+broadcast, or coalesces a compute-heavy exchange to one task will fall
+over at 100 TB. These helpers turn `.explain("formatted")` into
+assertable facts so tests/test_plans.py can pin the *intended* physical
+strategy, not just the answer:
+
+- parquet scans must show PushedFilters / a pruned ReadSchema;
+- dimension joins must be BroadcastHashJoin, fact-fact joins shuffle;
+- per-message parse pipelines must stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+@dataclass
+class PlanFacts:
+    text: str
+
+    @property
+    def broadcast_join_count(self) -> int:
+        return len(re.findall(r"BroadcastHashJoin", self.text))
+
+    @property
+    def broadcast_any_count(self) -> int:
+        """Any broadcast-build join (hash or nested-loop for cross joins)."""
+        return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", self.text))
+
+    @property
+    def python_eval_count(self) -> int:
+        """Row/Arrow Python evaluation nodes — the slow path. Intentional
+        pandas ops (mapInPandas/applyInPandas) show as *InPandas instead."""
+        return len(re.findall(r"BatchEvalPython|ArrowEvalPython", self.text))
+
+    @property
+    def shuffle_join_count(self) -> int:
+        return len(re.findall(r"SortMergeJoin|ShuffledHashJoin", self.text))
+
+    @property
+    def exchange_count(self) -> int:
+        # Shuffle exchanges only (broadcast exchanges are cheap by design);
+        # count node-detail headers so tree + detail aren't double-counted.
+        return len(re.findall(r"\n\(\d+\) Exchange\b", self.text))
+
+    @property
+    def sort_aggregate_count(self) -> int:
+        """SortAggregate = a non-hashable aggregation buffer snuck in."""
+        return len(re.findall(r"SortAggregate", self.text))
+
+    def pushed_filters(self, table: str) -> list[str]:
+        """PushedFilters entries for the scan of `table`."""
+        out = []
+        for m in re.finditer(
+            rf"Location:.*{table}[^\n]*\n(?:.*\n)*?PushedFilters: \[([^\]]*)\]",
+            self.text,
+        ):
+            out.append(m.group(1))
+        return out
+
+    def read_schema(self, table: str) -> str | None:
+        m = re.search(
+            rf"Location:.*{table}[^\n]*\n(?:.*\n)*?ReadSchema: ([^\n]+)", self.text
+        )
+        return m.group(1) if m else None
+
+    def scan_columns(self, table: str) -> list[str]:
+        schema = self.read_schema(table)
+        if not schema:
+            return []
+        return re.findall(r"(\w+):", schema)
+
+
+def facts(df: DataFrame) -> PlanFacts:
+    return PlanFacts(formatted_plan(df))

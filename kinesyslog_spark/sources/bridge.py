@@ -93,15 +93,29 @@ class _UdpProtocol(asyncio.DatagramProtocol):
 
 async def _handle_tcp(reader: asyncio.StreamReader,
                       writer_t: asyncio.StreamWriter,
-                      spool: SpoolWriter, port: int) -> None:
+                      spool: SpoolWriter, port: int,
+                      proxy_protocol: bool = False) -> None:
+    from kinesyslog_spark.sources.proxy import NEED_MORE, strip_proxy_header
+
     peer = writer_t.get_extra_info("peername")[0]
     buf = b""
+    awaiting_proxy = proxy_protocol
     try:
         while True:
             data = await reader.read(65536)
             if not data:
                 break
             buf += data
+            if awaiting_proxy:
+                # S4: strip the PROXY header and substitute the real
+                # client address before any framing/keying (proxy.py:216-236).
+                decoded = strip_proxy_header(buf)
+                if decoded is NEED_MORE:
+                    continue
+                real_source, buf = decoded
+                if real_source:
+                    peer = real_source
+                awaiting_proxy = False
             # F1 terminator framing over the accumulated stream.
             while True:
                 idx = min(
@@ -121,12 +135,26 @@ async def _handle_tcp(reader: asyncio.StreamReader,
         writer_t.close()
 
 
+def make_ssl_context(certfile: str, keyfile: str):
+    """S3: server-side TLS context (reference server.py:46-52 uses
+    PROTOCOL_TLS with a cert/key pair; modern equivalent below)."""
+    import ssl
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    return ctx
+
+
 async def run_bridge(out_dir: str, udp_port: int = 0, tcp_port: int = 0,
                      host: str = "127.0.0.1",
                      ready: asyncio.Event | None = None,
-                     stop: asyncio.Event | None = None) -> tuple[int, int]:
-    """Run UDP+TCP listeners until `stop` is set. Ports 0 = ephemeral;
-    the bound ports are returned (and readable after `ready`)."""
+                     stop: asyncio.Event | None = None,
+                     proxy_protocol: bool = False,
+                     tls_port: int | None = None,
+                     ssl_context=None) -> tuple[int, int]:
+    """Run UDP+TCP(+TLS) listeners until `stop` is set. Ports 0 =
+    ephemeral; bound ports are exposed via `run_bridge.bound` after
+    `ready` (udp, tcp[, tls])."""
     spool = SpoolWriter(out_dir)
     loop = asyncio.get_running_loop()
 
@@ -136,11 +164,23 @@ async def run_bridge(out_dir: str, udp_port: int = 0, tcp_port: int = 0,
     udp_bound = transport.get_extra_info("sockname")[1]
 
     server = await asyncio.start_server(
-        lambda r, w: _handle_tcp(r, w, spool, tcp_port), host, tcp_port
+        lambda r, w: _handle_tcp(r, w, spool, tcp_port, proxy_protocol),
+        host, tcp_port,
     )
     tcp_bound = server.sockets[0].getsockname()[1]
 
-    run_bridge.bound = (udp_bound, tcp_bound)  # type: ignore[attr-defined]
+    tls_server = None
+    bound = [udp_bound, tcp_bound]
+    if ssl_context is not None:
+        # S3: TLS termination, then the identical TCP path (the app
+        # protocol never sees the difference — server.py:46-52).
+        tls_server = await asyncio.start_server(
+            lambda r, w: _handle_tcp(r, w, spool, tls_port or 6514, proxy_protocol),
+            host, tls_port or 0, ssl=ssl_context,
+        )
+        bound.append(tls_server.sockets[0].getsockname()[1])
+
+    run_bridge.bound = tuple(bound)  # type: ignore[attr-defined]
     if ready is not None:
         ready.set()
     stop = stop or asyncio.Event()
@@ -153,4 +193,7 @@ async def run_bridge(out_dir: str, udp_port: int = 0, tcp_port: int = 0,
         transport.close()
         server.close()
         await server.wait_closed()
+        if tls_server is not None:
+            tls_server.close()
+            await tls_server.wait_closed()
     return udp_bound, tcp_bound

@@ -1,0 +1,58 @@
+"""Physical-plan guardrails: pin the intended 100 TB strategy, not just
+the answer. A regression here means a query silently degraded to a plan
+that works at sf0.01 but not at scale."""
+
+from __future__ import annotations
+
+from kinesyslog_spark.plans.checks import facts
+from kinesyslog_spark.queries import QUERIES
+
+
+def test_q01_scan_pushdown_and_pruning(spark, sf_dir):
+    f = facts(QUERIES["q01_scan_filter"](spark, sf_dir))
+    pushed = f.pushed_filters("lineitem")
+    assert pushed and any("l_shipdate" in p for p in pushed), (
+        "shipdate range filter must reach the parquet scan"
+    )
+    cols = f.scan_columns("lineitem")
+    assert cols and len(cols) <= 6, f"column pruning lost: scan reads {cols}"
+
+
+def test_q04_small_dims_broadcast(spark, sf_dir):
+    f = facts(QUERIES["q04_customers_per_region"](spark, sf_dir))
+    assert f.broadcast_join_count >= 2, "region/nation joins must broadcast"
+
+
+def test_q03_join_strategy(spark, sf_dir):
+    f = facts(QUERIES["q03_shipping_priority"](spark, sf_dir))
+    # 3-way join: at least the customer-side should not force a cartesian;
+    # any mix of broadcast/shuffle joins is fine, cartesian is not.
+    assert "CartesianProduct" not in f.text
+
+
+def test_q02_hash_aggregate(spark, sf_dir):
+    f = facts(QUERIES["q02_pricing_summary"](spark, sf_dir))
+    assert f.sort_aggregate_count == 0, "pricing summary must hash-aggregate"
+    assert "HashAggregate" in f.text
+
+
+def test_q26_minhash_hash_aggregate(spark, sf_dir):
+    # The integer-minhash design exists precisely to keep MIN() hashable.
+    f = facts(QUERIES["q26_minhash_lsh"](spark, sf_dir))
+    assert f.sort_aggregate_count == 0, (
+        "minhash aggregation fell back to SortAggregate (string buffer?)"
+    )
+
+
+def test_q24_parse_all_jvm_side(spark, sf_dir):
+    # (AQE's formatted plan hides WholeStageCodegen markers pre-execution,
+    # so the assertable fact is: zero Python evaluation nodes and exactly
+    # one shuffle — the final ORDER BY.)
+    f = facts(QUERIES["q24_relay_parse"](spark, sf_dir))
+    assert f.python_eval_count == 0, "P2-P8 must not use Python UDFs"
+    assert f.exchange_count <= 1, f"parse pipeline must be shuffle-free:\n{f.text[:500]}"
+
+
+def test_q21_probe_side_broadcast(spark, sf_dir):
+    f = facts(QUERIES["q21_cosine_topk"](spark, sf_dir))
+    assert f.broadcast_any_count >= 1, "probe set must broadcast into the scan"

@@ -1,0 +1,106 @@
+"""S4: PROXY protocol v1/v2 decoding, unit + live bridge loopback."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import socket
+import struct
+import threading
+import time
+
+import pytest
+
+from kinesyslog_spark.sources.proxy import NEED_MORE, V2_MAGIC, strip_proxy_header
+
+
+def test_v1_tcp4():
+    src, rest = strip_proxy_header(
+        b"PROXY TCP4 192.168.7.9 10.0.0.1 56324 514\r\n<13>hello\n"
+    )
+    assert src == "192.168.7.9" and rest == b"<13>hello\n"
+
+
+def test_v1_unknown_keeps_peer():
+    src, rest = strip_proxy_header(b"PROXY UNKNOWN\r\npayload")
+    assert src is None and rest == b"payload"
+
+
+def test_v1_partial_needs_more():
+    assert strip_proxy_header(b"PROXY TCP4 192.168.") is NEED_MORE
+    assert strip_proxy_header(b"PROX") is NEED_MORE
+
+
+def test_v1_malformed_raises():
+    with pytest.raises(ValueError):
+        strip_proxy_header(b"PROXY GARBAGE NOPE\r\nx")
+
+
+def _v2_header(src="172.16.0.9", dst="10.0.0.1", cmd=1):
+    body = (
+        socket.inet_aton(src) + socket.inet_aton(dst) + struct.pack("!HH", 999, 514)
+    )
+    return V2_MAGIC + struct.pack("!BBH", 0x20 | cmd, 0x11, len(body)) + body
+
+
+def test_v2_proxy_command():
+    src, rest = strip_proxy_header(_v2_header() + b"<13>via proxy\n")
+    assert src == "172.16.0.9" and rest == b"<13>via proxy\n"
+
+
+def test_v2_local_health_check():
+    src, rest = strip_proxy_header(_v2_header(cmd=0) + b"ping")
+    assert src is None and rest == b"ping"
+
+
+def test_v2_partial_needs_more():
+    h = _v2_header()
+    assert strip_proxy_header(h[:10]) is NEED_MORE
+    assert strip_proxy_header(h[:20]) is NEED_MORE
+
+
+def test_no_proxy_passthrough():
+    src, rest = strip_proxy_header(b"<13>plain syslog line\n")
+    assert src is None and rest == b"<13>plain syslog line\n"
+
+
+def test_bridge_with_proxy_protocol(tmp_path):
+    from kinesyslog_spark.sources.bridge import run_bridge
+
+    out_dir = str(tmp_path / "lines")
+    loop = asyncio.new_event_loop()
+    ready = asyncio.Event()
+    stop = asyncio.Event()
+
+    def runner():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(
+            run_bridge(out_dir, ready=ready, stop=stop, proxy_protocol=True)
+        )
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    while not ready.is_set() and time.time() < deadline:
+        time.sleep(0.05)
+    _, tcp_port = run_bridge.bound
+
+    c = socket.create_connection(("127.0.0.1", tcp_port))
+    c.sendall(b"PROXY TCP4 203.0.113.77 10.0.0.1 55555 514\r\n")
+    time.sleep(0.05)  # header and payload in separate segments
+    c.sendall(b"<13>proxied message\n")
+    c.close()
+
+    time.sleep(1.5)
+    loop.call_soon_threadsafe(stop.set)
+    t.join(timeout=10)
+
+    rows = []
+    for name in os.listdir(out_dir):
+        with open(os.path.join(out_dir, name)) as f:
+            rows += [json.loads(line) for line in f]
+    assert len(rows) == 1
+    # the source column carries the REAL client, not the proxy peer
+    assert rows[0]["source"] == "203.0.113.77"
+    assert rows[0]["raw"] == "<13>proxied message"
