@@ -1,0 +1,153 @@
+r"""`kinesyslog-spark` command line — the reference's `kinesyslog listen`
+entry point (E1, init.py:30-257) re-expressed over the Spark engine.
+
+    python -m kinesyslog_spark.cli listen \
+        --udp-port 5514 --tcp-port 5514 --spool-dir /var/spool/kinesyslog
+
+wires together:
+  1. the asyncio ingest bridge (sources/bridge.py: UDP/TCP[/TLS/PROXY]
+     listeners -> JSON-line files),
+  2. the Structured Streaming relay (streaming/relay.py: parse -> record
+     envelopes -> atomic gzip spool),
+  3. optionally the Firehose uploader cycle (sinks/uploader.py) when
+     --delivery-stream is given and boto3 is importable.
+
+`--duration N` runs for N seconds then shuts down cleanly (for smoke
+tests / demos); the default runs until SIGINT like the reference daemon.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import os
+import signal
+import sys
+import tempfile
+import threading
+import time
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="kinesyslog-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    ls = sub.add_parser("listen", help="run the UDP/TCP syslog -> record-spool relay")
+    ls.add_argument("--udp-port", type=int, default=0, help="0 = ephemeral")
+    ls.add_argument("--tcp-port", type=int, default=0)
+    ls.add_argument("--host", default="127.0.0.1")
+    ls.add_argument("--spool-dir", default=None, help="record output spool")
+    ls.add_argument("--work-dir", default=None, help="bridge lines + checkpoint")
+    ls.add_argument("--trigger-seconds", type=int, default=10)
+    ls.add_argument("--proxy-protocol", action="store_true")
+    ls.add_argument("--tls-cert", default=None)
+    ls.add_argument("--tls-key", default=None)
+    ls.add_argument("--tls-port", type=int, default=None)
+    ls.add_argument("--delivery-stream", default=None,
+                    help="Firehose stream name (needs boto3)")
+    ls.add_argument("--group-prefix", default="kinesyslog")
+    ls.add_argument("--duration", type=int, default=0,
+                    help="seconds to run; 0 = until SIGINT")
+    ls.add_argument("--cpus", default=None)
+    return p
+
+
+def listen(args) -> int:
+    from kinesyslog_spark.session import get_spark
+    from kinesyslog_spark.sources.bridge import make_ssl_context, run_bridge
+    from kinesyslog_spark.streaming.relay import start_relay
+
+    work = args.work_dir or tempfile.mkdtemp(prefix="kinesyslog-spark-")
+    lines_dir = os.path.join(work, "lines")
+    ckpt_dir = os.path.join(work, "checkpoint")
+    spool_dir = args.spool_dir or os.path.join(work, "spool")
+    os.makedirs(lines_dir, exist_ok=True)
+
+    ssl_ctx = None
+    if args.tls_cert and args.tls_key:
+        ssl_ctx = make_ssl_context(args.tls_cert, args.tls_key)
+
+    loop = asyncio.new_event_loop()
+    ready = asyncio.Event()
+    stop = asyncio.Event()
+
+    def bridge_runner():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(
+            run_bridge(
+                lines_dir,
+                udp_port=args.udp_port,
+                tcp_port=args.tcp_port,
+                host=args.host,
+                ready=ready,
+                stop=stop,
+                proxy_protocol=args.proxy_protocol,
+                tls_port=args.tls_port,
+                ssl_context=ssl_ctx,
+            )
+        )
+
+    bridge = threading.Thread(target=bridge_runner, daemon=True)
+    bridge.start()
+    deadline = time.time() + 15
+    while not ready.is_set() and time.time() < deadline:
+        time.sleep(0.05)
+    if not ready.is_set():
+        print("bridge failed to start", file=sys.stderr)
+        return 1
+    bound = run_bridge.bound
+    print(f"listening: udp={bound[0]} tcp={bound[1]}"
+          + (f" tls={bound[2]}" if len(bound) > 2 else ""), flush=True)
+    print(f"spool: {spool_dir}", flush=True)
+
+    spark = get_spark("kinesyslog-spark-listen", cpus=args.cpus)
+    query = start_relay(
+        spark, lines_dir, spool_dir, ckpt_dir,
+        trigger_seconds=args.trigger_seconds,
+        group_prefix=args.group_prefix,
+    )
+
+    uploader = None
+    if args.delivery_stream:
+        try:
+            import boto3  # noqa: F401 — optional, not in the test container
+
+            from kinesyslog_spark.sinks.uploader import SpoolUploader
+
+            uploader = SpoolUploader(
+                spool_dir, args.delivery_stream, boto3.client("firehose")
+            )
+            uploader.validate_stream()
+        except ImportError:
+            print("boto3 not installed; records stay in the spool", file=sys.stderr)
+
+    halted = threading.Event()
+    signal.signal(signal.SIGINT, lambda *_: halted.set())
+    signal.signal(signal.SIGTERM, lambda *_: halted.set())
+    end = time.time() + args.duration if args.duration else None
+    try:
+        while not halted.is_set() and (end is None or time.time() < end):
+            time.sleep(1)
+            if uploader is not None:
+                uploader.run_cycle()
+    finally:
+        # Orderly shutdown: stop listeners, drain the final micro-batch
+        # (the reference's SIGTERM flush, init.py:251-266).
+        loop.call_soon_threadsafe(stop.set)
+        bridge.join(timeout=10)
+        query.processAllAvailable()
+        query.stop()
+        spark.stop()
+    n = len([f for f in os.listdir(spool_dir)]) if os.path.isdir(spool_dir) else 0
+    print(f"shutdown: {n} records spooled", flush=True)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    if args.command == "listen":
+        return listen(args)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
