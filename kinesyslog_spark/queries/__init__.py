@@ -43,3 +43,5 @@ from kinesyslog_spark.queries import textan  # noqa: E402,F401
 from kinesyslog_spark.queries import multimodal  # noqa: E402,F401
 from kinesyslog_spark.queries import framing  # noqa: E402,F401
 from kinesyslog_spark.queries import gelf  # noqa: E402,F401
+from kinesyslog_spark.queries import cluster  # noqa: E402,F401
+from kinesyslog_spark.queries import scrub  # noqa: E402,F401

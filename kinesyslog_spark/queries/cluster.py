@@ -1,0 +1,108 @@
+r"""Q40 — near-duplicate clustering: connected components over the
+MinHash-LSH pair graph (the step after pair detection in a dedup
+pipeline: each cluster keeps one canonical document).
+
+Spark side: iterative min-label propagation (a Pregel-lite loop of
+join + groupBy-min per round, driver checks convergence). Each round is
+one shuffle over the *edge set* — the corpus-scale pattern where the
+component graph is many orders of magnitude smaller than the corpus.
+DuckDB twin: recursive CTE transitive closure with the same min-label
+semantics.
+
+Output: (doc_id, cluster_id=min doc_id in component, cluster_size) for
+every document that appears in at least one near-dup pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.queries.dedup import _minhash_oracle, q26_minhash_lsh
+
+MAX_ROUNDS = 20
+
+
+def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """Min-label propagation over an undirected edge list (src, dst).
+
+    Returns (node, component) with component = min node id reachable.
+    Converges in O(graph diameter) rounds; each round is a broadcast-size
+    join when the edge set is small (the dedup case), a shuffle join in
+    general. The driver-side loop stops at the first round with no label
+    change — at 100 TB the same loop runs with persisted label tables
+    and checkpointing every few rounds to cut lineage.
+    """
+    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .persist()
+    )
+    both = both.persist()
+    both.count()
+    for _ in range(max_rounds):
+        # candidate label for each node: min of own and neighbors' labels
+        neighbor = (
+            both.join(labels, both["dst"] == labels["node"])
+            .select(both["src"].alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component").union(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _q40_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, r.label
+      FROM reach r JOIN edges e ON e.dst = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM comp
+    ORDER BY doc_id
+    """
+
+
+@query("q40_dedup_clusters", oracle=_q40_oracle())
+def q40_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q26_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges)
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(W.partitionBy("cluster_id")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )

@@ -55,6 +55,7 @@ def get_spark(app_name: str = "kinesyslog_spark", cpus: str | int | None = None,
         # to a Spark type; read as epoch-nanos long and convert in tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
