@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import gzip as _gzip
 import zlib as _zlib
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame

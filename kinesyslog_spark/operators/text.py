@@ -75,7 +75,7 @@ def md5_int60(col: Column, prefix: str = "") -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
-def minhash_df(df: "DataFrame", id_cols: list[str], sh_col: str, k: int = 12) -> "DataFrame":
+def minhash_df(df: DataFrame, id_cols: list[str], sh_col: str, k: int = 12) -> DataFrame:
     """MinHash signatures as a DataFrame op: explode shingles, then K
     MIN(md5_int60(i:shingle)) aggregates.
 
@@ -129,7 +129,7 @@ def simhash_fingerprint(toks: Column, bits: int = SIMHASH_BITS) -> Column:
     )
 
 
-def simhash_df(df: "DataFrame", id_cols: list[str], toks_col: str) -> "DataFrame":
+def simhash_df(df: DataFrame, id_cols: list[str], toks_col: str) -> DataFrame:
     """SimHash as a DataFrame op: explode tokens, one sha256 per token,
     64 SUM(+-1) aggregates (codegen + map-side partial aggregation), then
     assemble the '0'/'1' fingerprint string. ~10x the interpreted
