@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import load_table, spread
+from kinesyslog_spark.tables import hot_table, load_table
 
 EMB_DIM = 64
 BUCKET_BITS = 4
@@ -35,7 +35,7 @@ NEARDUP_COS = 0.4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread(load_table(spark, sf_dir, "embeddings")).select(
+    return hot_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),

@@ -45,7 +45,7 @@ from kinesyslog_spark.operators.text import (
     word_shingles,
 )
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import load_table, persist_now, spread
+from kinesyslog_spark.tables import hot_table, load_table, persist_now
 
 MINHASH_K = 12
 LSH_BANDS = 4
@@ -140,7 +140,7 @@ def _minhash_oracle() -> str:
 
 @query("q26_minhash_lsh", oracle=_minhash_oracle())
 def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = hot_table(spark, sf_dir, "documents")
     # Persist the shingle arrays: they feed the signature pipeline AND both
     # sides of the verification join — without this the (interpreted,
     # HOF-heavy) shingling runs three times.
@@ -204,7 +204,7 @@ def _simhash_oracle() -> str:
 
 @query("q27_simhash_pairs", oracle=_simhash_oracle())
 def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = hot_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 1
     )
@@ -297,7 +297,7 @@ def _ngram_oracle() -> str:
 
 @query("q28_ngram_jaccard", oracle=_ngram_oracle())
 def q28_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents")).filter(F.length("text") >= NGRAM_N)
+    docs = hot_table(spark, sf_dir, "documents").filter(F.length("text") >= NGRAM_N)
     # Persisted: feeds the blocking pipeline and both verify-join sides.
     base = persist_now(
         docs.select(

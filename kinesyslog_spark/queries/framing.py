@@ -25,7 +25,7 @@ from kinesyslog_spark.operators.framing import (
     gelf_format,
 )
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import load_table, spread
+from kinesyslog_spark.tables import hot_table, load_table
 
 N_CONNS = 50
 CHUNK_BYTES = 64
@@ -51,7 +51,7 @@ ORDER BY conn_id, msg_seq
 
 @query("q36_octet_framing", oracle=_Q36_ORACLE)
 def q36_octet_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = hot_table(spark, sf_dir, "documents")
     streams = (
         docs.select(
             (F.col("doc_id") % N_CONNS).alias("conn_id"),
@@ -116,7 +116,7 @@ ORDER BY doc_id
 def q37_gelf_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
     import gzip as _gzip
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = hot_table(spark, sf_dir, "documents")
 
     # '{' prefix makes the raw variant dispatch as GELF-JSON (F4) and is
     # part of the hashed payload on both sides.

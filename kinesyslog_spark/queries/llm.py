@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import load_table
+from kinesyslog_spark.tables import hot_table, load_table
 
 EMB_DIM = 64
 N_PROBES = 10
@@ -41,7 +41,7 @@ TOP_K = 5
     """,
 )
 def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = hot_table(spark, sf_dir, "documents")
     w = W.partitionBy("text").orderBy("doc_id")
     return (
         docs.withColumn("rn", F.row_number().over(w))
@@ -79,7 +79,7 @@ def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = hot_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
@@ -152,7 +152,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
     """,
 )
 def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = hot_table(spark, sf_dir, "documents")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     feats = docs.select(
         "doc_id",
@@ -201,7 +201,7 @@ def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q33_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = hot_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+"), 0)
     return docs.select(
         "doc_id",

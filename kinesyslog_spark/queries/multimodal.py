@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from kinesyslog_spark.operators.multimodal import META_SCHEMA, extract_meta_batches
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import load_table, spread
+from kinesyslog_spark.tables import hot_table, load_table
 
 _Q34_ORACLE = """
 WITH b AS (
@@ -32,7 +32,7 @@ FROM b ORDER BY doc_id
 
 @query("q34_multimodal_meta", oracle=_Q34_ORACLE)
 def q34_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = hot_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(extract_meta_batches, schema=META_SCHEMA).orderBy(
         "doc_id"

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from kinesyslog_spark.functions.syslog import parse_syslog, parse_syslog_sql
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import load_table
+from kinesyslog_spark.tables import hot_table, load_table
 
 CHUNK = 40
 
@@ -51,7 +51,7 @@ CHUNK = 40
     """,
 )
 def q19_chunk_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = hot_table(spark, sf_dir, "documents")
     sliced = (
         docs.select(
             "doc_id",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import load_table
+from kinesyslog_spark.tables import hot_table, load_table
 
 EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -52,7 +52,7 @@ ORDER BY doc_id
 
 @query("q41_pii_scrub", oracle=_Q41_ORACLE)
 def q41_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = hot_table(spark, sf_dir, "documents")
     planted = docs.select(
         "doc_id",
         F.concat(

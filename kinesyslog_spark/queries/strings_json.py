@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import load_table
+from kinesyslog_spark.tables import hot_table, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -101,7 +101,7 @@ def q17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = hot_table(spark, sf_dir, "documents")
     return (
         docs.select(
             F.explode(

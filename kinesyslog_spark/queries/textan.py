@@ -22,7 +22,7 @@ from pyspark.sql.window import Window as W
 
 from kinesyslog_spark.operators.text import char_grams, winnow_fingerprints
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import load_table, persist_now, spread
+from kinesyslog_spark.tables import hot_table, load_table, persist_now
 
 PROFILE_TOP_N = 20
 TRIGRAM_N = 3
@@ -69,7 +69,7 @@ def _q30_oracle() -> str:
 
 @query("q30_language_id", oracle=_q30_oracle())
 def q30_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents")).filter(F.length("text") >= TRIGRAM_N)
+    docs = hot_table(spark, sf_dir, "documents").filter(F.length("text") >= TRIGRAM_N)
     d = docs.select(
         "doc_id", "lang", char_grams(F.lower(F.col("text")), TRIGRAM_N).alias("tg")
     )
@@ -142,7 +142,7 @@ def _q32_oracle() -> str:
 @query("q32_fingerprint_winnow", oracle=_q32_oracle())
 def q32_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_len = WINNOW_K + WINNOW_W - 1
-    docs = spread(load_table(spark, sf_dir, "documents")).filter(F.length("text") >= min_len)
+    docs = hot_table(spark, sf_dir, "documents").filter(F.length("text") >= min_len)
     sel = docs.select(
         "doc_id",
         (F.length("text") - (WINNOW_K - 1)).cast("long").alias("n_grams"),

@@ -52,6 +52,26 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+_HOT_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def hot_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A spread + persisted table, memoized per (session, sf_dir, table).
+
+    The text/vector operator family all start from the same small corpus
+    table; without memoization every query re-reads the (single-row-group,
+    hence single-task) parquet and re-shuffles it. One session-lifetime
+    cache makes the scan cost once-per-session — the local analog of a
+    hot table in cluster cache. Safe because testdata is immutable."""
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    df = _HOT_CACHE.get(key)
+    if df is None:
+        df = spread(load_table(spark, sf_dir, name)).persist()
+        df.count()
+        _HOT_CACHE[key] = df
+    return df
+
+
 def persist_now(df: DataFrame) -> DataFrame:
     """Persist AND materialize (cheap count action) an intermediate that
     multiple plan subtrees will read.
