@@ -48,6 +48,14 @@ def _parser() -> argparse.ArgumentParser:
     ls.add_argument("--duration", type=int, default=0,
                     help="seconds to run; 0 = until SIGINT")
     ls.add_argument("--cpus", default=None)
+
+    inst = sub.add_parser(
+        "install",
+        help="write a systemd unit for the listen daemon (reference E2, init.py:283-367)",
+    )
+    inst.add_argument("--unit-dir", default="/etc/systemd/system")
+    inst.add_argument("--listen-args", default="",
+                    help="extra arguments appended to the listen command")
     return p
 
 
@@ -142,10 +150,43 @@ def listen(args) -> int:
     return 0
 
 
+_UNIT_TEMPLATE = """\
+[Unit]
+Description=kinesyslog-spark syslog/GELF relay
+After=network.target
+
+[Service]
+Type=simple
+ExecStart={python} -m kinesyslog_spark.cli listen {listen_args}
+Restart=on-failure
+# Environment overrides (mirror the reference's envvar surface):
+# Environment=SPARK_GRAFT_CPUS=32
+# Environment=SPARK_GRAFT_DRIVER_MEM=8g
+
+[Install]
+WantedBy=multi-user.target
+"""
+
+
+def install(args) -> int:
+    """E2: write the systemd unit (template parity with init.py:283-367's
+    generated unit + envvar override file)."""
+    os.makedirs(args.unit_dir, exist_ok=True)
+    path = os.path.join(args.unit_dir, "kinesyslog-spark.service")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(_UNIT_TEMPLATE.format(python=sys.executable,
+                                      listen_args=args.listen_args))
+    print(f"wrote {path}", flush=True)
+    print("enable with: systemctl daemon-reload && systemctl enable --now kinesyslog-spark")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
     if args.command == "listen":
         return listen(args)
+    if args.command == "install":
+        return install(args)
     return 2
 
 

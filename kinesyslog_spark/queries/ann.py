@@ -104,6 +104,9 @@ def q29_lsh_bucket_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sign_bucket(F.col("emb"), BUCKET_BITS).alias("bucket"),
         _norm(F.col("emb")).alias("nrm"),
     )
+    from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET, cap_hot_buckets
+
+    e = cap_hot_buckets(e, ["bucket"], LSH_MAX_BUCKET)
     x = e.select("bucket", F.col("vec_id").alias("vec_id"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
     y = e.select("bucket", F.col("vec_id").alias("nn_id"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
     pairs = (
@@ -288,6 +291,9 @@ def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.explode(F.array(*[probe_bucket(f) for f in range(0, BUCKET_BITS + 1)])).alias("bucket"),
     )
+    from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET, cap_hot_buckets
+
+    probes = cap_hot_buckets(probes, ["bucket"], LSH_MAX_BUCKET)
     n = probes.sparkSession.sparkContext.defaultParallelism
     x = probes.select("bucket", F.col("vec_id").alias("vec_a")).repartition(n, "bucket")
     y = probes.select("bucket", F.col("vec_id").alias("vec_b")).repartition(n, "bucket")

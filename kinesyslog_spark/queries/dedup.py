@@ -28,6 +28,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,13 +58,46 @@ SIMHASH_BLOCKS = 8  # 8 blocks x 8 bits: hamming<=7 guarantees a shared block
 HAMMING_THR = 4
 NGRAM_N = 5
 LEN_BAND = 25
+# Hot-bucket cap for all LSH self-joins (q26-q29, q38). A bucket of B
+# members emits B^2 candidate pairs, so a single boilerplate bucket can
+# dominate the job at corpus scale. The default is far above anything a
+# test-SF corpus produces (oracle parity is unaffected) but bounds the
+# worst bucket to ~10^8 pairs at 100 TB; tune per-corpus via env.
+LSH_MAX_BUCKET: int | None = (
+    int(os.environ.get("SPARK_GRAFT_LSH_MAX_BUCKET", "10000")) or None
+)
 
 
 def _par(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
 
-def _pair_candidates(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
+def cap_hot_buckets(keyed: DataFrame, key_cols: list[str],
+                    max_bucket: int | None) -> DataFrame:
+    """Drop buckets with more than `max_bucket` members before a bucket
+    self-join.
+
+    The standard skew guard for LSH candidate generation: a bucket of B
+    members costs B^2 pairs, so one boilerplate bucket (empty documents,
+    a template header) can dominate the whole job. Members of a dropped
+    bucket can still pair through their *other* bands/blocks — recall
+    degrades only for docs whose every band is hot, which at the default
+    cap means near-identical boilerplate that exact dedup (q20) already
+    collapses. The aggregation is a cheap count per bucket key +
+    broadcast-sized anti-join."""
+    if not max_bucket:
+        return keyed
+    hot = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select(*key_cols)
+    )
+    return keyed.join(F.broadcast(hot), on=key_cols, how="left_anti")
+
+
+def _pair_candidates(keyed: DataFrame, key_cols: list[str],
+                     max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing every key column.
 
     The self-join inputs are explicitly hash-repartitioned on the bucket
@@ -70,6 +105,7 @@ def _pair_candidates(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
     partition) but the join *output* fans out quadratically per bucket —
     a bytes-small, compute-heavy stage that must stay wide. Explicit
     numPartitions is honored by AQE."""
+    keyed = cap_hot_buckets(keyed, key_cols, max_bucket)
     n = _par(keyed)
     x = keyed.select(*key_cols, F.col("doc_id").alias("doc_a")).repartition(n, *key_cols)
     y = keyed.select(*key_cols, F.col("doc_id").alias("doc_b")).repartition(n, *key_cols)
@@ -231,6 +267,7 @@ def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bk"),
     ).select("doc_id", "hi", "lo", "bk.block_idx", "bk.block_val")
+    blocks = cap_hot_buckets(blocks, ["block_idx", "block_val"], LSH_MAX_BUCKET)
     n_par = _par(fps)
     x = blocks.select("block_idx", "block_val", F.col("doc_id").alias("doc_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a")).repartition(n_par, "block_idx", "block_val")
     y = blocks.select("block_idx", "block_val", F.col("doc_id").alias("doc_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b")).repartition(n_par, "block_idx", "block_val")
@@ -326,6 +363,7 @@ def q28_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
         )
     )
+    blocked = cap_hot_buckets(blocked, ["t", "mh", "bucket"], LSH_MAX_BUCKET)
     n_par = _par(keyed)
     x = blocked.select("t", "mh", "bucket", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")).repartition(n_par, "t", "mh", "bucket")
     y = blocked.select("t", "mh", "bucket", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")).repartition(n_par, "t", "mh", "bucket")

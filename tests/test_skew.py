@@ -1,0 +1,54 @@
+"""Skew guard: hot-bucket capping keeps LSH candidate generation bounded
+on a boilerplate-heavy corpus without losing legitimate near-dup pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesyslog_spark.queries.dedup import _pair_candidates, cap_hot_buckets
+
+
+def _keyed(spark):
+    # bucket "hot": 200 boilerplate docs; buckets b1/b2: genuine pairs
+    rows = (
+        [(i, "hot") for i in range(200)]
+        + [(1000, "b1"), (1001, "b1")]
+        + [(2000, "b2"), (2001, "b2"), (2002, "b2")]
+    )
+    return spark.createDataFrame(rows, "doc_id long, bucket string")
+
+
+def test_cap_drops_only_hot_bucket(spark):
+    keyed = _keyed(spark)
+    capped = cap_hot_buckets(keyed, ["bucket"], max_bucket=50)
+    left = {r["bucket"] for r in capped.select("bucket").distinct().collect()}
+    assert left == {"b1", "b2"}
+
+
+def test_candidates_bounded_with_cap(spark):
+    keyed = _keyed(spark)
+    uncapped = _pair_candidates(keyed, ["bucket"]).count()
+    capped = _pair_candidates(keyed, ["bucket"], max_bucket=50)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # 200 boilerplate docs -> 19900 pairs uncapped; capped keeps only the
+    # 1 + 3 genuine pairs
+    assert uncapped == 19900 + 1 + 3
+    assert got == {(1000, 1001), (2000, 2001), (2000, 2002), (2001, 2002)}
+
+
+def test_no_cap_is_identity(spark):
+    keyed = _keyed(spark)
+    assert cap_hot_buckets(keyed, ["bucket"], None) is keyed
+    assert (
+        cap_hot_buckets(keyed, ["bucket"], max_bucket=10_000).count()
+        == keyed.count()
+    )
+
+
+def test_capped_minhash_still_finds_planted_dups(spark):
+    """q26 with a tight cap still returns every planted near-dup pair at
+    sf0.001 (no hot buckets exist there, so output is unchanged)."""
+    from kinesyslog_spark.queries.dedup import q26_minhash_lsh
+
+    base = {tuple(r) for r in q26_minhash_lsh(spark, "/root/testdata/sf0.001").collect()}
+    assert len(base) >= 1  # planted dups exist at this sf
