@@ -56,6 +56,20 @@ def _parser() -> argparse.ArgumentParser:
     inst.add_argument("--unit-dir", default="/etc/systemd/system")
     inst.add_argument("--listen-args", default="",
                     help="extra arguments appended to the listen command")
+
+    bk = sub.add_parser(
+        "bucketize",
+        help="write bucketed copies of the hot tables (shuffle-free joins)",
+    )
+    bk.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    bk.add_argument("--base-path", required=True,
+                    help="output root (local dir or object-store URI)")
+    bk.add_argument("--buckets", type=int, default=32,
+                    help="size so one bucket of the largest table is a few hundred MB")
+    bk.add_argument("--tables", default="",
+                    help="comma-separated subset; default = all hot tables")
+    bk.add_argument("--cpus", default=None)
     return p
 
 
@@ -181,12 +195,31 @@ def install(args) -> int:
     return 0
 
 
+def bucketize_cmd(args) -> int:
+    from kinesyslog_spark.session import get_spark
+    from kinesyslog_spark.sinks.bucketed import DEFAULT_SPECS, bucketize
+
+    spark = get_spark("bucketize", cpus=args.cpus)
+    specs = DEFAULT_SPECS
+    if args.tables:
+        names = [t.strip() for t in args.tables.split(",") if t.strip()]
+        specs = {n: DEFAULT_SPECS[n] for n in names}
+    out = bucketize(spark, args.sf_dir, args.buckets, tables=specs,
+                    base_path=args.base_path)
+    for name, df in out.items():
+        print(f"b_{name}: {df.count()} rows, {args.buckets} buckets "
+              f"on {specs[name]}", flush=True)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
     if args.command == "listen":
         return listen(args)
     if args.command == "install":
         return install(args)
+    if args.command == "bucketize":
+        return bucketize_cmd(args)
     return 2
 
 
