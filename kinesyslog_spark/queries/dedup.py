@@ -43,11 +43,10 @@ from kinesyslog_spark.operators.text import (
     lsh_band_keys,
     minhash_df,
     simhash_df,
-    tokens,
     word_shingles,
 )
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import hot_table, load_table, persist_now
+from kinesyslog_spark.tables import hot_table, hot_tokens, persist_now
 
 MINHASH_K = 12
 LSH_BANDS = 4
@@ -176,16 +175,17 @@ def _minhash_oracle() -> str:
 
 @query("q26_minhash_lsh", oracle=_minhash_oracle())
 def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = hot_table(spark, sf_dir, "documents")
-    # Persist the shingle arrays: they feed the signature pipeline AND both
-    # sides of the verification join — without this the (interpreted,
-    # HOF-heavy) shingling runs three times.
+    # Shingle arrays feed the signature pipeline AND both sides of the
+    # verification join — persisted so the (interpreted, HOF-heavy)
+    # shingling runs once. The persist is lazy: materializing the
+    # signatures below scans every sh partition exactly once, populating
+    # the cache as a side effect, so no separate warm-up action is needed.
     sh = (
-        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        hot_tokens(spark, sf_dir)
         .filter(F.size("toks") >= 3)
         .select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
+        .persist()
     )
-    sh = persist_now(sh)
     # Signatures via explode + MIN aggregation (codegen; map-side combine)
     # rather than per-row interpreted array folds; materialized because the
     # band self-join reads the signature pipeline from both sides.
@@ -240,10 +240,7 @@ def _simhash_oracle() -> str:
 
 @query("q27_simhash_pairs", oracle=_simhash_oracle())
 def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = hot_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
-        F.size("toks") >= 1
-    )
+    toks = hot_tokens(spark, sf_dir).filter(F.size("toks") >= 1)
     # Fingerprints via explode + 64 SUM aggregates (whole-stage codegen,
     # map-side combine); persisted because both sides of the block
     # self-join read them. Each fingerprint is also carried as two 32-bit

@@ -72,6 +72,31 @@ def hot_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def hot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized `(doc_id, toks)` over `documents` — the canonical
+    tokenizer output (operators.text.tokens) persisted once per session.
+
+    The whole text-operator family (MinHash shingling, SimHash, language
+    ID, token stats) starts by tokenizing the same corpus; the regexp
+    extraction is the most expensive per-row step they share. At cluster
+    scale this is the "tokenize once, reuse everywhere" stage every
+    training-data pipeline runs; locally it removes a repeated
+    interpreted-regex pass per query. Unfiltered (empty token arrays
+    kept) so every consumer can apply its own size() predicate."""
+    key = (id(spark), sf_dir.rstrip("/"), "__tokens__")
+    df = _HOT_CACHE.get(key)
+    if df is None:
+        from pyspark.sql import functions as F
+
+        from kinesyslog_spark.operators.text import tokens
+
+        docs = hot_table(spark, sf_dir, "documents")
+        df = docs.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
+        df.count()
+        _HOT_CACHE[key] = df
+    return df
+
+
 def persist_now(df: DataFrame) -> DataFrame:
     """Persist AND materialize (cheap count action) an intermediate that
     multiple plan subtrees will read.
