@@ -56,3 +56,17 @@ def test_q24_parse_all_jvm_side(spark, sf_dir):
 def test_q21_probe_side_broadcast(spark, sf_dir):
     f = facts(QUERIES["q21_cosine_topk"](spark, sf_dir))
     assert f.broadcast_any_count >= 1, "probe set must broadcast into the scan"
+
+
+def test_q42_eval_grams_broadcast(spark, sf_dir):
+    # The eval n-gram set must broadcast; a shuffle of the corpus-side
+    # gram stream is exactly what decontamination at 100 TB cannot afford.
+    f = facts(QUERIES["q42_decontaminate"](spark, sf_dir))
+    assert f.broadcast_join_count >= 1, "eval gram set must broadcast"
+    assert f.python_eval_count == 0, "decontamination must stay JVM-side"
+
+
+def test_q43_repetition_jvm_side(spark, sf_dir):
+    f = facts(QUERIES["q43_repetition_filter"](spark, sf_dir))
+    assert f.python_eval_count == 0, "repetition metrics must stay JVM-side"
+    assert "CartesianProduct" not in f.text
