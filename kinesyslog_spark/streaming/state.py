@@ -116,3 +116,55 @@ def reassemble_chunks_stream(chunks, timeout_ms: int = DEFAULT_TIMEOUT_MS):
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def reassemble_chunks_session_window(
+    chunks,
+    gap: str = "5 seconds",
+    time_col: str = "recv_ts",
+    watermark: str = "30 seconds",
+):
+    """F6 via `session_window` — the built-in-state twin of
+    `reassemble_chunks_stream`, identical output schema.
+
+    Trade-off: state lives in the windowed-aggregation store (no custom
+    state schema; RocksDB-backed at scale; watermark expiry bounds it for
+    free), but a completed message emits only once its session closes
+    (latency = gap + watermark lag), whereas the `applyInPandasWithState`
+    variant emits the instant the last chunk lands. Works identically on
+    batch DataFrames (session_window is a plain grouping expression
+    there), which is how the parity test drives it.
+
+    Semantics per gelf.py:11-50: dedup by chunk_seq keeping the earliest
+    arrival (array_sort over (seq, recv_ts) + adjacent-seq filter =
+    first-wins, gelf.py:41-44); emit only when all `chunk_cnt` chunks
+    arrived; groups declaring > 128 chunks are dropped (gelf.py:20);
+    incomplete sessions simply never emit — the 5-s window the reference
+    left unenforced (protocol.py:288)."""
+    from pyspark.sql import functions as F
+
+    if chunks.isStreaming:
+        chunks = chunks.withWatermark(time_col, watermark)
+    agg = chunks.groupBy(
+        F.session_window(F.col(time_col), gap).alias("w"), "msg_id"
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("chunk_seq", F.col(time_col).alias("t"), "payload"))
+        ).alias("arr"),
+        F.max("chunk_cnt").alias("total"),
+    )
+    ded = F.expr("filter(arr, (x, i) -> i = 0 OR x.chunk_seq <> arr[i-1].chunk_seq)")
+    return (
+        agg.select("msg_id", "total", ded.alias("ded"))
+        .filter(
+            (F.col("total") <= GELF_MAX_CHUNKS) & (F.size("ded") == F.col("total"))
+        )
+        .select(
+            "msg_id",
+            F.col("total").alias("n_chunks"),
+            F.expr(
+                "aggregate(transform(ded, x -> x.payload),"
+                " cast('' as binary), (acc, p) -> concat(acc, p))"
+            ).alias("message"),
+        )
+    )

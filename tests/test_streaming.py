@@ -178,3 +178,64 @@ def test_streaming_relay_end_to_end(spark, tmp_path):
         assert len(by_stream["10.0.0.1"]["e"]["id"]) == 56
     finally:
         q.stop()
+
+
+def test_session_window_reassembly_batch_parity(spark):
+    """The session_window variant assembles exactly like the stateful op:
+    dedup first-wins by seq, complete groups only, >128-chunk groups
+    dropped, incomplete groups never emitted."""
+    from kinesyslog_spark.streaming.state import reassemble_chunks_session_window
+
+    rows = [
+        # msg 1: complete, out of order, with a duplicate seq 0 arriving
+        # later carrying a different payload (first must win).
+        (1, 1, 2, "bb", "2024-01-01T00:00:01"),
+        (1, 0, 2, "aa", "2024-01-01T00:00:02"),
+        (1, 0, 2, "ZZ", "2024-01-01T00:00:03"),
+        # msg 2: incomplete (1 of 2) -> never emitted.
+        (2, 0, 2, "xx", "2024-01-01T00:00:01"),
+        # msg 3: overflow declaration (>128) -> dropped.
+        (3, 0, 200, "pp", "2024-01-01T00:00:01"),
+        # msg 4: single chunk.
+        (4, 0, 1, "solo", "2024-01-01T00:00:05"),
+    ]
+    chunks = (
+        spark.createDataFrame(
+            rows, "msg_id long, chunk_seq int, chunk_cnt int, body string, recv string"
+        )
+        .select(
+            "msg_id", "chunk_seq", "chunk_cnt",
+            F.encode("body", "UTF-8").alias("payload"),
+            F.to_timestamp("recv").alias("recv_ts"),
+        )
+    )
+    out = reassemble_chunks_session_window(chunks, gap="5 seconds")
+    got = {
+        r["msg_id"]: (r["n_chunks"], bytes(r["message"]).decode())
+        for r in out.collect()
+    }
+    assert got == {1: (2, "aabb"), 4: (1, "solo")}
+
+
+def test_session_window_reassembly_gap_splits_sessions(spark):
+    """Chunks of the same msg_id separated by more than the gap belong to
+    different sessions: neither half completes, so nothing is emitted —
+    the enforced form of the reference's 5-s reassembly TODO."""
+    from kinesyslog_spark.streaming.state import reassemble_chunks_session_window
+
+    rows = [
+        (7, 0, 2, "aa", "2024-01-01T00:00:00"),
+        (7, 1, 2, "bb", "2024-01-01T00:00:30"),  # 30 s later: new session
+    ]
+    chunks = (
+        spark.createDataFrame(
+            rows, "msg_id long, chunk_seq int, chunk_cnt int, body string, recv string"
+        )
+        .select(
+            "msg_id", "chunk_seq", "chunk_cnt",
+            F.encode("body", "UTF-8").alias("payload"),
+            F.to_timestamp("recv").alias("recv_ts"),
+        )
+    )
+    out = reassemble_chunks_session_window(chunks, gap="5 seconds")
+    assert out.collect() == []
