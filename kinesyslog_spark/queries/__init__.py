@@ -46,3 +46,4 @@ from kinesyslog_spark.queries import gelf  # noqa: E402,F401
 from kinesyslog_spark.queries import cluster  # noqa: E402,F401
 from kinesyslog_spark.queries import scrub  # noqa: E402,F401
 from kinesyslog_spark.queries import decontam  # noqa: E402,F401
+from kinesyslog_spark.queries import sampling  # noqa: E402,F401

@@ -155,3 +155,86 @@ def q32_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q45 — TF-IDF top terms per document (smooth idf, scikit-style)
+# ---------------------------------------------------------------------------
+# score(t, d) = tf(t, d) * (ln((N + 1) / (df(t) + 1)) + 1). Ranking uses
+# the ROUNDED score so the cross-engine comparison (and the row_number
+# tie-break on term) is insensitive to last-ulp libm differences.
+#
+# Scale notes: one shuffle builds (doc_id, term, tf) with map-side
+# combine; the document-frequency table is vocabulary-sized and
+# broadcasts into the scoring join (at web-corpus vocabularies, swap for
+# a shuffle join on term — same plan otherwise). The per-doc top-k is a
+# ranking window partitioned by doc_id — no global sort.
+
+TFIDF_TOP_K = 3
+
+
+def _q45_oracle() -> str:
+    from kinesyslog_spark.operators.text import TOKEN_RE
+
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM tf
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * (ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE)) + 1), 4) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score FROM (
+      SELECT doc_id, term, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= {TFIDF_TOP_K}
+    ORDER BY doc_id, term
+    """
+
+
+@query("q45_tfidf_top_terms", oracle=_q45_oracle())
+def q45_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.tables import hot_tokens
+
+    tf = (
+        hot_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = persist_now(tf)  # feeds df-counts, N, and the scoring join
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1) / (F.col("df") + 1).cast("double")) + 1),
+                4,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"), "score")
+        .orderBy("doc_id", "term")
+    )

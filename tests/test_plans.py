@@ -70,3 +70,19 @@ def test_q43_repetition_jvm_side(spark, sf_dir):
     f = facts(QUERIES["q43_repetition_filter"](spark, sf_dir))
     assert f.python_eval_count == 0, "repetition metrics must stay JVM-side"
     assert "CartesianProduct" not in f.text
+
+
+def test_q44_sample_map_only(spark, sf_dir):
+    # Deterministic sampling must stay map-side: hash + filter, with the
+    # only exchange being the final presentation ORDER BY.
+    f = facts(QUERIES["q44_stratified_sample"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.exchange_count <= 1, f"sampling must be shuffle-free:\n{f.text[:500]}"
+
+
+def test_q45_tfidf_df_broadcast(spark, sf_dir):
+    # The vocabulary-sized document-frequency table and the 1-row N both
+    # broadcast; the corpus-side tf table is never reshuffled for scoring.
+    f = facts(QUERIES["q45_tfidf_top_terms"](spark, sf_dir))
+    assert f.broadcast_any_count >= 2, "df table and N must broadcast"
+    assert f.python_eval_count == 0
