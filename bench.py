@@ -49,8 +49,11 @@ def main() -> None:
         n for n in HEADLINE if n in QUERIES
     ]
 
-    # Warm up JVM/codegen paths once with a trivial action.
+    # Warm up JVM/codegen and the parquet reader stack once (class loading
+    # + footer-reading code paths, NOT the benchmark tables' data) so q01
+    # doesn't pay one-time session costs.
     spark.range(1000).count()
+    spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
 
     times: dict[str, float] = {}
     for name in names:
