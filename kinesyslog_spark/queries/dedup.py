@@ -95,8 +95,11 @@ def cap_hot_buckets(keyed: DataFrame, key_cols: list[str],
     return keyed.join(F.broadcast(hot), on=key_cols, how="left_anti")
 
 
+_USE_GLOBAL_CAP = object()  # sentinel: resolve LSH_MAX_BUCKET at call time
+
+
 def _pair_candidates(keyed: DataFrame, key_cols: list[str],
-                     max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
+                     max_bucket=_USE_GLOBAL_CAP) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing every key column.
 
     The self-join inputs are explicitly hash-repartitioned on the bucket
@@ -104,6 +107,8 @@ def _pair_candidates(keyed: DataFrame, key_cols: list[str],
     partition) but the join *output* fans out quadratically per bucket —
     a bytes-small, compute-heavy stage that must stay wide. Explicit
     numPartitions is honored by AQE."""
+    if max_bucket is _USE_GLOBAL_CAP:
+        max_bucket = LSH_MAX_BUCKET
     keyed = cap_hot_buckets(keyed, key_cols, max_bucket)
     n = _par(keyed)
     x = keyed.select(*key_cols, F.col("doc_id").alias("doc_a")).repartition(n, *key_cols)

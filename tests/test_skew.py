@@ -52,3 +52,34 @@ def test_capped_minhash_still_finds_planted_dups(spark):
 
     base = {tuple(r) for r in q26_minhash_lsh(spark, "/root/testdata/sf0.001").collect()}
     assert len(base) >= 1  # planted dups exist at this sf
+
+
+def test_q26_end_to_end_hot_corpus_capped(spark, tmp_path, monkeypatch):
+    """A boilerplate-dominated corpus (300 identical docs = every band a
+    hot bucket) with a tight cap: the quadratic bucket is dropped whole,
+    the planted non-boilerplate duplicate pair still comes through, and
+    candidate generation never materializes the 300^2 pair set."""
+    import kinesyslog_spark.queries.dedup as dd
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    planted = "one two three four five six seven eight nine ten eleven"
+    rows = [(i, hot, "en", "src0", len(hot)) for i in range(300)]
+    rows += [(1000, planted, "en", "src1", len(planted)),
+             (1001, planted, "en", "src1", len(planted))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    monkeypatch.setattr(dd, "LSH_MAX_BUCKET", 50)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.q26_minhash_lsh(spark, str(tmp_path)).collect()
+    }
+    assert pairs == {(1000, 1001)}
+
+    # Uncapped twin on the same fixture: the hot bucket explodes into
+    # 300*299/2 pairs — the work the cap exists to avoid.
+    monkeypatch.setattr(dd, "LSH_MAX_BUCKET", None)
+    n = dd.q26_minhash_lsh(spark, str(tmp_path)).count()
+    assert n == 300 * 299 // 2 + 1
