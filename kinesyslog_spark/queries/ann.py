@@ -315,3 +315,154 @@ def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= NEARDUP_COS)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q46 — int8 symmetric quantization + recall@k against exact cosine
+# ---------------------------------------------------------------------------
+# The vector-store compression step of an embedding pipeline: per-vector
+# symmetric int8 quantization (scale = 127 / max|x|), with search quality
+# measured as recall@k of the quantized ranking against the exact one.
+# The per-vector scales cancel in the quantized cosine —
+# qdot / (|q_a| * |q_b|) — so ranking is integer arithmetic plus one
+# final division: bit-identical across engines, no libm in the loop.
+#
+# Scale notes: quantization is map-only (4x memory cut on the corpus);
+# the recall evaluation reuses the q21 broadcast-probe shape twice. At
+# 100 TB the evaluation runs on a sampled probe set exactly like this,
+# while search itself goes through the IVF/LSH paths (q29/q35) over the
+# quantized vectors.
+
+QUANT_BITS_MAX = 127
+
+
+@query(
+    "q46_quantize_recall",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+      SELECT vec_id,
+             list_transform(emb, x -> CAST(round(x * ({QUANT_BITS_MAX} /
+                 list_max(list_transform(emb, y -> abs(y))))) AS INT)) AS q
+      FROM e0
+    ), qn AS (
+      SELECT vec_id, q,
+             sqrt(list_sum(list_transform(q, x -> CAST(x * x AS BIGINT)))) AS qn
+      FROM q
+    ), qp AS (
+      SELECT vec_id AS pid, q, qn FROM qn WHERE vec_id < {N_PROBES}
+    ), qpairs AS (
+      SELECT p.pid, e.vec_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                 i -> CAST(p.q[i] * e.q[i] AS BIGINT))) / (p.qn * e.qn) AS qcos
+      FROM qp p CROSS JOIN qn e
+      WHERE p.pid <> e.vec_id
+    ), qtop AS (
+      SELECT pid, vec_id FROM (
+        SELECT pid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ROUND(qcos, 4) DESC, vec_id) AS rn
+        FROM qpairs
+      ) WHERE rn <= {TOP_K}
+    ), p AS (
+      SELECT vec_id AS pid, emb AS pemb FROM e0 WHERE vec_id < {N_PROBES}
+    ), epairs AS (
+      SELECT p.pid, e.vec_id,
+        list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> p.pemb[i] * e.emb[i]))
+          / (sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> p.pemb[i] * p.pemb[i])))
+             * sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> e.emb[i] * e.emb[i])))) AS cos
+      FROM p CROSS JOIN e0 e
+      WHERE p.pid <> e.vec_id
+    ), etop AS (
+      SELECT pid, vec_id FROM (
+        SELECT pid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ROUND(cos, 4) DESC, vec_id) AS rn
+        FROM epairs
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT e.pid, CAST(COUNT(q.vec_id) AS BIGINT) AS n_hit,
+           ROUND(COUNT(q.vec_id) / CAST({TOP_K} AS DOUBLE), 4) AS recall
+    FROM etop e LEFT JOIN qtop q ON e.pid = q.pid AND e.vec_id = q.vec_id
+    GROUP BY e.pid
+    ORDER BY e.pid
+    """,
+)
+def q46_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.tables import persist_now
+
+    emb = _emb(spark, sf_dir)
+    # Map-only int8 quantization; persisted because probes + corpus side +
+    # both rankings read it.
+    scale = F.lit(float(QUANT_BITS_MAX)) / F.array_max(
+        F.transform("emb", lambda x: F.abs(x))
+    )
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform("q", lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+    )
+    q = persist_now(
+        emb.select(
+            "vec_id",
+            "emb",
+            F.transform("emb", lambda x: F.round(x * scale, 0).cast("int")).alias("q"),
+        ).select("vec_id", "emb", "q", qn.alias("qn"))
+    )
+
+    def topk(df: DataFrame, score, alias: str) -> DataFrame:
+        w = W.partitionBy("pid").orderBy(F.desc(alias), F.asc("vec_id"))
+        return (
+            df.select("pid", "vec_id", F.round(score, 4).alias(alias))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("pid", "vec_id")
+        )
+
+    # Quantized ranking: integer dot / (int-norm product).
+    qprobes = q.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("q").alias("pq"), F.col("qn").alias("pqn")
+    )
+    qdot = F.aggregate(
+        F.zip_with("pq", "q", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    qpairs = (
+        q.crossJoin(F.broadcast(qprobes))
+        .filter(F.col("pid") != F.col("vec_id"))
+    )
+    qtop = topk(qpairs, qdot.cast("double") / (F.col("pqn") * F.col("qn")), "qcos")
+
+    # Exact ranking (q21 shape).
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    eprobes = q.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pid"),
+        F.col("emb").alias("pemb"),
+        F.sqrt(sq(F.col("emb"))).alias("pnorm"),
+    )
+    edot = F.aggregate(
+        F.zip_with("pemb", "emb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    epairs = (
+        q.select("vec_id", "emb", F.sqrt(sq(F.col("emb"))).alias("enorm"))
+        .crossJoin(F.broadcast(eprobes))
+        .filter(F.col("pid") != F.col("vec_id"))
+    )
+    etop = topk(epairs, edot / (F.col("pnorm") * F.col("enorm")), "cos")
+
+    hit = qtop.select("pid", "vec_id", F.lit(1).alias("_h"))
+    return (
+        etop.join(hit, ["pid", "vec_id"], "left")
+        .groupBy("pid")
+        .agg(F.count("_h").alias("n_hit"))
+        .select(
+            "pid",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(F.col("n_hit").cast("double") / TOP_K, 4).alias("recall"),
+        )
+        .orderBy("pid")
+    )

@@ -86,3 +86,11 @@ def test_q45_tfidf_df_broadcast(spark, sf_dir):
     f = facts(QUERIES["q45_tfidf_top_terms"](spark, sf_dir))
     assert f.broadcast_any_count >= 2, "df table and N must broadcast"
     assert f.python_eval_count == 0
+
+
+def test_q46_probe_sides_broadcast(spark, sf_dir):
+    # Both ranking passes broadcast their 10-row probe side; the corpus
+    # is scanned, never reshuffled, for either ranking.
+    f = facts(QUERIES["q46_quantize_recall"](spark, sf_dir))
+    assert f.broadcast_any_count >= 2, "probe sets must broadcast"
+    assert f.python_eval_count == 0
