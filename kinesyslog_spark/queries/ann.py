@@ -130,7 +130,7 @@ def q29_lsh_bucket_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q35 — IVF-style top-k: route probe to nearest coarse centroid, scan list
 # ---------------------------------------------------------------------------
 
-def _q35_oracle() -> str:
+def _q35_oracle(nprobe: int = 1) -> str:
     dot_pc = _ORACLE_DOT.format(a="p.emb", b="c.cvec")
     dot_pe = _ORACLE_DOT.format(a="p.emb", b="e.emb")
     return f"""
@@ -153,7 +153,7 @@ def _q35_oracle() -> str:
                    * sqrt(list_sum(list_transform(c.cvec, v -> v*v)))), 4) DESC,
                  c.label) AS rn
         FROM p CROSS JOIN cent c
-      ) WHERE rn = 1
+      ) WHERE rn <= {nprobe}
     ), scanned AS (
       SELECT r.pid, e.vec_id,
              ROUND({dot_pe} / (sqrt(list_sum(list_transform(p.emb, v -> v*v)))
@@ -171,8 +171,7 @@ def _q35_oracle() -> str:
     """
 
 
-@query("q35_ann_ivf_topk", oracle=_q35_oracle())
-def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     e = _emb(spark, sf_dir)
 
     # IVF build: coarse centroids = per-list (label) dimension means.
@@ -206,7 +205,7 @@ def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
             F.row_number().over(W.partitionBy("pid").orderBy(F.desc("csim"), F.asc("target_label"))),
         )
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("pid", "pemb", "target_label")
     )
 
@@ -225,6 +224,20 @@ def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .orderBy("pid", "rn")
     )
+
+
+@query("q35_ann_ivf_topk", oracle=_q35_oracle())
+def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+# nprobe=2: scan the two nearest lists per probe — the standard IVF
+# recall knob. Lists are disjoint (one label per vector), so the union
+# needs no dedup; scan cost scales linearly with nprobe while recall
+# recovers the neighbors that straddle a cell boundary.
+@query("q47_ann_ivf_nprobe2", oracle=_q35_oracle(nprobe=2))
+def q47_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, nprobe=2)
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window as W
 
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.dedup import _minhash_oracle, q26_minhash_lsh
+from kinesyslog_spark.tables import persist_now
 
 MAX_ROUNDS = 20
 
@@ -44,6 +45,11 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     )
     both = both.persist()
     both.count()
+    # Convergence check: labels only ever decrease (min-propagation), so
+    # the label table changed iff sum(component) dropped — one aggregate
+    # action per round, no diff join. The sum also materializes the
+    # round's persisted label table in the same job.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_rounds):
         # candidate label for each node: min of own and neighbors' labels
         neighbor = (
@@ -56,16 +62,12 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
@@ -95,7 +97,10 @@ def _q40_oracle() -> str:
 
 @query("q40_dedup_clusters", oracle=_q40_oracle())
 def q40_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q26_minhash_lsh(spark, sf_dir)
+    # Materialize the pair graph once: `edges` is read in both union
+    # directions, which would otherwise run q26's candidate + verify
+    # joins twice.
+    pairs = persist_now(q26_minhash_lsh(spark, sf_dir))
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     labels = connected_components(edges)
     return (

@@ -202,7 +202,19 @@ def iter_record_parts(blob: bytes) -> Iterator[dict]:
 
 def read_spool(spark, spool_dir: str) -> DataFrame:
     """Spool files -> envelope DataFrame (the engine's own output format
-    round-trips through its reader)."""
+    round-trips through its reader).
+
+    Object-store path (reference S5, utils/kinesis-s3-dump.py:41-49):
+    this same code reads Firehose output from S3 unchanged — pass
+    `s3a://bucket/prefix` as `spool_dir` on a cluster with hadoop-aws on
+    the classpath (credentials via instance profile or
+    `spark.hadoop.fs.s3a.*` confs). binaryFile splits per object, so a
+    multi-TB prefix fans out one task per record blob; the
+    multi-member-gzip decode (`iter_record_parts`) handles Firehose's
+    concatenated-record objects exactly like the reference's
+    `unused_data` loop. Untestable in this container (no S3 endpoint) —
+    exercised against local files, which go through the identical
+    Hadoop FileSystem API."""
     raw = spark.read.format("binaryFile").load(
         os.path.join(spool_dir, f"{SPOOL_PREFIX}*")
     )
