@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from kinesyslog_spark.operators.multimodal import META_SCHEMA, extract_meta_batches
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import hot_table, load_table
+from kinesyslog_spark.tables import load_table
 
 _Q34_ORACLE = """
 WITH b AS (
@@ -32,7 +32,11 @@ FROM b ORDER BY doc_id
 
 @query("q34_multimodal_meta", oracle=_Q34_ORACLE)
 def q34_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = hot_table(spark, sf_dir, "documents")
+    # Natural parquet splits, not the 32-way spread hot_table: the decode
+    # is map-only, so partitioning should follow the input (thousands of
+    # splits at corpus scale; locally this avoids spawning a Python
+    # worker per forced partition for a trivial batch each).
+    docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(extract_meta_batches, schema=META_SCHEMA).orderBy(
         "doc_id"
