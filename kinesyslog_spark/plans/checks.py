@@ -71,6 +71,18 @@ class PlanFacts:
             out.append(m.group(1))
         return out
 
+    def partition_filters(self, table: str) -> list[str]:
+        """PartitionFilters entries for the scan of `table` — non-empty
+        means partition pruning is active (whole directories skipped)."""
+        out = []
+        for m in re.finditer(
+            rf"Location:.*{table}[^\n]*\n(?:.*\n)*?PartitionFilters: \[([^\]]*)\]",
+            self.text,
+        ):
+            if m.group(1).strip():
+                out.append(m.group(1))
+        return out
+
     def read_schema(self, table: str) -> str | None:
         m = re.search(
             rf"Location:.*{table}[^\n]*\n(?:.*\n)*?ReadSchema: ([^\n]+)", self.text

@@ -1,0 +1,63 @@
+"""Partitioned-layout guardrails: date/type predicates must prune
+directories (PartitionFilters), and dynamic overwrite must only replace
+the partitions present in the incoming batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesyslog_spark.plans.checks import facts
+from kinesyslog_spark.sinks.partitioned import (
+    events_by_day,
+    read_partitioned,
+    write_partitioned,
+)
+from kinesyslog_spark.tables import load_table
+
+
+def _write_events(spark, sf_dir, path):
+    ev = events_by_day(load_table(spark, sf_dir, "events"))
+    write_partitioned(ev, path, ["event_date"], sort_within=["user_id"])
+    return ev
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_by_day")
+    ev = _write_events(spark, sf_dir, path)
+    some_date = ev.select(F.min("event_date")).first()[0]
+
+    q = read_partitioned(spark, path).filter(F.col("event_date") == F.lit(some_date))
+    f = facts(q)
+    assert f.partition_filters("events_by_day"), (
+        "date predicate must appear as PartitionFilters on the scan "
+        "(directory pruning), not a post-scan filter"
+    )
+
+    # All dates still readable, and the partition column round-trips.
+    n_all = read_partitioned(spark, path).count()
+    assert n_all == ev.count()
+    assert q.count() == ev.filter(F.col("event_date") == F.lit(some_date)).count()
+
+
+def test_dynamic_overwrite_replaces_only_present_partitions(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_dyn")
+    ev = _write_events(spark, sf_dir, path)
+    dates = sorted(r[0] for r in ev.select("event_date").distinct().collect())
+    assert len(dates) >= 2
+    target, untouched = dates[0], dates[1:]
+
+    # Re-write ONE day's partition with a single marker row.
+    marker = (
+        ev.filter(F.col("event_date") == F.lit(target))
+        .limit(1)
+        .withColumn("user_id", F.lit(-1).cast(dict(ev.dtypes)["user_id"]))
+    )
+    write_partitioned(marker, path, ["event_date"])
+
+    after = read_partitioned(spark, path)
+    got_target = after.filter(F.col("event_date") == F.lit(target)).count()
+    got_rest = after.filter(F.col("event_date") != F.lit(target)).count()
+    assert got_target == 1, "overwritten partition must contain only the new batch"
+    assert got_rest == ev.filter(F.col("event_date") != F.lit(target)).count(), (
+        "partitions absent from the batch must be untouched"
+    )
