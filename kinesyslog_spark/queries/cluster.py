@@ -37,18 +37,25 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     and checkpointing every few rounds to cut lineage.
     """
     both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    both = both.persist()
+    both.count()
+    # Each round's table is localCheckpoint-ed (eager): without lineage
+    # truncation every round's logical plan nests all previous rounds',
+    # and Catalyst re-optimization blows up (time AND driver heap) once
+    # the graph diameter pushes past a handful of iterations — the
+    # standard failure mode of iterative algorithms on Spark, and the
+    # reason GraphX/MLlib checkpoint. On a cluster with an HDFS-backed
+    # checkpoint dir, `checkpoint()` gives the same truncation with
+    # executor-loss tolerance.
     labels = (
         both.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .persist()
+        .localCheckpoint()
     )
-    both = both.persist()
-    both.count()
     # Convergence check: labels only ever decrease (min-propagation), so
     # the label table changed iff sum(component) dropped — one aggregate
-    # action per round, no diff join. The sum also materializes the
-    # round's persisted label table in the same job.
+    # action per round, no diff join.
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_rounds):
         # candidate label for each node: min of own and neighbors' labels
@@ -60,10 +67,9 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
             labels.select("node", "component").union(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -83,3 +83,42 @@ def test_q26_end_to_end_hot_corpus_capped(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(dd, "LSH_MAX_BUCKET", None)
     n = dd.q26_minhash_lsh(spark, str(tmp_path)).count()
     assert n == 300 * 299 // 2 + 1
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: min-label propagation equals a reference union-find on
+    random-ish (but fixed-seed) edge lists, including chains deeper than
+    one hop and isolated pairs."""
+    import random
+
+    from kinesyslog_spark.queries.cluster import connected_components
+
+    rng = random.Random(42)
+    nodes = list(range(80))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(100, 101), (101, 102), (102, 103)]  # a 4-chain (diameter 3)
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == expected
