@@ -122,3 +122,41 @@ def test_connected_components_matches_union_find(spark):
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+def test_salted_join_equivalence_and_spread(spark):
+    """salted_join returns exactly the plain join's rows, and a hot key's
+    rows are spread across the full salt space (the straggler fix)."""
+    from kinesyslog_spark.operators.skew import salt_column, salted_join
+
+    # 90% of fact rows share key 1 (the hot key).
+    facts = spark.createDataFrame(
+        [(i, 1 if i < 900 else i % 7 + 2, f"p{i}") for i in range(1000)],
+        "row_id long, k int, payload string",
+    )
+    dims = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 9)], "k int, dim_val string"
+    )
+
+    plain = {tuple(r) for r in facts.join(dims, "k").collect()}
+    salted = {
+        tuple(r)
+        for r in salted_join(facts, dims, ["k"], ["row_id"], n_salt=8).collect()
+    }
+    assert salted == plain
+
+    # left join parity (unmatched keys survive exactly once)
+    plain_l = {tuple(r) for r in facts.join(dims, "k", "left").collect()}
+    salted_l = {
+        tuple(r)
+        for r in salted_join(facts, dims, ["k"], ["row_id"], n_salt=8, how="left").collect()
+    }
+    assert salted_l == plain_l
+
+    spread = (
+        facts.filter(F.col("k") == 1)
+        .select(salt_column(["row_id"], 8).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread == 8, "hot key must occupy every salt bucket"
