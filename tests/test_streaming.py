@@ -239,3 +239,45 @@ def test_session_window_reassembly_gap_splits_sessions(spark):
     )
     out = reassemble_chunks_session_window(chunks, gap="5 seconds")
     assert out.collect() == []
+
+
+def test_streaming_relay_checkpoint_recovery(spark, tmp_path):
+    """Restart-from-checkpoint: a second query started on the same
+    checkpoint dir skips the already-committed batch (no duplicate
+    records) and picks up files dropped while the query was down —
+    the Spark-native form of the reference's durable-spool recovery
+    (spool.py:155-214)."""
+    in_dir, spool_dir, ckpt = (str(tmp_path / d) for d in ("in", "spool", "ckpt"))
+    os.makedirs(in_dir)
+
+    def line(i, src):
+        return {
+            "raw": f"<13>1 2024-01-01T00:00:0{i}.000000+00:00 h{i} app - - - msg{i}",
+            "source": src, "dest": 514,
+            "recv_ts": f"2024-01-01T00:00:0{i}.000000", "seq": i,
+        }
+
+    _write_json(os.path.join(in_dir, "batch1.json"), [line(1, "10.0.0.1")])
+    q = start_relay(spark, in_dir, spool_dir, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Query down; a new file arrives.
+    _write_json(os.path.join(in_dir, "batch2.json"), [line(2, "10.0.0.2")])
+
+    q2 = start_relay(spark, in_dir, spool_dir, ckpt, trigger_seconds=1)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    msgs = [
+        r["e"]["message"]
+        for r in read_spool(spark, spool_dir)
+        .select(F.explode("logEvents").alias("e"))
+        .collect()
+    ]
+    # both batches delivered, batch1 exactly once (not reprocessed)
+    assert sorted(m[-4:] for m in msgs) == ["msg1", "msg2"]
