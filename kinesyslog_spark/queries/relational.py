@@ -598,3 +598,67 @@ def q23_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q48 — cube aggregation (all grouping-set combinations)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q48_cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q48_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q49 — exact interpolated percentiles per group
+# ---------------------------------------------------------------------------
+# Spark `percentile` and DuckDB `quantile_cont` both use linear
+# interpolation between order statistics, so the rounded outputs match
+# exactly. (percentile_approx is the corpus-scale variant — approximate,
+# so it is deliberately NOT in the oracle-checked inventory.)
+
+@query(
+    "q49_price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q49_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
