@@ -662,3 +662,27 @@ def q49_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q50 — HLL sketch cardinality (the corpus-scale distinct-count path)
+# ---------------------------------------------------------------------------
+# approx_count_distinct is the 100 TB form of Q14: HyperLogLog++ merges
+# per-partition sketches instead of shuffling every distinct key, at a
+# configurable relative error. Approximate output cannot hash-match a
+# DuckDB twin, so this query is deliberately registered WITHOUT an
+# oracle (driver records the weaker rows-only check); the exact count
+# sits alongside so the sketch error is visible and bounded in-test.
+
+@query("q50_approx_distinct_sketch")
+def q50_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

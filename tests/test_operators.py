@@ -63,3 +63,12 @@ def test_winnow_fingerprints_subset_of_gram_hashes(spark):
     df = spark.createDataFrame([(text,)], ["text"])
     got = df.select(winnow_fingerprints(F.col("text"), 8, 4).alias("fp")).head()["fp"]
     assert sorted(got) == expect
+
+
+def test_q50_sketch_error_bounded(spark, sf_dir):
+    """HLL estimate stays within 3x the configured 2% rsd of exact."""
+    from kinesyslog_spark.queries import QUERIES
+
+    for r in QUERIES["q50_approx_distinct_sketch"](spark, sf_dir).collect():
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+        assert rel_err <= 0.06, (r["l_returnflag"], rel_err)
