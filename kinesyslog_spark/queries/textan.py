@@ -93,13 +93,18 @@ def q30_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "plang")
         .agg(F.count("*").alias("score"))
     )
+    # Per-doc argmax as a hash aggregate, not a ranking window: min over
+    # struct(-score, plang) is lexicographically "highest score, then
+    # first language" — same rn=1 semantics, but HashAggregate with
+    # map-side partial combine instead of a shuffle + per-partition sort.
     best = (
-        scores.withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))),
+        scores.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("plang").alias("plang"))
+            ).alias("m")
         )
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "plang", "score")
+        .select("doc_id", F.col("m.plang").alias("plang"), (-F.col("m.ns")).alias("score"))
     )
     return (
         d.select("doc_id", F.col("lang").alias("true_lang"))
