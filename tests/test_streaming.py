@@ -281,3 +281,60 @@ def test_streaming_relay_checkpoint_recovery(spark, tmp_path):
     ]
     # both batches delivered, batch1 exactly once (not reprocessed)
     assert sorted(m[-4:] for m in msgs) == ["msg1", "msg2"]
+
+
+def test_session_window_reassembly_streaming_emit(spark, tmp_path):
+    """Streaming mode: a session emits once the watermark passes its gap
+    — driven by dropping a later file that advances event time."""
+    from kinesyslog_spark.streaming.state import reassemble_chunks_session_window
+
+    in_dir = str(tmp_path / "sw_chunks")
+    os.makedirs(in_dir)
+    _write_json(os.path.join(in_dir, "b1.json"), [
+        {"msg_id": 1, "chunk_seq": 1, "chunk_cnt": 2, "payload": "bb",
+         "recv_ts": "2024-01-01T00:00:01.000000"},
+        {"msg_id": 1, "chunk_seq": 0, "chunk_cnt": 2, "payload": "aa",
+         "recv_ts": "2024-01-01T00:00:02.000000"},
+    ])
+    chunks = (
+        spark.readStream.schema(
+            "msg_id long, chunk_seq int, chunk_cnt int, payload string, recv_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+        .select(
+            "msg_id", "chunk_seq", "chunk_cnt",
+            F.encode("payload", "UTF-8").alias("payload"), "recv_ts",
+        )
+    )
+    out = reassemble_chunks_session_window(chunks, gap="5 seconds", watermark="1 second")
+    q = (
+        out.select("msg_id", "n_chunks", F.decode("message", "UTF-8").alias("message"))
+        .writeStream.format("memory").queryName("sw_reasm").outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sw_reasm").count() == 0, (
+            "session must stay open until the watermark passes the gap"
+        )
+        # A much later chunk advances the watermark past msg 1's session.
+        _write_json(os.path.join(in_dir, "b2.json"), [
+            {"msg_id": 99, "chunk_seq": 0, "chunk_cnt": 2, "payload": "zz",
+             "recv_ts": "2024-01-01T00:05:00.000000"},
+        ])
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {
+                r["msg_id"]: (r["n_chunks"], r["message"])
+                for r in spark.sql("SELECT * FROM sw_reasm").collect()
+            }
+            if got:
+                break
+            time.sleep(0.5)
+        assert got == {1: (2, "aabb")}, got
+    finally:
+        q.stop()
