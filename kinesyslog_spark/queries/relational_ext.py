@@ -1,0 +1,182 @@
+"""Extended relational coverage: window-function battery, correlated
+scalar subquery (decorrelated), and a TPC-H Q5-style 6-way join.
+
+These extend SURVEY §2b's Q08/Q03 families with the remaining ANSI window
+functions (ntile / percent_rank / cume_dist / first_value / last_value /
+nth_value), the classic correlated-subquery shape (WHERE x > (SELECT AVG
+... correlated)) expressed as the decorrelated aggregate-then-broadcast-
+join plan Catalyst itself would produce, and the widest join tree in the
+TPC-H suite (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier
+with the c_nationkey = s_nationkey "local supplier" constraint).
+
+Determinism: decimal-exact money arithmetic (see relational.py module
+doc); window partitions ordered by a unique key suffix so every ranking
+function is reproducible; the correlated predicate is evaluated in exact
+integer arithmetic (price * count > sum) on BOTH engines so no float
+comparison can flip a row.
+
+Scale notes (100 TB posture):
+- q51 windows partition by o_custkey — hash-partitioned state, no global
+  sort; skew bounded by orders-per-customer.
+- q52's inner aggregate produces |brands| rows → broadcast join; the scan
+  of `part` happens twice but both scans prune to 3 columns.
+- q53 lets Catalyst/AQE reorder: region/nation broadcast, the
+  orders⋈lineitem⋈supplier spine shuffles on the join keys; the
+  o_orderdate filter is pushed to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.queries.relational import _t, dec
+
+
+# ---------------------------------------------------------------------------
+# Q51 — window-function battery (ntile / percent_rank / cume_dist /
+#       first_value / last_value / nth_value) per customer order history
+# ---------------------------------------------------------------------------
+
+@query(
+    "q51_window_battery",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_custkey,
+      ROW_NUMBER()   OVER w AS rn,
+      NTILE(4)       OVER w AS quartile,
+      ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+      ROUND(CUME_DIST()    OVER w, 4) AS cume,
+      ROUND(FIRST_VALUE(o_totalprice) OVER wf, 4) AS first_price,
+      ROUND(LAST_VALUE(o_totalprice)  OVER wf, 4) AS last_price,
+      ROUND(NTH_VALUE(o_totalprice, 2) OVER wf, 4) AS second_price
+    FROM orders
+    WINDOW
+      w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+)
+def q51_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            F.round(F.first("o_totalprice").over(wf), 4).alias("first_price"),
+            F.round(F.last("o_totalprice").over(wf), 4).alias("last_price"),
+            F.round(F.nth_value("o_totalprice", 2).over(wf), 4).alias("second_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q52 — correlated scalar subquery: parts priced above their brand average.
+# Decorrelated form (groupBy + broadcast join) = the plan Catalyst's
+# RewriteCorrelatedScalarSubquery produces; predicate in exact integer
+# arithmetic (price*count > sum) so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q52_above_brand_avg",
+    oracle="""
+    WITH brand_stats AS (
+      SELECT p_brand,
+             SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS price_sum,
+             COUNT(*) AS cnt
+      FROM part GROUP BY p_brand
+    )
+    SELECT p.p_partkey, p.p_brand,
+           ROUND(p.p_retailprice, 4) AS p_retailprice,
+           ROUND(CAST(b.price_sum AS DOUBLE) / b.cnt, 4) AS brand_avg
+    FROM part p JOIN brand_stats b ON p.p_brand = b.p_brand
+    WHERE CAST(p.p_retailprice AS DECIMAL(18,2)) * b.cnt > b.price_sum
+    ORDER BY p.p_partkey
+    """,
+)
+def q52_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    brand_stats = part.groupBy("p_brand").agg(
+        F.sum(dec("p_retailprice")).alias("price_sum"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        part.join(F.broadcast(brand_stats), "p_brand")
+        .filter(dec("p_retailprice") * F.col("cnt") > F.col("price_sum"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 4).alias("p_retailprice"),
+            F.round(F.col("price_sum").cast("double") / F.col("cnt"), 4).alias("brand_avg"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q53 — TPC-H Q5 "local supplier volume": the widest join tree in the
+# suite (6 tables) + the local-supplier non-key constraint
+# (c_nationkey = s_nationkey). Exercises join reordering, broadcast
+# selection for region/nation, and date-filter pushdown into orders.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q53_local_supplier_volume",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def q53_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("r_name", "n_name")
+    )
