@@ -68,6 +68,47 @@ def with_late_data_policy(events: DataFrame, max_lateness: str = "1 hour") -> Da
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """W8: stream-stream interval join — correlate two event streams on a
+    key where the right event lands within [left.ts, left.ts + within]
+    (click-to-conversion attribution shape).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire join state (without the time bound a
+    stream-stream join buffers both sides forever). Works identically on
+    batch frames (watermarks become no-ops) — the batch twin is what the
+    correctness tests assert on.
+
+    Scale: state is hash-partitioned by the join key; per-key state holds
+    only `within + watermark` worth of rows per side. Outer modes emit
+    nulls only once the watermark passes, so `how='left_outer'` results
+    arrive delayed by the watermark — that's Spark semantics, not a bug.
+    """
+    lt = left.withColumnRenamed("ts", "l_ts")
+    rt = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, "ts")],
+    )
+    if lt.isStreaming:
+        lt = lt.withWatermark("l_ts", watermark)
+    if rt.isStreaming:
+        rt = rt.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(key) == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return lt.join(rt, cond, how).drop("r_key")
+
+
 def dedup_events(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "10 minutes") -> DataFrame:
     """W6: stream dedup on event id (P7 uniqueness). Streaming uses

@@ -20,6 +20,7 @@ from kinesyslog_spark.streaming.state import (
 )
 from kinesyslog_spark.streaming.windows import (
     dedup_events,
+    interval_join,
     session_windows,
     sliding_counts,
     tumbling_counts,
@@ -69,6 +70,59 @@ def test_session_window_gap(spark):
 
 def test_dedup_events_batch(spark):
     assert dedup_events(_events_df(spark)).count() == 3
+
+
+def test_interval_join_batch_twin(spark):
+    clicks = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", "c1"), (8, "2024-01-01 00:00:00", "c2")],
+        "user_id long, ts_s string, click string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "click")
+    buys = spark.createDataFrame(
+        [
+            (7, "2024-01-01 00:05:00", "b1"),   # within 10 min -> match
+            (7, "2024-01-01 00:20:00", "b2"),   # outside window
+            (8, "2023-12-31 23:59:00", "b3"),   # before click
+        ],
+        "user_id long, ts_s string, buy string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "buy")
+    rows = interval_join(clicks, buys, within="10 minutes").collect()
+    assert [(r["click"], r["r_buy"]) for r in rows] == [("c1", "b1")]
+    # left_outer keeps the unmatched click with nulls
+    outer = interval_join(clicks, buys, within="10 minutes", how="left_outer")
+    got = {r["click"]: r["r_buy"] for r in outer.collect()}
+    assert got == {"c1": "b1", "c2": None}
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir), os.makedirs(rdir)
+    _write_json(os.path.join(ldir, "l1.json"), [
+        {"user_id": 7, "ts": "2024-01-01 00:00:00", "click": "c1"},
+    ])
+    _write_json(os.path.join(rdir, "r1.json"), [
+        {"user_id": 7, "ts": "2024-01-01 00:05:00", "buy": "b1"},
+        {"user_id": 7, "ts": "2024-01-01 00:20:00", "buy": "b2"},
+    ])
+    schema_l = "user_id long, ts timestamp, click string"
+    schema_r = "user_id long, ts timestamp, buy string"
+    lt = spark.readStream.schema(schema_l).json(ldir)
+    rt = spark.readStream.schema(schema_r).json(rdir)
+    out = interval_join(lt, rt, within="10 minutes")
+    q = (
+        out.select("user_id", "click", "r_buy")
+        .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 90
+        got = []
+        while time.time() < deadline:
+            got = [(r["click"], r["r_buy"]) for r in spark.sql("SELECT * FROM ivj").collect()]
+            if got:
+                break
+            time.sleep(0.5)
+        assert got == [("c1", "b1")]
+    finally:
+        q.stop()
 
 
 def test_chunk_assembler_semantics():
