@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import hot_table, load_table
+from kinesyslog_spark.tables import hot_table, hot_vectors, load_table
 
 EMB_DIM = 64
 N_PROBES = 10
@@ -79,24 +79,16 @@ def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = hot_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-    )
-    sq_sum = lambda col: F.aggregate(  # noqa: E731
-        F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-    )
+    emb = hot_vectors(spark, sf_dir)
     probes = (
         emb.filter(F.col("vec_id") < N_PROBES)
         .select(
             F.col("vec_id").alias("pid"),
             F.col("emb").alias("pemb"),
-            F.sqrt(sq_sum(F.col("emb"))).alias("pnorm"),
+            F.col("nrm").alias("pnorm"),
         )
     )
-    base = emb.select(
-        "vec_id", "emb", F.sqrt(sq_sum(F.col("emb"))).alias("enorm")
-    )
+    base = emb.select("vec_id", "emb", F.col("nrm").alias("enorm"))
     dot = F.aggregate(
         F.zip_with("pemb", "emb", lambda x, y: x * y),
         F.lit(0.0),

@@ -97,6 +97,42 @@ def hot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def hot_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized `(vec_id, label, emb double[], nrm)` over
+    `embeddings` — the float→double cast (an interpreted higher-order
+    transform) and the L2 norm computed ONCE per session.
+
+    Every vector-family query (brute-force cosine, sign-LSH, IVF,
+    quantization) starts from exactly these columns; at cluster scale
+    this is the materialized vector-store projection an ANN system keeps
+    hot, locally it removes a repeated per-row array pass per query."""
+    key = (id(spark), sf_dir.rstrip("/"), "__vectors__")
+    df = _HOT_CACHE.get(key)
+    if df is None:
+        from pyspark.sql import functions as F
+
+        emb = F.transform("embedding", lambda x: x.cast("double"))
+        df = (
+            hot_table(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id",
+                "label",
+                emb.alias("emb"),
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(emb, lambda x: x * x),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                ).alias("nrm"),
+            )
+            .persist()
+        )
+        df.count()
+        _HOT_CACHE[key] = df
+    return df
+
+
 def persist_now(df: DataFrame) -> DataFrame:
     """Persist AND materialize (cheap count action) an intermediate that
     multiple plan subtrees will read.
