@@ -58,6 +58,37 @@ def test_q21_probe_side_broadcast(spark, sf_dir):
     assert f.broadcast_any_count >= 1, "probe set must broadcast into the scan"
 
 
+def test_q52_decorrelated_broadcast(spark, sf_dir):
+    # The correlated-subquery shape must run as aggregate + broadcast
+    # join, never a per-row subquery or a shuffled join of part-vs-stats.
+    f = facts(QUERIES["q52_above_brand_avg"](spark, sf_dir))
+    assert f.broadcast_join_count >= 1, "brand_stats must broadcast"
+    assert "CartesianProduct" not in f.text
+
+
+def test_q53_wide_join_strategy(spark, sf_dir):
+    f = facts(QUERIES["q53_local_supplier_volume"](spark, sf_dir))
+    assert f.broadcast_join_count >= 2, "nation/region must broadcast"
+    assert "CartesianProduct" not in f.text
+    pushed = f.pushed_filters("orders")
+    assert pushed and any("o_orderdate" in p for p in pushed), (
+        "orderdate range must reach the orders scan"
+    )
+
+
+def test_q54_boilerplate_broadcast_and_hash_agg(spark, sf_dir):
+    f = facts(QUERIES["q54_boilerplate_passages"](spark, sf_dir))
+    assert f.broadcast_any_count >= 1, "boilerplate gram set must broadcast"
+    assert f.python_eval_count == 0
+
+
+def test_q56_packing_no_global_window(spark, sf_dir):
+    # Packing must window per source (parallel), never a single global
+    # partition: a global window shows as Exchange SinglePartition.
+    f = facts(QUERIES["q56_sequence_packing"](spark, sf_dir))
+    assert "SinglePartition" not in f.text, "packing degraded to one task"
+
+
 def test_q42_eval_grams_broadcast(spark, sf_dir):
     # The eval n-gram set must broadcast; a shuffle of the corpus-side
     # gram stream is exactly what decontamination at 100 TB cannot afford.
