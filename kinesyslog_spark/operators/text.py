@@ -75,19 +75,40 @@ def md5_int60(col: Column, prefix: str = "") -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+MINHASH_MOD = 1 << 40  # 40-bit hash space for derived minhash functions
+
+
 def minhash_df(df: DataFrame, id_cols: list[str], sh_col: str, k: int = 12) -> DataFrame:
-    """MinHash signatures as a DataFrame op: explode shingles, then K
-    MIN(md5_int60(i:shingle)) aggregates.
+    """MinHash signatures as a DataFrame op: explode shingles, hash each
+    shingle ONCE, then K MIN aggregates over derived hash functions.
+
+    The K functions come from the two-hash scheme (Kirsch-Mitzenmacher):
+    h_i(s) = (h1(s) + i*h2(s)) mod 2^40, with h1/h2 = two 40-bit slices
+    of one md5. One md5 per exploded row instead of K — at corpus scale
+    the md5 over the shingle string is the dominant per-row cost, and
+    K-universal independence is not required for MinHash accuracy.
 
     The hash is an *integer*, not the hex string: MIN over a fixed-width
     long keeps the aggregation in HashAggregate with map-side partial
     combine, whereas a string MIN buffer forces SortAggregate — a full
-    sort of the exploded shingle stream (measured ~5x slower)."""
+    sort of the exploded shingle stream (measured ~5x slower). The sum
+    h1 + (k-1)*h2 stays < 2^44, far from 64-bit overflow, and both
+    engines compute it in exact integer arithmetic (oracle twin:
+    (CAST('0x'||substring(md5(s),1,10) AS BIGINT) + i *
+     CAST('0x'||substring(md5(s),11,10) AS BIGINT)) % 2^40)."""
     ex = df.select(*id_cols, F.explode(sh_col).alias("_s"))
+    hashed = ex.select(
+        *id_cols,
+        F.conv(F.substring(F.md5("_s"), 1, 10), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(F.md5("_s"), 11, 10), 16, 10).cast("long").alias("_h2"),
+    )
     aggs = [
-        F.min(md5_int60(F.col("_s"), f"{i}:")).alias(f"mh{i}") for i in range(k)
+        F.min(
+            (F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(MINHASH_MOD)
+        ).alias(f"mh{i}")
+        for i in range(k)
     ]
-    return ex.groupBy(*id_cols).agg(*aggs)
+    return hashed.groupBy(*id_cols).agg(*aggs)
 
 
 def lsh_band_keys(sig_cols: list[Column | str], bands: int, rows: int) -> Column:

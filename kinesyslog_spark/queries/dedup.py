@@ -102,21 +102,42 @@ def _pair_candidates(keyed: DataFrame, key_cols: list[str],
                      max_bucket=_USE_GLOBAL_CAP) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing every key column.
 
-    The self-join inputs are explicitly hash-repartitioned on the bucket
-    key: their byte size is tiny (AQE would coalesce the exchange to one
-    partition) but the join *output* fans out quadratically per bucket —
-    a bytes-small, compute-heavy stage that must stay wide. Explicit
-    numPartitions is honored by AQE."""
+    One groupBy per bucket key collects the member set, applies the
+    hot-bucket cap as a size filter *inside the same aggregate* (no
+    separate count + anti-join pass), and expands each bucket's sorted
+    member array into its ordered pairs with array expressions — a
+    single shuffle where the former self-join formulation needed a
+    count, an anti-join, two explicit repartitions and a join.
+
+    The quadratic expansion still runs one task per bucket (hash
+    partitioning on the bucket key), so the skew bound is unchanged: the
+    worst bucket costs |bucket|^2 pairs, which is exactly what the cap
+    limits. The explicit repartition before the expansion keeps the
+    bytes-small bucket table wide under AQE (the expansion is
+    compute-heavy, output-quadratic)."""
     if max_bucket is _USE_GLOBAL_CAP:
         max_bucket = LSH_MAX_BUCKET
-    keyed = cap_hot_buckets(keyed, key_cols, max_bucket)
-    n = _par(keyed)
-    x = keyed.select(*key_cols, F.col("doc_id").alias("doc_a")).repartition(n, *key_cols)
-    y = keyed.select(*key_cols, F.col("doc_id").alias("doc_b")).repartition(n, *key_cols)
+    members = (
+        keyed.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
+    )
+    if max_bucket:
+        members = members.filter(F.size("_ms") <= max_bucket)
+    ms = F.col("_ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda a, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        x.join(y, on=key_cols)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        members.repartition(_par(keyed))
+        .select(F.explode(pairs).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
         .distinct()
     )
 
@@ -143,11 +164,17 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, thr: float) -> DataFrame:
 # Q26 — MinHash + LSH banding (word 3-gram shingles)
 # ---------------------------------------------------------------------------
 
-def _minhash_oracle() -> str:
-    sig = ",\n      ".join(
-        f"list_min(list_transform(sh, s -> CAST('0x' || substring(md5('{i}:' || s), 1, 15) AS BIGINT)))"
-        for i in range(MINHASH_K)
+def _mh_expr(i: int, src: str = "sh") -> str:
+    """DuckDB twin of minhash_df's two-hash scheme (operators/text.py)."""
+    h1 = "CAST('0x' || substring(md5(s), 1, 10) AS BIGINT)"
+    h2 = "CAST('0x' || substring(md5(s), 11, 10) AS BIGINT)"
+    return (
+        f"list_min(list_transform({src}, s -> ({h1} + {i} * {h2}) % {1 << 40}))"
     )
+
+
+def _minhash_oracle() -> str:
+    sig = ",\n      ".join(_mh_expr(i) for i in range(MINHASH_K))
     bands = ", ".join(str(b) for b in range(LSH_BANDS))
     return f"""
     WITH tk AS (
@@ -309,8 +336,8 @@ def _ngram_oracle() -> str:
       FROM documents WHERE length(text) >= {NGRAM_N}
     ), keyed AS (
       SELECT doc_id, n, sh,
-             list_min(list_transform(sh, s -> CAST('0x' || substring(md5('0:' || s), 1, 15) AS BIGINT))) AS mh0,
-             list_min(list_transform(sh, s -> CAST('0x' || substring(md5('1:' || s), 1, 15) AS BIGINT))) AS mh1
+             {_mh_expr(0)} AS mh0,
+             {_mh_expr(1)} AS mh1
       FROM docs
     ), blocked AS (
       SELECT doc_id, n, t.t, CASE t.t WHEN 0 THEN mh0 ELSE mh1 END AS mh,
