@@ -57,6 +57,19 @@ def _parser() -> argparse.ArgumentParser:
     inst.add_argument("--listen-args", default="",
                     help="extra arguments appended to the listen command")
 
+    dmp = sub.add_parser(
+        "dump",
+        help="read spooled records back to stdout (reference "
+        "utils/kinesis-s3-dump.py parity: U1 group-prefix filter, "
+        "U2 min-length filter, U3 explode+trim projection)",
+    )
+    dmp.add_argument("spool_dir", help="spool directory (or s3a://bucket/prefix on a cluster)")
+    dmp.add_argument("--group", default=None,
+                     help="only records whose logGroup starts with this prefix (U1)")
+    dmp.add_argument("--min-length", type=int, default=0,
+                     help="only messages at least this long (U2)")
+    dmp.add_argument("--show-source", action="store_true",
+                     help="prefix each line with logStream (source IP)")
     bk = sub.add_parser(
         "bucketize",
         help="write bucketed copies of the hot tables (shuffle-free joins)",
@@ -195,6 +208,35 @@ def install(args) -> int:
     return 0
 
 
+def dump(args) -> int:
+    """E3 read-back path (reference utils/kinesis-s3-dump.py:28-105):
+    spool -> records -> events -> trimmed messages on stdout. The three
+    offline query ops are plain DataFrame expressions over read_spool:
+    U1 = startswith filter on logGroup (kinesis-s3-dump.py:45-46),
+    U2 = length(message) >= N (kinesis-s3-dump.py:33,104),
+    U3 = explode(logEvents) + trim (kinesis-s3-dump.py:100-105)."""
+    from pyspark.sql import functions as F
+
+    from kinesyslog_spark.session import get_spark
+    from kinesyslog_spark.sinks.records import read_spool
+
+    spark = get_spark("kinesyslog-dump")
+    df = read_spool(spark, args.spool_dir)
+    if args.group:
+        df = df.filter(F.col("logGroup").startswith(args.group))
+    ev = (
+        df.select("logStream", F.explode("logEvents").alias("e"))
+        .select("logStream", F.trim(F.col("e.message")).alias("message"),
+                F.col("e.timestamp").alias("ts"))
+    )
+    if args.min_length:
+        ev = ev.filter(F.length("message") >= args.min_length)
+    for row in ev.orderBy("ts").toLocalIterator():
+        prefix = f"{row['logStream']}\t" if args.show_source else ""
+        print(f"{prefix}{row['message']}")
+    return 0
+
+
 def bucketize_cmd(args) -> int:
     from kinesyslog_spark.session import get_spark
     from kinesyslog_spark.sinks.bucketed import DEFAULT_SPECS, bucketize
@@ -220,6 +262,8 @@ def main(argv: list[str] | None = None) -> int:
         return install(args)
     if args.command == "bucketize":
         return bucketize_cmd(args)
+    if args.command == "dump":
+        return dump(args)
     return 2
 
 

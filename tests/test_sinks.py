@@ -65,6 +65,27 @@ def test_split_oversize_record():
     assert ids == [str(i) for i in range(2000)]
 
 
+def test_dump_cli_filters(spark, tmp_path, capsys):
+    """E3 reader CLI: U1 group-prefix, U2 min-length, U3 explode+trim."""
+    from kinesyslog_spark.cli import main
+    from kinesyslog_spark.sinks.records import spool_batch
+
+    spool_dir = str(tmp_path / "spool")
+    spool_batch(_events(spark, n=6), spool_dir)
+    rc = main(["dump", spool_dir, "--group", "kinesyslog/syslog/514",
+               "--min-length", "6", "--show-source"])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    # port 514 = even ids 0,2,4; "msg 0".."msg 4" are 5 chars -> all pass
+    # min-length 6? no: "msg 0" is 5 chars, filtered out entirely
+    assert lines == []
+    rc = main(["dump", spool_dir, "--group", "kinesyslog/syslog/514",
+               "--min-length", "5", "--show-source"])
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    assert [ln.split("\t")[1] for ln in lines] == ["msg 0", "msg 2", "msg 4"]
+    assert all(ln.split("\t")[0].startswith("10.0.0.") for ln in lines)
+
+
 def test_spool_write_atomic(tmp_path):
     path = spool_write(b"payload", str(tmp_path))
     assert os.path.basename(path).startswith("firehose_event-")
