@@ -23,6 +23,22 @@ def test_fake_decode_meta_deterministic():
     assert a["modality"] == "image" and a["n_bytes"] == 123
 
 
+def test_frame_sample_fanout_shape():
+    """frame_sample_batches emits k = n%4+1 rows per input row, with
+    deterministic per-frame digests, preserving batch boundaries."""
+    import pandas as pd
+
+    from kinesyslog_spark.operators.multimodal import frame_sample_batches
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [b"a" * 10, b"b" * 13]})
+    out = pd.concat(list(frame_sample_batches(iter([pdf]))))
+    # n=10 -> k=3 frames; n=13 -> k=2 frames
+    assert list(out.groupby("doc_id").size()) == [3, 2]
+    assert list(out["frame_idx"][:3]) == [0, 1, 2]
+    again = pd.concat(list(frame_sample_batches(iter([pdf]))))
+    assert out.equals(again)
+
+
 def test_word_shingles(spark):
     from kinesyslog_spark.operators.text import tokens, word_shingles
 
