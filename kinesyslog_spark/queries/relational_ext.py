@@ -34,6 +34,17 @@ from pyspark.sql.window import Window as W
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.relational import _t, dec
 
+_ASOF_ORACLE = """
+    SELECT event_id, user_id, click_id, click_ms FROM (
+      SELECT p.event_id, p.user_id, c.event_id AS click_id, epoch_ms(c.ts) AS click_ms,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+    ) WHERE rn = 1
+    ORDER BY event_id
+    """
+
 
 # ---------------------------------------------------------------------------
 # Q51 — window-function battery (ntile / percent_rank / cume_dist /
@@ -179,4 +190,63 @@ def q53_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
         .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q63 — as-of join, union-timeline strategy (the 100 TB plan for Q23).
+# Q23's inequality-join formulation is per-user QUADRATIC (every purchase
+# joins every earlier click of that user before the window picks one).
+# This twin computes the identical result linearly: union both event
+# roles into one per-user timeline, sort once, and carry the latest
+# click forward with a running `last(ignorenulls)` window — one shuffle
+# on user_id, one sort, no pair blow-up on hot users. The oracle is
+# verbatim Q23's, proving plan-level equivalence of the two strategies.
+# (SURVEY §4 deferred a custom range-join rule; this composition makes
+# it unnecessary for the as-of case.)
+# ---------------------------------------------------------------------------
+
+@query("q63_asof_union_timeline", oracle=_ASOF_ORACLE)
+def q63_asof_union_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("role"),  # clicks sort before purchases at equal ts
+        F.col("event_id").alias("click_eid"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("role"),
+        F.lit(None).cast("long").alias("click_eid"),
+        "event_id",
+    )
+    # Equal-ts clicks sort ascending by id so the *running last* ends on
+    # the max click_id — matching Q23's (c_ts DESC, click_id DESC) pick.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "role", "click_eid")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    timeline = clicks.unionByName(purchases).withColumn(
+        "last_click",
+        F.last(
+            F.when(
+                F.col("role") == 0,
+                F.struct(F.col("click_eid").alias("id"), F.col("ts").alias("cts")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        timeline.filter(F.col("role") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("last_click.id").alias("click_id"),
+            F.unix_millis("last_click.cts").alias("click_ms"),
+        )
+        .orderBy("event_id")
     )
