@@ -133,6 +133,32 @@ def hot_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Unpersist (and forget) the session-memoized hot tables — all of
+    them, or only one sf_dir's.
+
+    Long-lived sessions that sweep many datasets accumulate persisted
+    blocks (hot tables, tokens, vectors, IVF centroids) that the block
+    manager then scans/evicts around; a 60-query run measured a 4x
+    slowdown on an iterative query purely from that pressure. Call this
+    when a dataset's query family is done. Next access rebuilds."""
+    from kinesyslog_spark.queries.ann import _IVF_CACHE
+
+    n = 0
+    for cache in (_HOT_CACHE, _IVF_CACHE):
+        for key in list(cache):
+            if key[0] != id(spark):
+                continue
+            if sf_dir is not None and key[1] != sf_dir.rstrip("/"):
+                continue
+            try:
+                cache.pop(key).unpersist()
+                n += 1
+            except Exception:
+                pass
+    return n
+
+
 def persist_now(df: DataFrame) -> DataFrame:
     """Persist AND materialize (cheap count action) an intermediate that
     multiple plan subtrees will read.

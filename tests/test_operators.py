@@ -23,6 +23,20 @@ def test_fake_decode_meta_deterministic():
     assert a["modality"] == "image" and a["n_bytes"] == 123
 
 
+def test_release_hot_unpersists_and_rebuilds(spark):
+    from kinesyslog_spark import tables as T
+
+    sf = "/root/testdata/sf0.001"
+    df = T.hot_table(spark, sf, "region")
+    assert df.storageLevel.useMemory
+    released = T.release_hot(spark, sf)
+    assert released >= 1
+    assert not df.storageLevel.useMemory
+    # next access rebuilds a fresh persisted copy
+    df2 = T.hot_table(spark, sf, "region")
+    assert df2.storageLevel.useMemory and df2.count() == 5
+
+
 def test_frame_sample_fanout_shape():
     """frame_sample_batches emits k = n%4+1 rows per input row, with
     deterministic per-frame digests, preserving batch boundaries."""

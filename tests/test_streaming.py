@@ -125,6 +125,53 @@ def test_interval_join_stream_stream(spark, tmp_path):
         q.stop()
 
 
+def test_interval_join_stream_left_outer(spark, tmp_path):
+    """Left-outer stream-stream join: the matched row emits promptly; the
+    unmatched left row emits with nulls only after the watermark passes
+    its join window (driven by a later batch advancing event time)."""
+    ldir, rdir = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    os.makedirs(ldir), os.makedirs(rdir)
+    _write_json(os.path.join(ldir, "l1.json"), [
+        {"user_id": 7, "ts": "2024-01-01 00:00:00", "click": "c1"},
+        {"user_id": 8, "ts": "2024-01-01 00:00:00", "click": "c2"},  # no match
+    ])
+    _write_json(os.path.join(rdir, "r1.json"), [
+        {"user_id": 7, "ts": "2024-01-01 00:05:00", "buy": "b1"},
+    ])
+    lt = spark.readStream.schema("user_id long, ts timestamp, click string").json(ldir)
+    rt = spark.readStream.schema("user_id long, ts timestamp, buy string").json(rdir)
+    out = interval_join(lt, rt, within="10 minutes", watermark="10 minutes",
+                        how="left_outer")
+    q = (
+        out.select("user_id", "click", "r_buy")
+        .writeStream.format("memory").queryName("ivjlo").outputMode("append").start()
+    )
+
+    def poll(expect, timeout=90):
+        deadline = time.time() + timeout
+        got = {}
+        while time.time() < deadline:
+            got = {r["click"]: r["r_buy"] for r in spark.sql("SELECT * FROM ivjlo").collect()}
+            if got == expect:
+                return got
+            time.sleep(0.5)
+        return got
+
+    try:
+        assert poll({"c1": "b1"}) == {"c1": "b1"}
+        # advance event time far past c2's window + watermark -> null emits
+        _write_json(os.path.join(rdir, "r2.json"), [
+            {"user_id": 9, "ts": "2024-01-01 02:00:00", "buy": "b9"},
+        ])
+        _write_json(os.path.join(ldir, "l2.json"), [
+            {"user_id": 9, "ts": "2024-01-01 02:00:00", "click": "c9"},
+        ])
+        got = poll({"c1": "b1", "c2": None, "c9": "b9"}, timeout=120)
+        assert got.get("c2", "missing") is None, f"unmatched left row never emitted: {got}"
+    finally:
+        q.stop()
+
+
 def test_chunk_assembler_semantics():
     asm = _ChunkAssembler()
     asm.add(1, 3, b"B")
