@@ -232,3 +232,66 @@ def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q66 — domain-mixing weights (the data-mixing step of corpus assembly:
+# compute per-source sampling weights that move the token distribution
+# toward a uniform target share, capped at 1.0 — sources can be
+# down-sampled, never up-weighted past keeping everything). Exact
+# integer/ratio arithmetic: weight = min(1, target_tokens/actual_tokens)
+# with target = total/n_sources, evaluated as integer cross-products on
+# both engines before the final rounded division.
+# ---------------------------------------------------------------------------
+
+def _q66_oracle() -> str:
+    return f"""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens / CAST(total_tokens AS DOUBLE), 4) AS actual_share,
+           ROUND(CASE WHEN n_tokens * n_sources <= total_tokens THEN 1.0
+                 ELSE total_tokens / (CAST(n_sources AS DOUBLE) * n_tokens) END, 4) AS mix_weight
+    FROM per_source CROSS JOIN tot
+    ORDER BY source
+    """
+
+
+@query("q66_domain_mixing", oracle=_q66_oracle())
+def q66_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = hot_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0))
+        ).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count("*").alias("n_sources")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total_tokens").cast("double"), 4)
+            .alias("actual_share"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") * F.col("n_sources") <= F.col("total_tokens"),
+                    F.lit(1.0),
+                ).otherwise(
+                    F.col("total_tokens")
+                    / (F.col("n_sources").cast("double") * F.col("n_tokens"))
+                ),
+                4,
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
