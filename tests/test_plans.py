@@ -125,3 +125,14 @@ def test_q46_probe_sides_broadcast(spark, sf_dir):
     f = facts(QUERIES["q46_quantize_recall"](spark, sf_dir))
     assert f.broadcast_any_count >= 2, "probe sets must broadcast"
     assert f.python_eval_count == 0
+
+
+def test_q64_all_filters_pushed(spark, sf_dir):
+    # TPC-H Q6 is THE pushdown query: all three range predicates must
+    # reach the parquet scan, and the plan needs no shuffle beyond the
+    # single-row final aggregate exchange.
+    f = facts(QUERIES["q64_forecast_revenue"](spark, sf_dir))
+    pushed = " ".join(f.pushed_filters("lineitem") or [])
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} filter not pushed: {pushed}"
+    assert f.exchange_count <= 1
