@@ -1,0 +1,57 @@
+"""Property: the two as-of join strategies (Q23 inequality-join +
+ranking window vs Q63 union-timeline + running last) produce identical
+results on randomized event sets — including equal-timestamp ties
+between clicks and purchases and between multiple clicks.
+
+Hypothesis drives the *fixture generator* (event lists), and each
+example round-trips through parquet so both queries run their real
+paths. Example count is small because every example is a full Spark
+job pair; the shrunk counterexamples hypothesis finds on tie-break bugs
+are tiny (2-3 events), so a handful of examples with tie-heavy generation gives
+strong coverage of the ordering corner cases.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kinesyslog_spark.queries import QUERIES
+
+# Tie-heavy generation: tiny user and timestamp domains force collisions.
+_EVENT = st.tuples(
+    st.integers(0, 2),              # user_id
+    st.integers(0, 5),              # ts second within a fixed minute
+    st.sampled_from(["click", "purchase", "view"]),
+)
+
+
+@given(st.lists(_EVENT, min_size=1, max_size=12))
+@settings(max_examples=8, deadline=None)
+def test_asof_strategies_agree(spark, tmp_path_factory, events):
+    rows = [
+        (
+            i,                                   # event_id = arrival order
+            f"2024-01-01 00:00:0{s}",
+            u,
+            t,
+            0.0,
+            "{}",
+        )
+        for i, (u, s, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    d = tmp_path_factory.mktemp("asof")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    a = [tuple(r) for r in QUERIES["q23_asof_purchase_click"](spark, str(d)).collect()]
+    b = [tuple(r) for r in QUERIES["q63_asof_union_timeline"](spark, str(d)).collect()]
+    assert a == b
