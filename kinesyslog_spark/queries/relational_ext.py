@@ -326,3 +326,42 @@ def q65_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q67 — argmax aggregation (max_by/min_by): latest and cheapest order
+# per customer WITHOUT a ranking window — one hash aggregate with
+# map-side combine, the plan of choice for top-1-per-group at scale
+# (a row_number window would sort every partition; max_by keeps a
+# single-row state per key). Deterministic via a composite integer sort
+# key (epoch_days * 1e9 + orderkey) both engines compute identically.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q67_argmax_orders",
+    oracle="""
+    SELECT o_custkey,
+           MAX_BY(o_orderkey, CAST(DATEDIFF('day', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT) * 1000000000 + o_orderkey) AS last_orderkey,
+           CAST(epoch_ms(MAX(o_orderdate)) AS BIGINT) AS last_order_ms,
+           MIN_BY(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 10000000 + o_orderkey) AS cheapest_orderkey
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def q67_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    date_key = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint") * F.lit(1000000000) + F.col("o_orderkey")
+    )
+    price_key = dec("o_totalprice") * F.lit(10000000) + F.col("o_orderkey")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", date_key).alias("last_orderkey"),
+            F.unix_millis(F.max("o_orderdate")).alias("last_order_ms"),
+            F.min_by("o_orderkey", price_key).alias("cheapest_orderkey"),
+        )
+        .orderBy("o_custkey")
+    )
