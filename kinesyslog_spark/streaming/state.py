@@ -168,3 +168,86 @@ def reassemble_chunks_session_window(
             ).alias("message"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas twin — the third implementation of
+# F6, on the new StatefulProcessor API (typed state variables + explicit
+# timers instead of applyInPandasWithState's single state tuple).
+# Same semantics as reassemble_chunks_stream: dedup by seq (first wins),
+# emit the instant the last chunk lands, 5-s processing-time timer
+# clears incomplete groups (the reference's unenforced TODO,
+# protocol.py:288). State variables are RocksDB-backed per key at scale;
+# the ListState holds at most GELF_MAX_CHUNKS elements per message id.
+# ---------------------------------------------------------------------------
+
+def make_chunk_processor(timeout_ms: int = DEFAULT_TIMEOUT_MS):
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class ChunkStatefulProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._chunks = handle.getListState("chunks", "seq int, payload binary")
+            self._total = handle.getValueState("total", "total int")
+
+        def handleInputRows(self, key, rows, timer_values):
+            asm = _ChunkAssembler(
+                *(lambda prs: (
+                    [r[0] for r in prs], [bytes(r[1]) for r in prs]
+                ))(list(self._chunks.get()) if self._chunks.exists() else []),
+                total=(self._total.get()[0] if self._total.exists() else -1),
+            )
+            first_contact = asm.total == -1 and not asm.chunks
+            for pdf in rows:
+                for _, r in pdf.iterrows():
+                    asm.add(int(r["chunk_seq"]), int(r["chunk_cnt"]), bytes(r["payload"]))
+            if asm.complete:
+                msg = asm.assemble()
+                self._chunks.clear()
+                self._total.clear()
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                yield pd.DataFrame(
+                    {"msg_id": [key[0]], "n_chunks": [asm.total], "message": [msg]}
+                )
+                return
+            if asm.total == -2:  # overflow: drop group (gelf.py:20)
+                self._chunks.clear()
+                self._total.clear()
+                return
+            if first_contact:
+                self._handle.registerTimer(
+                    timer_values.getCurrentProcessingTimeInMs() + timeout_ms
+                )
+            self._chunks.clear()
+            self._chunks.appendList([
+                (s, p) for s, p in sorted(asm.chunks.items())
+            ])
+            self._total.update((asm.total,))
+            return
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            # timeout: discard the incomplete message, emit nothing
+            self._chunks.clear()
+            self._total.clear()
+            yield from ()
+
+        def close(self) -> None:
+            pass
+
+    return ChunkStatefulProcessor()
+
+
+def reassemble_chunks_tws(chunks, timeout_ms: int = DEFAULT_TIMEOUT_MS):
+    """F6 on `transformWithStateInPandas` (Spark 4 StatefulProcessor).
+
+    Output schema and emission timing match `reassemble_chunks_stream`;
+    prefer this variant on Spark 4 clusters — typed state variables
+    (ListState/ValueState) map directly onto RocksDB column families and
+    timers are first-class instead of encoded into the state tuple."""
+    return chunks.groupBy("msg_id").transformWithStateInPandas(
+        make_chunk_processor(timeout_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

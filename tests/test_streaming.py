@@ -227,6 +227,148 @@ def test_chunk_reassembly_stream(spark, tmp_path):
         q.stop()
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas runtime needs google.protobuf "
+    "(not shipped in this container); the processor's state machine is "
+    "unit-tested below without the runtime",
+)
+def test_chunk_reassembly_transform_with_state(spark, tmp_path):
+    """The Spark-4 StatefulProcessor twin (transformWithStateInPandas)
+    reassembles out-of-order chunks and holds incomplete state, matching
+    reassemble_chunks_stream's emission behavior."""
+    from kinesyslog_spark.streaming.state import reassemble_chunks_tws
+
+    in_dir = str(tmp_path / "chunks_tws")
+    os.makedirs(in_dir)
+    _write_json(os.path.join(in_dir, "b1.json"), [
+        {"msg_id": 1, "chunk_seq": 1, "chunk_cnt": 2, "payload": "bb"},
+        {"msg_id": 1, "chunk_seq": 0, "chunk_cnt": 2, "payload": "aa"},
+        {"msg_id": 2, "chunk_seq": 0, "chunk_cnt": 2, "payload": "xx"},
+    ])
+    chunks = (
+        spark.readStream.schema("msg_id long, chunk_seq int, chunk_cnt int, payload string")
+        .json(in_dir)
+        .select("msg_id", "chunk_seq", "chunk_cnt", F.encode("payload", "UTF-8").alias("payload"))
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = reassemble_chunks_tws(chunks, timeout_ms=120_000)
+    q = (
+        out.select("msg_id", "n_chunks", F.decode("message", "UTF-8").alias("message"))
+        .writeStream.format("memory").queryName("reasm_tws").outputMode("append").start()
+    )
+
+    def poll(expect):
+        deadline = time.time() + 90
+        got = {}
+        while time.time() < deadline:
+            got = {r["msg_id"]: r["message"] for r in spark.sql("SELECT * FROM reasm_tws").collect()}
+            if got == expect:
+                return got
+            time.sleep(0.5)
+        return got
+
+    try:
+        assert poll({1: "aabb"}) == {1: "aabb"}
+        _write_json(os.path.join(in_dir, "b2.json"), [
+            {"msg_id": 2, "chunk_seq": 1, "chunk_cnt": 2, "payload": "yy"},
+        ])
+        assert poll({1: "aabb", 2: "xxyy"}) == {1: "aabb", 2: "xxyy"}
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_chunk_processor_state_machine():
+    """StatefulProcessor semantics without the streaming runtime: fake
+    handle/state objects drive handleInputRows + handleExpiredTimer
+    through the same dedup/complete/overflow/timeout paths the live
+    query exercises where protobuf is available."""
+    import pandas as pd
+
+    from kinesyslog_spark.streaming.state import make_chunk_processor
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class FakeListState(FakeValueState):
+        def appendList(self, rows):
+            self.v = (self.v or []) + list(rows)
+
+    class FakeTimerValues:
+        def getCurrentProcessingTimeInMs(self):
+            return 1_000_000
+
+    class FakeHandle:
+        def __init__(self):
+            self.timers = []
+
+        def getListState(self, name, schema):
+            return FakeListState()
+
+        def getValueState(self, name, schema):
+            return FakeValueState()
+
+        def registerTimer(self, ts):
+            self.timers.append(ts)
+
+        def deleteTimer(self, ts):
+            self.timers.remove(ts)
+
+        def listTimers(self):
+            return list(self.timers)
+
+    proc = make_chunk_processor(timeout_ms=5000)
+    handle = FakeHandle()
+    proc.init(handle)
+
+    # batch 1: out-of-order partial -> no emit, timer registered
+    b1 = pd.DataFrame({"chunk_seq": [1], "chunk_cnt": [2], "payload": [b"bb"]})
+    out = list(proc.handleInputRows((7,), iter([b1]), FakeTimerValues()))
+    assert out == [] and handle.timers == [1_005_000]
+    # batch 2 completes -> emits assembled message, timer cleaned up
+    b2 = pd.DataFrame({"chunk_seq": [0], "chunk_cnt": [2], "payload": [b"aa"]})
+    out = list(proc.handleInputRows((7,), iter([b2]), FakeTimerValues()))
+    assert len(out) == 1
+    assert bytes(out[0]["message"][0]) == b"aabb" and handle.timers == []
+    # timeout on an incomplete group discards silently
+    proc2 = make_chunk_processor(timeout_ms=5000)
+    h2 = FakeHandle()
+    proc2.init(h2)
+    list(proc2.handleInputRows((9,), iter([b1]), FakeTimerValues()))
+    assert list(proc2.handleExpiredTimer((9,), FakeTimerValues(), None)) == []
+    assert not proc2._total.exists() and not proc2._chunks.exists()
+
+
 def test_reassemble_fn_timeout_path():
     """The 5-s timeout (the reference's unenforced TODO, protocol.py:288)
     drops incomplete state without emitting."""
