@@ -5,13 +5,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion (collect of an already-small result,
 or count for large ones) after a warm-up of the session; per-query time is
-wall clock for plan + execution.
+wall clock for plan + execution, reported as the MEDIAN of $BENCH_RUNS
+(default 3) executions — the box shows ±25% run-to-run variance
+(ROADMAP), so single-shot numbers are not comparable across rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -69,13 +72,31 @@ def main() -> None:
                 except Exception:
                     pass  # warm-up is best-effort; the timed run decides
 
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
+    bench_all = bool(os.environ.get("BENCH_ALL"))
     times: dict[str, float] = {}
+    prev_module: str | None = None
     for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        fn = QUERIES[name]
+        if bench_all and prev_module not in (None, fn.__module__):
+            # Full-registry sweeps accumulate persisted blocks (hot
+            # tables/tokens/vectors/centroids) across query families;
+            # the block-manager pressure measured a 4x slowdown on q40.
+            # Release between families — each family rebuilds its own.
+            from kinesyslog_spark.tables import release_hot
+
+            release_hot(spark)
+        prev_module = fn.__module__
+        samples = []
+        n = 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 3)
+        detail = "/".join(f"{s:.3f}" for s in samples)
+        print(f"# {name}: median {times[name]:.3f}s of [{detail}] ({n} rows)",
+              file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -83,6 +104,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -11,15 +11,18 @@ the driver, so the engine exposes:
   the observed metrics and per-batch progress (rows/sec) into a
   driver-side registry dict shaped like the reference's metric names
   (constant.py:43-52).
-- `render_prometheus` (O4): text-format exposition of the registry; the
-  HTTP wrapper is one `http.server` away and deliberately not started
-  here (tests read the text directly).
+- `render_prometheus` (O4): text-format exposition of the registry.
+- `MetricsServer` (O4): a threaded stdlib HTTP server exposing the
+  registry at `/metrics` plus `/` and `/robots.txt`, counting requests
+  per (method, path) like the reference's prometheus middleware
+  (prometheus.py:45-77, STAT_HTTP_REQS).
 """
 
 from __future__ import annotations
 
 import threading
-from typing import Any
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -85,6 +88,98 @@ def render_prometheus(registry: dict[str, float],
     """O4: Prometheus text exposition format."""
     lines = []
     for name, value in sorted(registry.items()):
-        lines.append(f"# TYPE {prefix}{name} counter")
-        lines.append(f"{prefix}{name} {value}")
+        # Label-bearing names ("name{...}") share one TYPE line per family.
+        bare = name.split("{", 1)[0]
+        type_line = f"# TYPE {prefix}{bare} counter"
+        if type_line not in lines:
+            lines.append(type_line)
+        if "{" in name:
+            family, labels = name.split("{", 1)
+            lines.append(f"{prefix}{family}{{{labels} {value}")
+        else:
+            lines.append(f"{prefix}{name} {value}")
     return "\n".join(lines) + "\n"
+
+
+HTTP_REQS = "http_requests_total"
+
+_ROBOTS = b"User-agent: *\nDisallow: /\n"
+_INDEX = (b"<html><body><a href='/metrics'>metrics</a></body></html>\n")
+
+
+class MetricsServer:
+    """O4: serve the metrics registry over HTTP (reference
+    prometheus.py:45-77 — aiohttp Service with `/metrics`, `/`,
+    `/robots.txt` and a request-counting middleware).
+
+    stdlib ThreadingHTTPServer: metrics exposition is a low-rate scrape
+    path, so per-request threads are fine and no third-party dependency
+    is needed. `snapshot` is any callable returning the current registry
+    dict (e.g. `RelayMetricsListener.snapshot`); request counts are
+    folded in at render time under (method, path) labels like the
+    reference middleware.
+    """
+
+    def __init__(self, snapshot: Callable[[], dict[str, float]],
+                 host: str = "127.0.0.1", port: int = 0,
+                 prefix: str = "kinesyslog_spark_") -> None:
+        self._snapshot = snapshot
+        self._prefix = prefix
+        self._lock = threading.Lock()
+        self._requests: dict[str, float] = {}
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a: Any) -> None:  # silence stderr
+                pass
+
+            def do_GET(self) -> None:  # noqa: N802
+                server._count(self.command, self.path)
+                if self.path == "/metrics":
+                    body = server.render().encode()
+                    ctype = "text/plain; version=0.0.4"
+                elif self.path == "/robots.txt":
+                    body, ctype = _ROBOTS, "text/plain"
+                elif self.path == "/":
+                    body, ctype = _INDEX, "text/html"
+                else:
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    def _count(self, method: str, path: str) -> None:
+        # Unknown paths collapse to one label value so a scanner can't
+        # blow up registry cardinality.
+        if path not in ("/metrics", "/", "/robots.txt"):
+            path = "<other>"
+        key = f'{HTTP_REQS}{{method="{method}",path="{path}"}}'
+        with self._lock:
+            self._requests[key] = self._requests.get(key, 0.0) + 1
+
+    def render(self) -> str:
+        registry = dict(self._snapshot())
+        with self._lock:
+            registry.update(self._requests)
+        return render_prometheus(registry, self._prefix)
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "MetricsServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=5)

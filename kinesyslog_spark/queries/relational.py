@@ -145,7 +145,10 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "revenue",
-            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            # cast: parquet dates read as TIMESTAMP_NTZ under a default
+            # session (inferTimestampNTZ), which unix_millis rejects; the
+            # session tz is UTC so the cast is exact.
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -669,12 +672,25 @@ def q49_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # approx_count_distinct is the 100 TB form of Q14: HyperLogLog++ merges
 # per-partition sketches instead of shuffling every distinct key, at a
-# configurable relative error. Approximate output cannot hash-match a
-# DuckDB twin, so this query is deliberately registered WITHOUT an
-# oracle (driver records the weaker rows-only check); the exact count
-# sits alongside so the sketch error is visible and bounded in-test.
+# configurable relative error. The raw sketch estimate cannot hash-match a
+# DuckDB twin, so the query is SELF-VALIDATING: it emits the exact count
+# plus `in_bounds` = (|approx-exact|/exact <= 5*rsd); the oracle emits the
+# exact count and literal TRUE. 5x the configured rsd (= 10%) is far
+# outside HLL++'s observed tail (~3 sigma is 3*rsd), so a green row means
+# the sketch really did estimate within bound.
 
-@query("q50_approx_distinct_sketch")
+@query(
+    "q50_approx_distinct_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n_rows,
+           TRUE AS in_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q50_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -683,6 +699,16 @@ def q50_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
             F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= F.lit(0.10)
+            ).alias("in_bounds"),
         )
         .orderBy("l_returnflag")
     )

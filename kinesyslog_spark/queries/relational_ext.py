@@ -360,7 +360,8 @@ def q67_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(
             F.max_by("o_orderkey", date_key).alias("last_orderkey"),
-            F.unix_millis(F.max("o_orderdate")).alias("last_order_ms"),
+            # cast: o_orderdate is TIMESTAMP_NTZ under a default session
+            F.unix_millis(F.max("o_orderdate").cast("timestamp")).alias("last_order_ms"),
             F.min_by("o_orderkey", price_key).alias("cheapest_orderkey"),
         )
         .orderBy("o_custkey")

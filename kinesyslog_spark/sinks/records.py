@@ -175,12 +175,22 @@ def spool_batch(events: DataFrame, spool_dir: str, **envelope_kw) -> int:
     the driver never holds record payloads."""
     ser = serialize_records(build_envelopes(events, **envelope_kw))
 
+    # Count via accumulator, not a driver-side listdir: executors write to
+    # machine-local spool dirs on a real cluster (the driver can't see
+    # them), and listdir would also count pre-existing/prior-batch files.
+    # foreachPartition is an action, so accumulator updates are applied
+    # exactly once per successful task.
+    acc = events.sparkSession.sparkContext.accumulator(0)
+
     def write_partition(rows) -> None:
+        n = 0
         for row in rows:
             spool_write(bytes(row["payload"]), spool_dir)
+            n += 1
+        acc.add(n)
 
     ser.foreachPartition(write_partition)
-    return len([n for n in os.listdir(spool_dir) if n.startswith(SPOOL_PREFIX)])
+    return acc.value
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,12 @@ class _UdpProtocol(asyncio.DatagramProtocol):
     def __init__(self, writer: SpoolWriter, port: int):
         self.writer, self.port = writer, port
 
+    def connection_made(self, transport) -> None:  # noqa: D102
+        # Stamp `dest` with the ACTUALLY BOUND port, not the requested one
+        # (port 0 = ephemeral would stamp dest=0 and corrupt the logGroup
+        # key; the reference keys on sockname — protocol.py sockname[1]).
+        self.port = transport.get_extra_info("sockname")[1]
+
     def datagram_received(self, data: bytes, addr) -> None:
         # One datagram = one message (protocol.py:46-48 appends '\n' to
         # reuse the framer; here the framing is already done).
@@ -100,6 +106,7 @@ async def _handle_tcp(reader: asyncio.StreamReader,
     peer = writer_t.get_extra_info("peername")[0]
     buf = b""
     awaiting_proxy = proxy_protocol
+    protocol_error = False
     try:
         while True:
             data = await reader.read(65536)
@@ -109,7 +116,16 @@ async def _handle_tcp(reader: asyncio.StreamReader,
             if awaiting_proxy:
                 # S4: strip the PROXY header and substitute the real
                 # client address before any framing/keying (proxy.py:216-236).
-                decoded = strip_proxy_header(buf)
+                try:
+                    decoded = strip_proxy_header(buf)
+                except ValueError:
+                    # Malformed PROXY header: close the connection and
+                    # drop the buffer — never spool header bytes as a
+                    # log message (reference _close_with_error,
+                    # proxy.py:225-231).
+                    protocol_error = True
+                    buf = b""
+                    break
                 if decoded is NEED_MORE:
                     continue
                 real_source, buf = decoded
@@ -130,7 +146,9 @@ async def _handle_tcp(reader: asyncio.StreamReader,
                         line.decode("utf-8", "backslashreplace"), peer, port
                     )
     finally:
-        if buf:  # connection close flushes the remainder (protocol.py:56-58)
+        # Connection close flushes the remainder (protocol.py:56-58) —
+        # unless a protocol error dropped the buffer above.
+        if buf and not protocol_error:
             spool.add(buf.decode("utf-8", "backslashreplace"), peer, port)
         writer_t.close()
 
@@ -163,8 +181,13 @@ async def run_bridge(out_dir: str, udp_port: int = 0, tcp_port: int = 0,
     )
     udp_bound = transport.get_extra_info("sockname")[1]
 
+    # Stamp `dest` with the ACTUALLY BOUND port (reference keys on
+    # sockname — protocol.py sockname[1]); with the requested port the
+    # ephemeral default (0) would make every logGroup 'kinesyslog/.../0'.
+    # The closure reads the name assigned right after start_server returns;
+    # no connection callback can run before this coroutine next yields.
     server = await asyncio.start_server(
-        lambda r, w: _handle_tcp(r, w, spool, tcp_port, proxy_protocol),
+        lambda r, w: _handle_tcp(r, w, spool, tcp_bound, proxy_protocol),
         host, tcp_port,
     )
     tcp_bound = server.sockets[0].getsockname()[1]
@@ -175,10 +198,11 @@ async def run_bridge(out_dir: str, udp_port: int = 0, tcp_port: int = 0,
         # S3: TLS termination, then the identical TCP path (the app
         # protocol never sees the difference — server.py:46-52).
         tls_server = await asyncio.start_server(
-            lambda r, w: _handle_tcp(r, w, spool, tls_port or 6514, proxy_protocol),
+            lambda r, w: _handle_tcp(r, w, spool, tls_bound, proxy_protocol),
             host, tls_port or 0, ssl=ssl_context,
         )
-        bound.append(tls_server.sockets[0].getsockname()[1])
+        tls_bound = tls_server.sockets[0].getsockname()[1]
+        bound.append(tls_bound)
 
     run_bridge.bound = tuple(bound)  # type: ignore[attr-defined]
     if ready is not None:

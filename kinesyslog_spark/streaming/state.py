@@ -42,6 +42,14 @@ class _ChunkAssembler:
             return
         if self.total == -1:
             self.total = cnt
+        if seq < 0 or seq >= self.total:
+            # Out-of-range seq = corrupt/mismatched header: poison the
+            # group. The reference indexes a fixed-size parts list
+            # (gelf.py:21,44) so such a chunk can never be accepted;
+            # counting it toward `complete` would emit a message
+            # assembled with a middle chunk missing.
+            self.total = -2
+            return
         if seq not in self.chunks:  # dedup, first chunk wins (gelf.py:41-44)
             self.chunks[seq] = payload
 
@@ -157,7 +165,12 @@ def reassemble_chunks_session_window(
     return (
         agg.select("msg_id", "total", ded.alias("ded"))
         .filter(
-            (F.col("total") <= GELF_MAX_CHUNKS) & (F.size("ded") == F.col("total"))
+            (F.col("total") <= GELF_MAX_CHUNKS)
+            & (F.size("ded") == F.col("total"))
+            # out-of-range seq = corrupt header -> drop the group, same
+            # as _ChunkAssembler's poison path (bounded parts array,
+            # gelf.py:21,44)
+            & F.expr("forall(ded, x -> x.chunk_seq >= 0 AND x.chunk_seq < total)")
         )
         .select(
             "msg_id",

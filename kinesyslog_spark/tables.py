@@ -27,29 +27,74 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Session-robustness: the caller's session (e.g. the correctness
+    # driver's) may carry NO engine configs, so normalize types at load
+    # instead of relying on session-build settings.
+    #
+    # 1. TIMESTAMP(NANOS) parquet (older testdata generations) throws
+    #    PARQUET_TYPE_ILLEGAL on a default session; nanosAsLong is
+    #    runtime-settable and the bigint is converted below.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # older Spark without the conf: the read either works or fails loudly
     df = spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql import functions as F
+
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via spark.sql.legacy.parquet.nanosAsLong:
         # convert epoch-nanos -> TimestampType (µs), truncating like DuckDB.
-        from pyspark.sql import functions as F
-
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # 2. isAdjustedToUTC=false timestamps read as TIMESTAMP_NTZ under the
+    #    default inferTimestampNTZ, which unix_millis/time arithmetic
+    #    reject. All engine sessions run tz=UTC, so the NTZ->LTZ cast is
+    #    exact; it is a metadata-only projection (no data pass).
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition before per-row-heavy compute.
+    """Round-robin repartition before per-row-heavy compute — GATED on
+    the input actually being under-split.
 
     Small local test files arrive as ONE input split, which serializes
     expensive per-row work (higher-order array functions run interpreted,
-    outside whole-stage codegen) onto a single core. On a real cluster a
-    100 TB scan has thousands of natural splits and this is a no-op
-    decision; locally the one-time shuffle of the raw column is repaid
-    ~32x by parallel evaluation. Callers apply it only in front of
-    array/shingle/hash pipelines, never plain Catalyst expressions.
+    outside whole-stage codegen) onto a single core; the one-time shuffle
+    of the raw column is repaid ~32x by parallel evaluation. On a real
+    cluster a 100 TB scan already has thousands of natural splits, where
+    an unconditional round-robin would be a full-corpus shuffle — so the
+    repartition fires ONLY when the current split count is below half the
+    target parallelism. Callers apply it in front of array/shingle/hash
+    pipelines, never plain Catalyst expressions.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # Plan-only inspection (no job): how many splits would this scan
+        # produce as-is?
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        cur = 0
+    if cur * 2 >= n:
+        # Already well-split (any at-scale scan lands here): adding a
+        # round-robin shuffle could only hurt.
+        return df
     return df.repartition(n)
+
+
+# hot_table persists whole tables; bound it so "persist the corpus" can
+# never happen at scale — above this the plain (non-cached) load wins.
+HOT_TABLE_MAX_BYTES = 4 << 30  # 4 GiB per table, comfortably in local RAM
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan (scan file size
+    for a plain parquet read). -1 when unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return -1
 
 
 _HOT_CACHE: dict[tuple[int, str, str], DataFrame] = {}
@@ -62,11 +107,20 @@ def hot_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     table; without memoization every query re-reads the (single-row-group,
     hence single-task) parquet and re-shuffles it. One session-lifetime
     cache makes the scan cost once-per-session — the local analog of a
-    hot table in cluster cache. Safe because testdata is immutable."""
+    hot table in cluster cache. Safe because testdata is immutable.
+
+    BOUNDED: tables whose Catalyst size estimate exceeds
+    HOT_TABLE_MAX_BYTES are returned as plain loads (no spread, no
+    persist) — "persist the corpus" is a scale-killer at 100 TB, and
+    re-scanning parquet beats evicting executor storage memory."""
     key = (id(spark), sf_dir.rstrip("/"), name)
     df = _HOT_CACHE.get(key)
     if df is None:
-        df = spread(load_table(spark, sf_dir, name)).persist()
+        df = load_table(spark, sf_dir, name)
+        size = _plan_size_bytes(df)
+        if size < 0 or size > HOT_TABLE_MAX_BYTES:
+            return df  # too big (or unknown): never cache, never memoize
+        df = spread(df).persist()
         df.count()
         _HOT_CACHE[key] = df
     return df

@@ -66,3 +66,42 @@ def test_render_prometheus():
     text = render_prometheus({"message_count_total": 7.0})
     assert "# TYPE kinesyslog_spark_message_count_total counter" in text
     assert "kinesyslog_spark_message_count_total 7.0" in text
+
+
+def test_metrics_http_server():
+    """O4: /metrics, /, /robots.txt served + per-(method,path) request
+    counting (reference prometheus.py:45-77 middleware)."""
+    import urllib.request
+
+    from kinesyslog_spark.observability import HTTP_REQS, MetricsServer
+
+    registry = {"message_count_total": 42.0}
+    srv = MetricsServer(lambda: registry).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        root = urllib.request.urlopen(f"{base}/").read()
+        assert b"/metrics" in root
+
+        robots = urllib.request.urlopen(f"{base}/robots.txt").read()
+        assert b"Disallow" in robots
+
+        try:
+            urllib.request.urlopen(f"{base}/nope")
+            raised = False
+        except Exception:
+            raised = True
+        assert raised, "unknown path should 404"
+
+        body = urllib.request.urlopen(f"{base}/metrics").read().decode()
+        assert "kinesyslog_spark_message_count_total 42.0" in body
+        # request counter: the 3 requests above, labeled by path
+        assert 'path="/"' in body and 'path="/robots.txt"' in body
+        assert 'path="<other>"' in body
+        assert f"# TYPE kinesyslog_spark_{HTTP_REQS} counter" in body
+
+        # counter increments across scrapes
+        body2 = urllib.request.urlopen(f"{base}/metrics").read().decode()
+        assert 'method="GET",path="/metrics"} 2' in body2
+    finally:
+        srv.stop()

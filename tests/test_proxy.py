@@ -104,3 +104,110 @@ def test_bridge_with_proxy_protocol(tmp_path):
     # the source column carries the REAL client, not the proxy peer
     assert rows[0]["source"] == "203.0.113.77"
     assert rows[0]["raw"] == "<13>proxied message"
+
+
+# ---------------------------------------------------------------------------
+# PROXY v2 TLV extraction (reference proxy.py:185-199)
+# ---------------------------------------------------------------------------
+
+def _tlv(tlv_type: int, value: bytes) -> bytes:
+    return struct.pack("!BH", tlv_type, len(value)) + value
+
+
+def _v2_header_tlv(tlvs: bytes, src="172.16.0.9", dst="10.0.0.1", cmd=1):
+    body = (
+        socket.inet_aton(src) + socket.inet_aton(dst)
+        + struct.pack("!HH", 999, 514) + tlvs
+    )
+    return V2_MAGIC + struct.pack("!BBH", 0x20 | cmd, 0x11, len(body)) + body
+
+
+def test_v2_tlv_extraction():
+    from kinesyslog_spark.sources.proxy import parse_proxy_header
+
+    tlvs = (
+        _tlv(0x01, b"h2")                      # ALPN
+        + _tlv(0x02, b"logs.example.com")      # AUTHORITY
+        + _tlv(0x04, b"\x00\x00\x00")          # NOOP padding: never surfaced
+        + _tlv(0xEA, b"\x01vpce-123")          # AWS (VPC endpoint id)
+    )
+    info, rest = parse_proxy_header(_v2_header_tlv(tlvs) + b"<13>x\n")
+    assert info.source == "172.16.0.9" and rest == b"<13>x\n"
+    assert info.tlvs == {
+        "PP2_TYPE_ALPN": b"h2",
+        "PP2_TYPE_AUTHORITY": b"logs.example.com",
+        "PP2_TYPE_AWS": b"\x01vpce-123",
+    }
+
+
+def test_v2_tlv_unknown_type_skipped():
+    from kinesyslog_spark.sources.proxy import parse_proxy_header
+
+    tlvs = _tlv(0x99, b"??") + _tlv(0x01, b"http/1.1")
+    info, _ = parse_proxy_header(_v2_header_tlv(tlvs) + b"x")
+    assert info.tlvs == {"PP2_TYPE_ALPN": b"http/1.1"}
+
+
+def test_v2_tlv_truncated_is_malformed():
+    from kinesyslog_spark.sources.proxy import parse_proxy_header
+
+    # length says 8 but only 2 value bytes present inside the declared body
+    tlvs = struct.pack("!BH", 0x01, 8) + b"h2"
+    with pytest.raises(ValueError):
+        parse_proxy_header(_v2_header_tlv(tlvs) + b"x")
+
+
+def test_v2_no_tlvs_empty_dict():
+    from kinesyslog_spark.sources.proxy import parse_proxy_header
+
+    info, rest = parse_proxy_header(_v2_header() + b"payload")
+    assert info.source == "172.16.0.9" and info.tlvs == {} and rest == b"payload"
+
+
+def test_v1_has_no_tlvs():
+    from kinesyslog_spark.sources.proxy import parse_proxy_header
+
+    info, _ = parse_proxy_header(
+        b"PROXY TCP4 192.168.7.9 10.0.0.1 56324 514\r\nx"
+    )
+    assert info.source == "192.168.7.9" and info.tlvs == {}
+
+
+def test_malformed_proxy_closes_without_spooling(tmp_path):
+    """A garbage PROXY header must never be flushed into the spool as a
+    log message attributed to the peer (reference _close_with_error)."""
+    from kinesyslog_spark.sources.bridge import run_bridge
+
+    out_dir = str(tmp_path / "lines")
+    loop = asyncio.new_event_loop()
+    ready = asyncio.Event()
+    stop = asyncio.Event()
+
+    def runner():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(
+            run_bridge(out_dir, ready=ready, stop=stop, proxy_protocol=True)
+        )
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    while not ready.is_set() and time.time() < deadline:
+        time.sleep(0.05)
+    _, tcp_port = run_bridge.bound
+
+    c = socket.create_connection(("127.0.0.1", tcp_port))
+    c.sendall(b"PROXY GARBAGE NOPE\r\n<13>should never appear\n")
+    time.sleep(0.3)
+    c.close()
+
+    time.sleep(1.5)
+    loop.call_soon_threadsafe(stop.set)
+    t.join(timeout=10)
+
+    rows = []
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            with open(os.path.join(out_dir, name)) as f:
+                rows += [json.loads(line) for line in f]
+    assert rows == []

@@ -123,3 +123,14 @@ def test_pack_upload_batches():
     assert [len(b) for b in batches] == [MAX_BATCH_COUNT, 10]
     big = [("a", 3 * 1024 * 1024), ("b", 3 * 1024 * 1024), ("c", 10)]
     assert pack_upload_batches(big) == [["a"], ["b", "c"]]
+
+
+def test_spool_batch_count_ignores_preexisting_files(spark, tmp_path):
+    """The return value counts records WRITTEN THIS BATCH (via an
+    accumulator), not whatever os.listdir sees — pre-existing and
+    prior-batch spool files must not inflate it."""
+    spool_dir = str(tmp_path / "spool2")
+    events = _events(spark)
+    assert spool_batch(events, spool_dir) == 6
+    # second batch into the same dir: still 6, not 12
+    assert spool_batch(events, spool_dir) == 6

@@ -581,3 +581,37 @@ def test_session_window_reassembly_streaming_emit(spark, tmp_path):
         assert got == {1: (2, "aabb")}, got
     finally:
         q.stop()
+
+
+def test_chunk_assembler_out_of_range_seq_poisons():
+    """A chunk_seq outside [0, total) is a corrupt/mismatched header: the
+    group must be poisoned, never emitted with a middle chunk missing
+    (reference indexes a FIXED-SIZE parts list, gelf.py:21,44)."""
+    asm = _ChunkAssembler()
+    asm.add(0, 2, b"A")
+    asm.add(2, 2, b"C")  # seq == total: out of range
+    assert asm.poisoned and not asm.complete
+    neg = _ChunkAssembler()
+    neg.add(-1, 2, b"A")
+    assert neg.poisoned
+
+
+def test_session_window_out_of_range_seq_drops_group(spark):
+    from kinesyslog_spark.streaming.state import reassemble_chunks_session_window
+
+    rows = [
+        # msg 1: seqs {0, 2} with total=2 -> len matches but seq 2 is
+        # out of range; must be DROPPED, not emitted as two chunks
+        (1, 0, 2, b"aa", 1_000),
+        (1, 2, 2, b"cc", 1_001),
+        # msg 2: well-formed control
+        (2, 0, 2, b"xx", 2_000),
+        (2, 1, 2, b"yy", 2_001),
+    ]
+    df = spark.createDataFrame(
+        [(m, s, c, p, ts) for m, s, c, p, ts in rows],
+        "msg_id long, chunk_seq int, chunk_cnt int, payload binary, recv_ms long",
+    ).withColumn("recv_ts", F.timestamp_millis(F.col("recv_ms")))
+    out = reassemble_chunks_session_window(df)
+    got = {r["msg_id"]: bytes(r["message"]) for r in out.collect()}
+    assert got == {2: b"xxyy"}

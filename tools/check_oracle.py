@@ -5,7 +5,12 @@ same parquet tables, then compares row count, column names, and values
 (order-insensitive, exact after the ROUND(,4) determinism rules).
 
 Usage:
-    python tools/check_oracle.py [sf_dir] [query_name ...]
+    python tools/check_oracle.py [--vanilla] [sf_dir] [query_name ...]
+
+--vanilla runs on a DEFAULT-CONFIG SparkSession (what the correctness driver
+uses) instead of the tuned engine session, so builder-session configs can
+never mask a driver-side failure (round-1 lesson: 9 red rows from exactly
+that).
 """
 
 from __future__ import annotations
@@ -73,11 +78,25 @@ def check(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
     return True, f"OK ({len(srows)} rows)"
 
 
+def vanilla_spark():
+    """The driver's session: master + UTC tz only, NO engine configs."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check-vanilla")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
 def main():
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.001"
     names = [a for a in args if not a.startswith("/")] or list(QUERIES)
-    spark = get_spark("oracle-check")
+    spark = vanilla_spark() if vanilla else get_spark("oracle-check")
     con = duck_con(sf_dir)
     failed = []
     for name in names:
