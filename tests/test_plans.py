@@ -136,3 +136,21 @@ def test_q64_all_filters_pushed(spark, sf_dir):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} filter not pushed: {pushed}"
     assert f.exchange_count <= 1
+
+
+def test_q68_bm25_broadcast_and_topk(spark, sf_dir):
+    # idf (vocabulary-sized) and the corpus stats broadcast into map-side
+    # scoring; top-k is TakeOrderedAndProject (per-partition top-k, 20-row
+    # driver merge), never a global sort. The dl join is deliberately
+    # unforced: AQE broadcasts locally, SMJ on doc_id at scale.
+    f = facts(QUERIES["q68_bm25_topk"](spark, sf_dir))
+    assert f.broadcast_any_count >= 2, "idf + stats must broadcast"
+    assert "TakeOrderedAndProject" in f.text, "top-k must not global-sort"
+    assert f.python_eval_count == 0
+
+
+def test_q69_entropy_jvm_side(spark, sf_dir):
+    # Map-side-combining aggregates on keys the tokenizer co-locates;
+    # all arithmetic stays in whole-stage codegen.
+    f = facts(QUERIES["q69_entropy_filter"](spark, sf_dir))
+    assert f.python_eval_count == 0
