@@ -1,0 +1,106 @@
+"""S5 as a native Spark data source: `format("kinesyslogspool")`
+batch + streaming reads over the engine's own spool output (Spark 4
+Python Data Source API)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+pytest.importorskip("pyspark.sql.datasource")
+
+from kinesyslog_spark.sinks.records import spool_batch  # noqa: E402
+from kinesyslog_spark.sources.spool_source import (  # noqa: E402
+    SpoolDataSource,
+    register_spool_source,
+)
+
+
+def _events(spark):
+    rows = [
+        (f"{i:056d}", 1700000000000 + i, f"msg {i}", "10.0.0.1", 514)
+        for i in range(6)
+    ]
+    return spark.createDataFrame(
+        rows, "id string, ts_ms long, message string, source string, dest int"
+    )
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register_spool_source(spark)
+    return spark
+
+
+def test_batch_read_round_trips(registered, tmp_path):
+    spark = registered
+    spool_dir = str(tmp_path / "spool")
+    spool_batch(_events(spark), spool_dir)
+
+    df = spark.read.format("kinesyslogspool").load(spool_dir)
+    flat = df.select(F.explode("logEvents").alias("e")).select(
+        F.col("e.id").alias("id"), F.col("e.timestamp").alias("ts_ms"),
+        F.col("e.message").alias("message"),
+    )
+    got = {(r["id"], r["ts_ms"], r["message"]) for r in flat.collect()}
+    want = {(r["id"], r["ts_ms"], r["message"]) for r in _events(spark).collect()}
+    assert got == want
+    # provenance column present
+    assert df.select("src_file").distinct().count() >= 1
+
+
+def test_batch_read_empty_dir(registered, tmp_path):
+    df = registered.read.format("kinesyslogspool").load(str(tmp_path / "nothing"))
+    assert df.count() == 0
+
+
+def test_stream_read_picks_up_new_files(registered, tmp_path):
+    spark = registered
+    spool_dir = str(tmp_path / "stream_spool")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spool_batch(_events(spark), spool_dir)
+
+    q = (
+        spark.readStream.format("kinesyslogspool")
+        .load(spool_dir)
+        .select(F.explode("logEvents").alias("e"))
+        .select(F.col("e.id").alias("id"), F.col("e.message").alias("message"))
+        .writeStream.format("json")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        def rows():
+            if not os.path.isdir(out_dir):
+                return []
+            import json as _json
+            out = []
+            for n in os.listdir(out_dir):
+                if n.endswith(".json"):
+                    with open(os.path.join(out_dir, n)) as f:
+                        out += [_json.loads(line) for line in f if line.strip()]
+            return out
+        while len(rows()) < 6 and time.time() < deadline:
+            time.sleep(0.5)
+        assert len(rows()) == 6
+
+        # late arrivals: a second spool batch lands mid-stream
+        spool_batch(_events(spark), spool_dir)
+        while len(rows()) < 12 and time.time() < deadline:
+            time.sleep(0.5)
+        got = rows()
+        assert len(got) == 12, "stream must deliver newly-arrived spool files"
+    finally:
+        q.stop()
+
+
+def test_source_name_and_schema():
+    assert SpoolDataSource.name() == "kinesyslogspool"
+    assert "logEvents" in SpoolDataSource(options={}).schema()
