@@ -45,6 +45,9 @@ def _parser() -> argparse.ArgumentParser:
     ls.add_argument("--delivery-stream", default=None,
                     help="Firehose stream name (needs boto3)")
     ls.add_argument("--group-prefix", default="kinesyslog")
+    ls.add_argument("--prometheus-port", type=int, default=None,
+                    help="serve /metrics on this port (0 = ephemeral); "
+                         "reference --stats-port")
     ls.add_argument("--duration", type=int, default=0,
                     help="seconds to run; 0 = until SIGINT")
     ls.add_argument("--cpus", default=None)
@@ -135,6 +138,25 @@ def listen(args) -> int:
     print(f"spool: {spool_dir}", flush=True)
 
     spark = get_spark("kinesyslog-spark-listen", cpus=args.cpus)
+
+    metrics_srv = None
+    listener = None
+    if args.prometheus_port is not None:
+        # O1+O4: accumulate stream progress into the registry and serve
+        # it over HTTP (reference prometheus.py StatsServer).
+        from kinesyslog_spark.observability import (
+            MetricsServer,
+            RelayMetricsListener,
+        )
+
+        listener = RelayMetricsListener()
+        spark.streams.addListener(listener)
+        metrics_srv = MetricsServer(
+            listener.snapshot, host=args.host, port=args.prometheus_port
+        ).start()
+        print(f"metrics: http://{args.host}:{metrics_srv.port}/metrics",
+              flush=True)
+
     query = start_relay(
         spark, lines_dir, spool_dir, ckpt_dir,
         trigger_seconds=args.trigger_seconds,
@@ -171,6 +193,10 @@ def listen(args) -> int:
         bridge.join(timeout=10)
         query.processAllAvailable()
         query.stop()
+        if metrics_srv is not None:
+            metrics_srv.stop()
+        if listener is not None:
+            spark.streams.removeListener(listener)
         spark.stop()
     n = len([f for f in os.listdir(spool_dir)]) if os.path.isdir(spool_dir) else 0
     print(f"shutdown: {n} records spooled", flush=True)
