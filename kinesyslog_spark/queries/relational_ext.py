@@ -366,3 +366,61 @@ def q67_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q70 — approximate-quantile sketch with rank-error self-validation
+# ---------------------------------------------------------------------------
+# percentile_approx (Greenwald-Khanna in Spark) is the corpus-scale form
+# of Q49's exact percentiles: mergeable per-partition sketches, no full
+# sort. Like q50, the raw estimate can't hash-match another engine, so
+# the query validates the sketch's own guarantee: GK with accuracy N
+# bounds RANK error by 1/N, so the fraction of rows <= the estimate must
+# sit within eps of the target quantile. The query emits that rank check
+# (computed exactly, by rescanning with the broadcast estimate); the
+# oracle emits TRUE. eps = 0.01 = 100x the configured 1/10000 rank bound.
+
+@query(
+    "q70_approx_quantile_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           TRUE AS p50_in_bounds,
+           TRUE AS p90_in_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q70_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+    )
+    # Rank check: one more scan with the 3-row estimate table broadcast —
+    # the map-side compare + count is how a validation pass runs at scale
+    # (never a sort, never a second shuffle of the fact table).
+    eps = 0.01
+    return (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.abs(
+                    F.avg((F.col("l_extendedprice") <= F.col("p50")).cast("double"))
+                    - 0.5
+                )
+                <= eps
+            ).alias("p50_in_bounds"),
+            (
+                F.abs(
+                    F.avg((F.col("l_extendedprice") <= F.col("p90")).cast("double"))
+                    - 0.9
+                )
+                <= eps
+            ).alias("p90_in_bounds"),
+        )
+        .orderBy("l_returnflag")
+    )
