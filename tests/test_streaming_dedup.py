@@ -1,0 +1,156 @@
+"""W9: continuous MinHash near-dup detection (streaming/dedup.py) —
+replay-driven, plus unit checks on the stateless signature stage."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from kinesyslog_spark.streaming.dedup import (
+    BANDS,
+    SIG_K,
+    _agreement,
+    banded_signatures,
+    streaming_neardup,
+)
+
+WORDS = ("spark join window vector table scan merge part batch stream "
+         "hash filter order group sort value query row data line").split()
+
+
+def _text(perturb: int | None = None) -> str:
+    toks = list(WORDS) * 2
+    if perturb is not None:
+        toks[perturb] = f"zz{perturb}"
+    return " ".join(toks)
+
+
+def _write_json(path, rows):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, path)
+
+
+def test_agreement_estimator():
+    assert _agreement("a|b|c", "a|b|c") == 1.0
+    assert _agreement("a|b|c", "a|x|y") == 1 / 3
+
+
+def test_banded_signatures_shape(spark):
+    df = spark.createDataFrame(
+        [(1, _text()), (2, _text(perturb=3)), (3, "one two")],
+        "doc_id long, text string",
+    )
+    out = banded_signatures(df).collect()
+    # doc 3 has < 3 tokens -> filtered; others emit one row per band
+    ids = sorted({r["doc_id"] for r in out})
+    assert ids == [1, 2]
+    assert len(out) == 2 * BANDS
+    for r in out:
+        assert len(r["sig"].split("|")) == SIG_K
+    # near-identical docs share at least one band bucket
+    keys = {
+        did: {(r["band_idx"], r["band_key"]) for r in out if r["doc_id"] == did}
+        for did in ids
+    }
+    assert keys[1] & keys[2], "near-dups must collide in >= 1 band"
+
+
+def test_streaming_neardup_replay(spark, tmp_path):
+    in_dir = str(tmp_path / "docs")
+    os.makedirs(in_dir)
+    # batch 1: two unrelated docs
+    _write_json(os.path.join(in_dir, "b1.json"), [
+        {"doc_id": 1, "text": _text()},
+        {"doc_id": 2, "text": " ".join(f"w{i}" for i in range(40))},
+    ])
+    docs = (
+        spark.readStream.schema("doc_id long, text string").json(in_dir)
+    )
+    matches = streaming_neardup(docs)
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("neardup_sink")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def rows():
+            return {
+                (r["doc_id"], r["dup_of"])
+                for r in spark.sql("SELECT * FROM neardup_sink").collect()
+            }
+
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.lastProgress:
+            time.sleep(0.5)
+        # batch 2: a near-dup of doc 1 (one token changed), a fresh doc,
+        # and a same-batch exact dup of that fresh doc
+        _write_json(os.path.join(in_dir, "b2.json"), [
+            {"doc_id": 3, "text": _text(perturb=5)},
+            {"doc_id": 4, "text": " ".join(f"q{i}" for i in range(40))},
+            {"doc_id": 5, "text": " ".join(f"q{i}" for i in range(40))},
+        ])
+        while time.time() < deadline and not rows() >= {(3, 1), (5, 4)}:
+            time.sleep(0.5)
+        got = rows()
+        assert (3, 1) in got, f"cross-batch near-dup missed: {got}"
+        assert (5, 4) in got, f"same-batch dup missed: {got}"
+        # no false positives: docs 2 and 4 are unrelated to 1/3
+        assert not {(2, 1), (4, 1), (4, 2), (4, 3)} & got
+        # estimator sanity on the near-dup pair
+        sims = [
+            r["est_sim"]
+            for r in spark.sql("SELECT * FROM neardup_sink").collect()
+            if (r["doc_id"], r["dup_of"]) == (3, 1)
+        ]
+        assert sims and all(s >= 0.5 for s in sims)
+    finally:
+        q.stop()
+
+
+def test_bucket_fifo_cap():
+    """Unit-drive the stateful body with a fake GroupState: the FIFO cap
+    bounds bucket memory and keeps the newest members."""
+    import pandas as pd
+
+    from kinesyslog_spark.streaming.dedup import make_bucket_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    fn = make_bucket_fn(max_bucket_state=3)
+    st = FakeState()
+    sig = "|".join("x" * 4 for _ in range(SIG_K))
+    pdf = pd.DataFrame(
+        [{"doc_id": i, "sig": sig} for i in range(6)]
+    )
+    out = list(fn(("0", "k"), iter([pdf]), st))
+    ids, sigs = st.get
+    assert ids == [3, 4, 5] and len(sigs) == 3
+    # every doc after the first matched at least its predecessor
+    matches = pd.concat(out)
+    assert (1, 0) in set(zip(matches.doc_id, matches.dup_of))
