@@ -211,3 +211,64 @@ def test_malformed_proxy_closes_without_spooling(tmp_path):
             with open(os.path.join(out_dir, name)) as f:
                 rows += [json.loads(line) for line in f]
     assert rows == []
+
+
+# ---------------------------------------------------------------------------
+# Property: v2 TLV round-trip under arbitrary vectors + split points
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_KNOWN = [0x01, 0x02, 0x03, 0x20, 0x26, 0xEA]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    tlvs=st.lists(
+        st.tuples(
+            st.sampled_from(_KNOWN + [0x04, 0x30, 0x99]),  # incl. NOOP+unknown
+            st.binary(min_size=0, max_size=40),
+        ),
+        max_size=6,
+    ),
+    payload=st.binary(max_size=60),
+)
+def test_v2_tlv_roundtrip_property(tlvs, payload):
+    from kinesyslog_spark.sources.proxy import TLV_TYPES, parse_proxy_header
+
+    blob = b"".join(struct.pack("!BH", t, len(v)) + v for t, v in tlvs)
+    info, rest = parse_proxy_header(_v2_header_tlv(blob) + payload)
+    assert rest == payload
+    assert info.source == "172.16.0.9"
+    # last-value-wins per type, NOOP and unknown types never surfaced
+    expect = {}
+    for t, v in tlvs:
+        name = TLV_TYPES.get(t)
+        if name and name != "PP2_TYPE_NOOP":
+            expect[name] = v
+    assert info.tlvs == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    cut=st.integers(min_value=0, max_value=80),
+    payload=st.binary(min_size=1, max_size=30),
+)
+def test_v2_header_split_never_misparses(cut, payload):
+    """Any prefix of a valid TLV-bearing v2 header is NEED_MORE, never a
+    wrong parse and never an exception."""
+    from kinesyslog_spark.sources.proxy import parse_proxy_header
+
+    header = _v2_header_tlv(_tlv(0x01, b"h2") + _tlv(0xEA, b"\x01vpce"))
+    full = header + payload
+    head = full[: min(cut, len(full))]
+    if len(head) >= len(header):
+        # complete header (payload possibly truncated): parses, and the
+        # rest is exactly the payload bytes present so far
+        info, rest = parse_proxy_header(head)
+        assert info.source == "172.16.0.9"
+        assert info.tlvs["PP2_TYPE_ALPN"] == b"h2"
+        assert rest == head[len(header):]
+    else:
+        assert parse_proxy_header(head) is NEED_MORE
