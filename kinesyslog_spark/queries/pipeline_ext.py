@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from kinesyslog_spark.operators.text import TOKEN_RE, word_shingles
+from kinesyslog_spark.operators.text import TOKEN_RE, tokens, word_shingles
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.tables import hot_table, hot_tokens, persist_now
 
@@ -211,7 +211,7 @@ def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = docs.select(
         "doc_id",
         "source",
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("n_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
     )
     w = (
         W.partitionBy("source")
@@ -267,9 +267,7 @@ def q66_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = hot_table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(
-            F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0))
-        ).alias("n_tokens"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
     )
     tot = per_source.agg(
         F.sum("n_tokens").alias("total_tokens"), F.count("*").alias("n_sources")
