@@ -154,3 +154,11 @@ def test_q69_entropy_jvm_side(spark, sf_dir):
     # all arithmetic stays in whole-stage codegen.
     f = facts(QUERIES["q69_entropy_filter"](spark, sf_dir))
     assert f.python_eval_count == 0
+
+
+def test_q70_sketch_validation_broadcast(spark, sf_dir):
+    # The 3-row estimate table broadcasts into the validation rescan;
+    # no sort of the fact table anywhere in the plan.
+    f = facts(QUERIES["q70_approx_quantile_sketch"](spark, sf_dir))
+    assert f.broadcast_any_count >= 1, "estimate table must broadcast"
+    assert f.python_eval_count == 0
