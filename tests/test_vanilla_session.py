@@ -39,6 +39,10 @@ EXECUTE = [
     "q25_relay_envelopes",
     "q39_gelf_parse",
     "q67_argmax_orders",
+    # round-2 families: one execution each for the decimal-determinism
+    # retrieval path and the composed filter verdict
+    "q68_bm25_topk",
+    "q71_filter_pipeline",
 ]
 
 _SCRIPT = r"""
