@@ -39,6 +39,10 @@ def _parser() -> argparse.ArgumentParser:
     ls.add_argument("--work-dir", default=None, help="bridge lines + checkpoint")
     ls.add_argument("--trigger-seconds", type=int, default=10)
     ls.add_argument("--proxy-protocol", action="store_true")
+    ls.add_argument("--gelf", action="store_true",
+                    help="listen for GELF instead of Syslog (reference "
+                         "--gelf): UDP accepts plain/zlib/gzip/chunked "
+                         "documents; logGroup becomes <prefix>/gelf/<port>")
     ls.add_argument("--tls-cert", default=None)
     ls.add_argument("--tls-key", default=None)
     ls.add_argument("--tls-port", type=int, default=None)
@@ -121,6 +125,7 @@ def listen(args) -> int:
                 proxy_protocol=args.proxy_protocol,
                 tls_port=args.tls_port,
                 ssl_context=ssl_ctx,
+                gelf=args.gelf,
             )
         )
 
@@ -157,11 +162,20 @@ def listen(args) -> int:
         print(f"metrics: http://{args.host}:{metrics_srv.port}/metrics",
               flush=True)
 
-    query = start_relay(
-        spark, lines_dir, spool_dir, ckpt_dir,
-        trigger_seconds=args.trigger_seconds,
-        group_prefix=args.group_prefix,
-    )
+    if args.gelf:
+        from kinesyslog_spark.streaming.gelf_relay import start_gelf_relay
+
+        query = start_gelf_relay(
+            spark, lines_dir, spool_dir, ckpt_dir,
+            trigger_seconds=args.trigger_seconds,
+            group_prefix=args.group_prefix,
+        )
+    else:
+        query = start_relay(
+            spark, lines_dir, spool_dir, ckpt_dir,
+            trigger_seconds=args.trigger_seconds,
+            group_prefix=args.group_prefix,
+        )
 
     uploader = None
     if args.delivery_stream:

@@ -10,10 +10,10 @@ file source tails (streaming/relay.py). Files roll on count or age —
 the micro-batching analog of the reference's ring-buffer batches
 (≤128 msgs/slot, constant.py:3).
 
-TLS termination (S3) and PROXY protocol (S4) are bridge-side concerns
-layered onto the TCP listener; out of scope this round (documented in
-SURVEY §2a), as is the UDP chunked-GELF path which feeds
-streaming/state.py instead.
+TLS termination (S3) and PROXY protocol (S4, with v2 TLV extraction)
+are layered onto the TCP listener. GELF mode (`gelf=True`, the
+reference's `--gelf`) spools binary datagrams/frames base64-encoded for
+the dispatch/decompress/reassembly pipeline in streaming/gelf_relay.py.
 
 This module is infrastructure, not a query operator: correctness is
 covered by the loopback test in tests/test_bridge.py.
@@ -62,6 +62,25 @@ class SpoolWriter:
         if len(self._buf) >= self.roll_count:
             self.flush()
 
+    def add_binary(self, payload: bytes, source: str, dest: int) -> None:
+        """GELF mode: binary datagrams (compressed/chunked) ride the JSON
+        line as base64 under `raw_b64` (streaming/gelf_relay.py schema)."""
+        import base64
+
+        self._buf.append(
+            {
+                "raw_b64": base64.b64encode(payload).decode("ascii"),
+                "source": source,
+                "dest": dest,
+                "recv_ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())
+                + f".{int(time.time_ns() // 1000) % 1_000_000:06d}",
+                "seq": self._seq,
+            }
+        )
+        self._seq += 1
+        if len(self._buf) >= self.roll_count:
+            self.flush()
+
     def maybe_roll(self) -> None:
         if self._buf and time.monotonic() - self._last_roll >= self.roll_seconds:
             self.flush()
@@ -80,8 +99,8 @@ class SpoolWriter:
 
 
 class _UdpProtocol(asyncio.DatagramProtocol):
-    def __init__(self, writer: SpoolWriter, port: int):
-        self.writer, self.port = writer, port
+    def __init__(self, writer: SpoolWriter, port: int, gelf: bool = False):
+        self.writer, self.port, self.gelf = writer, port, gelf
 
     def connection_made(self, transport) -> None:  # noqa: D102
         # Stamp `dest` with the ACTUALLY BOUND port, not the requested one
@@ -90,6 +109,13 @@ class _UdpProtocol(asyncio.DatagramProtocol):
         self.port = transport.get_extra_info("sockname")[1]
 
     def datagram_received(self, data: bytes, addr) -> None:
+        if self.gelf:
+            # --gelf (reference init.py): datagrams may be zlib/gzip
+            # compressed or chunked BINARY — spool base64, never a lossy
+            # text decode.
+            if data:
+                self.writer.add_binary(data, addr[0], self.port)
+            return
         # One datagram = one message (protocol.py:46-48 appends '\n' to
         # reuse the framer; here the framing is already done).
         text = data.decode("utf-8", "backslashreplace").rstrip("\n\x00\r")
@@ -100,7 +126,8 @@ class _UdpProtocol(asyncio.DatagramProtocol):
 async def _handle_tcp(reader: asyncio.StreamReader,
                       writer_t: asyncio.StreamWriter,
                       spool: SpoolWriter, port: int,
-                      proxy_protocol: bool = False) -> None:
+                      proxy_protocol: bool = False,
+                      gelf: bool = False) -> None:
     from kinesyslog_spark.sources.proxy import NEED_MORE, strip_proxy_header
 
     peer = writer_t.get_extra_info("peername")[0]
@@ -142,14 +169,22 @@ async def _handle_tcp(reader: asyncio.StreamReader,
                     break
                 line, buf = buf[:idx], buf[idx + 1:]
                 if line:
-                    spool.add(
-                        line.decode("utf-8", "backslashreplace"), peer, port
-                    )
+                    if gelf:
+                        # GELF TCP frames are JSON documents; keep bytes
+                        # intact for the gelf relay's dispatch.
+                        spool.add_binary(line, peer, port)
+                    else:
+                        spool.add(
+                            line.decode("utf-8", "backslashreplace"), peer, port
+                        )
     finally:
         # Connection close flushes the remainder (protocol.py:56-58) —
         # unless a protocol error dropped the buffer above.
         if buf and not protocol_error:
-            spool.add(buf.decode("utf-8", "backslashreplace"), peer, port)
+            if gelf:
+                spool.add_binary(buf, peer, port)
+            else:
+                spool.add(buf.decode("utf-8", "backslashreplace"), peer, port)
         writer_t.close()
 
 
@@ -169,7 +204,8 @@ async def run_bridge(out_dir: str, udp_port: int = 0, tcp_port: int = 0,
                      stop: asyncio.Event | None = None,
                      proxy_protocol: bool = False,
                      tls_port: int | None = None,
-                     ssl_context=None) -> tuple[int, int]:
+                     ssl_context=None,
+                     gelf: bool = False) -> tuple[int, int]:
     """Run UDP+TCP(+TLS) listeners until `stop` is set. Ports 0 =
     ephemeral; bound ports are exposed via `run_bridge.bound` after
     `ready` (udp, tcp[, tls])."""
@@ -177,7 +213,7 @@ async def run_bridge(out_dir: str, udp_port: int = 0, tcp_port: int = 0,
     loop = asyncio.get_running_loop()
 
     transport, _ = await loop.create_datagram_endpoint(
-        lambda: _UdpProtocol(spool, udp_port), local_addr=(host, udp_port)
+        lambda: _UdpProtocol(spool, udp_port, gelf), local_addr=(host, udp_port)
     )
     udp_bound = transport.get_extra_info("sockname")[1]
 
@@ -187,7 +223,7 @@ async def run_bridge(out_dir: str, udp_port: int = 0, tcp_port: int = 0,
     # The closure reads the name assigned right after start_server returns;
     # no connection callback can run before this coroutine next yields.
     server = await asyncio.start_server(
-        lambda r, w: _handle_tcp(r, w, spool, tcp_bound, proxy_protocol),
+        lambda r, w: _handle_tcp(r, w, spool, tcp_bound, proxy_protocol, gelf),
         host, tcp_port,
     )
     tcp_bound = server.sockets[0].getsockname()[1]
@@ -198,7 +234,7 @@ async def run_bridge(out_dir: str, udp_port: int = 0, tcp_port: int = 0,
         # S3: TLS termination, then the identical TCP path (the app
         # protocol never sees the difference — server.py:46-52).
         tls_server = await asyncio.start_server(
-            lambda r, w: _handle_tcp(r, w, spool, tls_bound, proxy_protocol),
+            lambda r, w: _handle_tcp(r, w, spool, tls_bound, proxy_protocol, gelf),
             host, tls_port or 0, ssl=ssl_context,
         )
         tls_bound = tls_server.sockets[0].getsockname()[1]

@@ -264,3 +264,79 @@ def reassemble_chunks_tws(chunks, timeout_ms: int = DEFAULT_TIMEOUT_MS):
         outputMode="Append",
         timeMode="ProcessingTime",
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed reassembly variant for the live GELF relay: chunks of one message
+# arrive from one (source, dest) socket pair, so keying by
+# (msg_id, source, dest) carries the envelope columns through the
+# stateful op without a post-hoc stream join; state additionally tracks
+# the latest receive time (the assembled message's receive time is its
+# last chunk's, message.py receive semantics).
+# ---------------------------------------------------------------------------
+
+KEYED_OUTPUT_SCHEMA = (
+    "msg_id long, source string, dest int, recv_us long, message binary"
+)
+KEYED_STATE_SCHEMA = (
+    "seqs array<int>, payloads array<binary>, total int, recv_us long"
+)
+
+
+def make_reassemble_keyed_fn(timeout_ms: int = DEFAULT_TIMEOUT_MS):
+    """applyInPandasWithState body for (msg_id, source, dest)-keyed chunk
+    rows (chunk_seq, chunk_cnt, payload, recv_us)."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        msg_id, source, dest = key
+        cols = ["msg_id", "source", "dest", "recv_us", "message"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+
+        if state.exists:
+            seqs, payloads, total, recv_us = state.get
+            asm = _ChunkAssembler(seqs, payloads, total)
+        else:
+            asm, recv_us = _ChunkAssembler(), 0
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                asm.add(int(row.chunk_seq), int(row.chunk_cnt), bytes(row.payload))
+                recv_us = max(recv_us, int(row.recv_us))
+
+        if asm.complete or asm.poisoned:
+            if state.exists:
+                state.remove()
+            if asm.complete:
+                yield pd.DataFrame(
+                    [{"msg_id": msg_id, "source": source, "dest": dest,
+                      "recv_us": recv_us, "message": asm.assemble()}]
+                )
+                return
+            yield pd.DataFrame(columns=cols)
+            return
+
+        state.update((*asm.to_state(), recv_us))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(columns=cols)
+
+    return fn
+
+
+def reassemble_chunks_stream_keyed(chunks,
+                                   timeout_ms: int = DEFAULT_TIMEOUT_MS):
+    """Keyed streaming reassembly: input (msg_id long, source string,
+    dest int, chunk_seq int, chunk_cnt int, payload binary,
+    recv_us long) -> KEYED_OUTPUT_SCHEMA rows on completion."""
+    return chunks.groupBy("msg_id", "source", "dest").applyInPandasWithState(
+        make_reassemble_keyed_fn(timeout_ms),
+        outputStructType=KEYED_OUTPUT_SCHEMA,
+        stateStructType=KEYED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
