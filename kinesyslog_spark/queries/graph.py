@@ -1,0 +1,167 @@
+"""Q72 — weighted PageRank over the customer↔supplier revenue graph
+(fixed-iteration numeric propagation, the classic iterative workload).
+
+Graph: undirected bipartite edges (customer c, supplier s) weighted by
+their total lineitem revenue (lineitem ⋈ orders, the same money-decimal
+arithmetic as Q02/Q03). PageRank with damping 0.85, exactly
+`PR_ITERATIONS` iterations from a uniform start — complementing q40's
+convergence-loop connected components with the fixed-step form (no
+driver-side convergence check; the plan is a static 5-deep join chain
+Catalyst optimizes as a whole).
+
+Cross-engine float determinism (the established pattern, three layers):
+- per-edge contribution `rank * w / tw` is computed in DOUBLE on
+  identical operands (all decimal operands are few enough digits to be
+  exactly representable), then ROUND(,12) -> DECIMAL(28,12);
+- the per-node sum runs in exact decimal (order-independent);
+- the new rank is ROUND((1-d)/n + d*acc, 9) -> DECIMAL(10,9) (ranks are
+  < 1, so 9 decimals stay exactly double-representable for the next
+  iteration's multiply).
+The oracle unrolls the same 5 iterations as chained CTEs from the same
+expressions, so both engines walk bit-identical intermediate ranks.
+
+Scale notes: each iteration is one shuffle on dst (map-side partial
+sums) plus a broadcast-size join of ranks — ranks and out-weights are
+node-cardinality tables, orders of magnitude smaller than edges. The
+edge table is built once and persisted; at cluster scale it would be
+bucketed by src so every iteration's join is shuffle-free. Per-iteration
+`persist_now` truncates the growing plan the way production iterative
+jobs checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.queries.relational import _t, dec
+from kinesyslog_spark.tables import persist_now
+
+PR_ITERATIONS = 5
+PR_DAMPING = 0.85
+PR_TOPK = 20
+
+
+def _q72_oracle() -> str:
+    d = PR_DAMPING
+    edges = """
+    e0 AS (
+      SELECT o_custkey AS c, l_suppkey AS s,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS w_dec
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_suppkey
+    ),
+    edges AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst,
+             CAST(w_dec AS DOUBLE) AS w, w_dec FROM e0
+      UNION ALL
+      SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR),
+             CAST(w_dec AS DOUBLE), w_dec FROM e0
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (
+      SELECT src AS node, CAST(SUM(w_dec) AS DOUBLE) AS tw
+      FROM edges GROUP BY src
+    ),
+    r0 AS (
+      SELECT node, CAST(ROUND(1.0 / (SELECT n FROM nn), 9) AS DECIMAL(10,9)) AS rank
+      FROM nodes
+    )"""
+    steps = []
+    for i in range(1, PR_ITERATIONS + 1):
+        steps.append(f"""
+    acc{i} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(ROUND(CAST(r.rank AS DOUBLE) * e.w / o.tw, 12)
+                 AS DECIMAL(28,12))) AS acc
+      FROM edges e
+      JOIN r{i - 1} r ON e.src = r.node
+      JOIN outw o ON e.src = o.node
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST(ROUND((1.0 - {d}) / (SELECT n FROM nn)
+                  + {d} * CAST(COALESCE(a.acc, 0) AS DOUBLE), 9)
+                  AS DECIMAL(10,9)) AS rank
+      FROM nodes n LEFT JOIN acc{i} a ON n.node = a.node
+    )""")
+    return f"""
+    WITH {edges},{",".join(steps)}
+    SELECT node, CAST(rank AS DOUBLE) AS rank
+    FROM r{PR_ITERATIONS}
+    ORDER BY rank DESC, node
+    LIMIT {PR_TOPK}
+    """
+
+
+@query("q72_pagerank", oracle=_q72_oracle())
+def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .alias("w_dec")
+        )
+    )
+    c_node = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s_node = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    w = F.col("w_dec").cast("double")
+    edges = persist_now(
+        e0.select(c_node.alias("src"), s_node.alias("dst"), w.alias("w"), "w_dec")
+        .unionByName(
+            e0.select(s_node.alias("src"), c_node.alias("dst"), w.alias("w"), "w_dec")
+        )
+    )
+    nodes = persist_now(edges.select(F.col("src").alias("node")).distinct())
+    n = nodes.count()  # driver scalar (graph size), like q40's convergence check
+    outw = persist_now(
+        edges.groupBy("src")
+        .agg(F.sum("w_dec").cast("double").alias("tw"))
+        .withColumnRenamed("src", "node")
+    )
+
+    base = (1.0 - PR_DAMPING) / n
+    r = persist_now(
+        nodes.select(
+            "node",
+            F.round(F.lit(1.0) / n, 9).cast("decimal(10,9)").alias("rank"),
+        )
+    )
+    for _ in range(PR_ITERATIONS):
+        contrib = (
+            edges.join(r, edges.src == r.node)
+            .join(outw.withColumnRenamed("node", "onode"),
+                  edges.src == F.col("onode"))
+            .select(
+                "dst",
+                F.round(
+                    F.col("rank").cast("double") * F.col("w") / F.col("tw"), 12
+                ).cast("decimal(28,12)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("acc"))
+        )
+        prev = r
+        r = persist_now(
+            nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + PR_DAMPING * F.coalesce(F.col("acc"), F.lit(0)).cast("double"),
+                    9,
+                ).cast("decimal(10,9)").alias("rank"),
+            )
+        )
+        prev.unpersist()
+    return (
+        r.select("node", F.col("rank").cast("double").alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(PR_TOPK)
+    )

@@ -162,3 +162,10 @@ def test_q70_sketch_validation_broadcast(spark, sf_dir):
     f = facts(QUERIES["q70_approx_quantile_sketch"](spark, sf_dir))
     assert f.broadcast_any_count >= 1, "estimate table must broadcast"
     assert f.python_eval_count == 0
+
+
+def test_q72_pagerank_jvm_side(spark, sf_dir):
+    # Iterative propagation stays entirely in Catalyst: no Python eval
+    # nodes; rank/out-weight tables are node-sized (broadcast at scale).
+    f = facts(QUERIES["q72_pagerank"](spark, sf_dir))
+    assert f.python_eval_count == 0
