@@ -1,0 +1,140 @@
+"""Q73 — time-series gap filling: dense hour spine + LOCF + linear
+interpolation (the TimescaleDB `time_bucket_gapfill`/`locf`/
+`interpolate` workload, re-expressed as Catalyst windows).
+
+Hourly `SUM(value)` per event_type over `events` is sparse (not every
+(type, hour) has events). The query densifies it:
+
+- spine: every hour from the global min to max bucket × every
+  event_type — built in-plan via `sequence(min, max, INTERVAL 1 HOUR)`
+  + explode on a 1-row aggregate (no driver round-trip, no collect);
+- `locf`: last observed value at or before the hour
+  (`last(value) IGNORE NULLS` over an unbounded-preceding frame);
+- `lin`: linear interpolation between the surrounding observations
+  (the IGNORE-NULLS first/last window pair gives both anchors; edges
+  where either anchor is missing fall back to LOCF/NULL semantics).
+
+Determinism: anchor values are exact decimal sums cast to double; the
+interpolation weights are integer epoch-hour differences. The final
+4-dp quantization is an EXPLICIT `floor(x*1e4 + 0.5)/1e4` on BOTH
+engines: Spark's `round(double)` goes through the shortest-decimal
+repr while DuckDB rounds the binary value, and interpolated doubles
+land on .00005 boundaries often enough to diverge by one ulp — the
+shared floor expression is bit-identical by construction.
+
+Scale: one shuffle for the hourly aggregate, one window partition by
+event_type ordered by hour — the spine is |types| x |hours|, tiny
+relative to the event corpus; the aggregate combines map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.tables import load_table
+
+_Q73_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+),
+spine AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+  ) g
+),
+dense AS (
+  SELECT s.event_type, s.h, hourly.v
+  FROM spine s LEFT JOIN hourly USING (event_type, h)
+),
+anchored AS (
+  SELECT event_type, h, v,
+    last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER w_prev AS prev_h,
+    first_value(v IGNORE NULLS) OVER w_next AS next_v,
+    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER w_next AS next_h
+  FROM dense
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       epoch_ms(h) AS hour_ms,
+       CAST(v IS NOT NULL AS INT) AS observed,
+       FLOOR(prev_v * 10000 + 0.5) / 10000 AS locf,
+       FLOOR((CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN prev_v IS NULL OR next_v IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v)
+              * (CAST(epoch(h) - epoch(prev_h) AS DOUBLE)
+                 / CAST(epoch(next_h) - epoch(prev_h) AS DOUBLE))
+       END) * 10000 + 0.5) / 10000 AS filled
+FROM anchored
+ORDER BY event_type, hour_ms
+"""
+
+
+@query("q73_gapfill_interpolate", oracle=_Q73_ORACLE)
+def q73_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    spine = hourly.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    dense = spine.join(hourly, ["event_type", "h"], "left")
+
+    w_prev = (
+        W.partitionBy("event_type").orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("event_type").orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    anchored = dense.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    frac = (
+        (F.unix_timestamp("h") - F.unix_timestamp("prev_h")).cast("double")
+        / (F.unix_timestamp("next_h") - F.unix_timestamp("prev_h")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNull() | F.col("next_v").isNull(), F.col("prev_v")
+        )
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return anchored.select(
+        "event_type",
+        F.unix_millis(F.col("h").cast("timestamp")).alias("hour_ms"),
+        F.col("v").isNotNull().cast("int").alias("observed"),
+        q4(F.col("prev_v")).alias("locf"),
+        q4(filled).alias("filled"),
+    ).orderBy("event_type", "hour_ms")
