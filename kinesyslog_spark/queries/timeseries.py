@@ -138,3 +138,76 @@ def q73_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.col("prev_v")).alias("locf"),
         q4(filled).alias("filled"),
     ).orderBy("event_type", "hour_ms")
+
+
+# ---------------------------------------------------------------------------
+# Q74 — cohort retention (weekly cohorts x week offset)
+# ---------------------------------------------------------------------------
+# The standard product-analytics retention matrix: users are cohorted by
+# the week of their first event; each later active week increments the
+# (cohort, offset) cell. Distinct-user counting per cell, retention as
+# the share of the cohort still active. Two shuffles total: the per-user
+# min (map-side combining) and the cell distinct-count; the cohort-size
+# join is cohort-cardinality (broadcast at scale).
+
+_Q74_ORACLE = """
+WITH firstw AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w FROM events
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_w,
+         CAST(date_diff('day', f.cohort_w, date_trunc('week', e.ts)) // 7 AS INT)
+           AS week_offset
+  FROM events e JOIN firstw f ON e.user_id = f.user_id
+),
+cells AS (
+  SELECT cohort_w, week_offset, COUNT(*) AS n_users
+  FROM activity GROUP BY cohort_w, week_offset
+),
+sizes AS (
+  SELECT cohort_w, COUNT(*) AS cohort_size FROM firstw GROUP BY cohort_w
+)
+SELECT epoch_ms(c.cohort_w) AS cohort_ms, c.week_offset, c.n_users,
+       s.cohort_size,
+       ROUND(c.n_users / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+FROM cells c JOIN sizes s ON c.cohort_w = s.cohort_w
+ORDER BY cohort_ms, week_offset
+"""
+
+
+@query("q74_cohort_retention", oracle=_Q74_ORACLE)
+def q74_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    activity = (
+        ev.join(firstw, "user_id")
+        .select(
+            "user_id",
+            "cohort_w",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_w"))
+                .cast("int") / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    cells = activity.groupBy("cohort_w", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+    sizes = firstw.groupBy("cohort_w").agg(F.count("*").alias("cohort_size"))
+    return (
+        cells.join(F.broadcast(sizes), "cohort_w")
+        .select(
+            F.unix_millis(F.col("cohort_w").cast("timestamp")).alias("cohort_ms"),
+            "week_offset",
+            "n_users",
+            "cohort_size",
+            F.round(
+                F.col("n_users") / F.col("cohort_size").cast("double"), 4
+            ).alias("retention"),
+        )
+        .orderBy("cohort_ms", "week_offset")
+    )
