@@ -62,3 +62,91 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned table; partition columns come back as regular
     columns and predicates on them prune directories (PartitionFilters)."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction — the operational counterpart of partitioned
+# ingest. Micro-batch streaming writes (trigger cadence x partitions)
+# accumulate files far below the parquet sweet spot; at corpus scale the
+# resulting footer/open overhead dominates scans. The compactor:
+#
+# 1. discovers per-partition (file count, bytes) with a driver-side
+#    metadata walk (no data read);
+# 2. selects ONLY partitions that are actually fragmented (>= min_files
+#    and mean file size < target/2) — untouched partitions are never
+#    rewritten (their files keep their identity, verified by test);
+# 3. reads the fragmented partitions via a partition-pruned filter,
+#    rewrites them with dynamic partition overwrite, one task per
+#    partition value, `maxRecordsPerFile` derived from the measured
+#    bytes/row so oversized partitions still split near the target.
+#
+# The read is materialized (localCheckpoint) before the overwrite —
+# Spark refuses to overwrite a path it is lazily reading from. At
+# cluster scale the same job writes to a temp prefix and swaps; the
+# partition-selection and sizing logic is identical.
+# ---------------------------------------------------------------------------
+
+
+def partition_file_stats(path: str) -> dict[str, tuple[int, int]]:
+    """Leaf-partition -> (n_files, total_bytes), driver-side metadata
+    walk (the compactor's discovery step; no Spark job)."""
+    import os
+
+    stats: dict[str, tuple[int, int]] = {}
+    for root, _dirs, files in os.walk(path):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            rel = os.path.relpath(root, path)
+            total = sum(os.path.getsize(os.path.join(root, f)) for f in pq)
+            stats[rel] = (len(pq), total)
+    return stats
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> int:
+    """Compact fragmented partitions of a partitioned parquet table in
+    place. Returns the number of partitions rewritten."""
+    import functools
+    import os
+
+    stats = partition_file_stats(path)
+    todo = {
+        rel: s
+        for rel, s in stats.items()
+        if s[0] >= min_files and s[1] / s[0] < target_file_bytes / 2
+    }
+    if not todo:
+        return 0
+
+    df = spark.read.parquet(path)
+    conds = []
+    for rel in todo:
+        kvs = [part.split("=", 1) for part in rel.split(os.sep)]
+        conds.append(
+            functools.reduce(
+                lambda a, b: a & b, [F.col(k) == v for k, v in kvs]
+            )
+        )
+    sel = df.filter(functools.reduce(lambda a, b: a | b, conds))
+
+    total_bytes = sum(b for _, b in todo.values())
+    n_rows = sel.count()
+    if n_rows == 0:
+        return 0
+    max_records = max(1, int(n_rows * target_file_bytes / max(total_bytes, 1)))
+
+    sel = sel.localCheckpoint(eager=True)  # break lineage to the files
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        sel.repartition(*partition_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .option("maxRecordsPerFile", max_records)
+        .parquet(path)
+    )
+    return len(todo)

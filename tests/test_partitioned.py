@@ -61,3 +61,49 @@ def test_dynamic_overwrite_replaces_only_present_partitions(spark, sf_dir, tmp_p
     assert got_rest == ev.filter(F.col("event_date") != F.lit(target)).count(), (
         "partitions absent from the batch must be untouched"
     )
+
+
+def test_compact_partitioned(spark, tmp_path):
+    """Fragmented partitions merge to few files; healthy partitions are
+    untouched (file identity preserved); data survives byte-for-byte."""
+    import os
+
+    from kinesyslog_spark.sinks.partitioned import (
+        compact_partitioned,
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "tbl")
+    # day=a: fragmented (8 tiny files); day=b: healthy single file
+    frag = spark.range(0, 800).selectExpr(
+        "id", "'a' AS day", "id * 2 AS v"
+    ).repartition(8)
+    frag.write.partitionBy("day").parquet(path)
+    healthy = spark.range(1000, 1100).selectExpr(
+        "id", "'b' AS day", "id * 2 AS v"
+    ).coalesce(1)
+    healthy.write.mode("append").partitionBy("day").parquet(path)
+
+    before = partition_file_stats(path)
+    assert before["day=a"][0] == 8 and before["day=b"][0] == 1
+    b_files = set(os.listdir(os.path.join(path, "day=b")))
+    rows_before = {
+        (r["id"], r["day"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+    n = compact_partitioned(spark, path, ["day"], target_file_bytes=1 << 30)
+    assert n == 1, "only the fragmented partition should be rewritten"
+
+    after = partition_file_stats(path)
+    assert after["day=a"][0] == 1, f"day=a not compacted: {after}"
+    assert set(os.listdir(os.path.join(path, "day=b"))) == b_files, \
+        "healthy partition must keep its exact files"
+    rows_after = {
+        (r["id"], r["day"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows_after == rows_before
+
+    # idempotent: nothing left to do
+    assert compact_partitioned(spark, path, ["day"]) == 0
