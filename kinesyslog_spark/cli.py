@@ -90,6 +90,18 @@ def _parser() -> argparse.ArgumentParser:
     bk.add_argument("--tables", default="",
                     help="comma-separated subset; default = all hot tables")
     bk.add_argument("--cpus", default=None)
+
+    cp = sub.add_parser(
+        "compact",
+        help="merge small files in a partitioned parquet table "
+             "(micro-batch writes fragment; see sinks/partitioned.py)",
+    )
+    cp.add_argument("path", help="partitioned table root")
+    cp.add_argument("--partition-cols", required=True,
+                    help="comma-separated partition columns")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--min-files", type=int, default=2)
+    cp.add_argument("--cpus", default=None)
     return p
 
 
@@ -294,6 +306,22 @@ def bucketize_cmd(args) -> int:
     return 0
 
 
+def compact_cmd(args) -> int:
+    from kinesyslog_spark.session import get_spark
+    from kinesyslog_spark.sinks.partitioned import compact_partitioned
+
+    spark = get_spark("kinesyslog-spark-compact", cpus=args.cpus)
+    n = compact_partitioned(
+        spark,
+        args.path,
+        [c for c in args.partition_cols.split(",") if c],
+        target_file_bytes=args.target_mb << 20,
+        min_files=args.min_files,
+    )
+    print(f"compacted {n} partitions", flush=True)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
     if args.command == "listen":
@@ -304,6 +332,8 @@ def main(argv: list[str] | None = None) -> int:
         return bucketize_cmd(args)
     if args.command == "dump":
         return dump(args)
+    if args.command == "compact":
+        return compact_cmd(args)
     return 2
 
 
