@@ -211,3 +211,85 @@ def q74_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_ms", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q75 — session path analysis (top event-type sequences)
+# ---------------------------------------------------------------------------
+# Sequence-mining-lite over q10's sessions: each (user, session) yields
+# its ordered path of event types (first PATH_LEN steps, '>'-joined);
+# the query ranks the most common paths. The per-session collect is
+# bounded by the path prefix; the rank is a TakeOrderedAndProject.
+# Order inside a session is fully determined by (ts, event_id) — the
+# same tie-break q10 pins.
+
+PATH_LEN = 5
+PATH_TOPK = 20
+
+_Q75_ORACLE = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                     > 1800000 THEN 1
+                WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                ELSE 0 END AS is_new
+    FROM events
+  )
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(
+           list_transform(
+             (array_agg({{'t': ts, 'e': event_id, 'v': event_type}}
+                        ORDER BY ts, event_id))[1:{PATH_LEN}],
+             x -> x.v),
+           '>') AS path
+  FROM s GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOPK}
+"""
+
+
+@query("q75_session_paths", oracle=_Q75_ORACLE)
+def q75_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    lag_ms = F.unix_millis(F.lag("ts").over(order_w))
+    is_new = (
+        F.when(lag_ms.isNull(), 1)
+        .when(F.unix_millis("ts") - lag_ms > 30 * 60 * 1000, 1)
+        .otherwise(0)
+    )
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(run_w)
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice("evs", 1, PATH_LEN), lambda x: x["event_type"]
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOPK)
+    )
