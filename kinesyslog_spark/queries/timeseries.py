@@ -293,3 +293,58 @@ def q75_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(PATH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q76 — event-type Markov transition matrix
+# ---------------------------------------------------------------------------
+# First-order Markov chain estimation over per-user event sequences
+# ((ts, event_id)-ordered, the q10/q75 tie-break): transition counts via
+# LEAD, row-normalized probabilities. The estimation workload behind
+# next-event prediction and anomaly scoring; integer counts + one
+# rounded division keep it exactly reproducible.
+
+_Q76_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+totals AS (
+  SELECT from_type, SUM(n) AS tot FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n,
+       ROUND(t.n / CAST(s.tot AS DOUBLE), 4) AS p
+FROM trans t JOIN totals s ON t.from_type = s.from_type
+ORDER BY t.from_type, t.to_type
+"""
+
+
+@query("q76_markov_transitions", oracle=_Q76_ORACLE)
+def q76_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("tot").cast("double"), 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
