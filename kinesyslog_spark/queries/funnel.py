@@ -49,7 +49,8 @@ def _q59_oracle() -> str:
         CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END AS s4
       FROM per_user
     )
-    SELECT stage, n_users, ROUND(n_users / CAST(total AS DOUBLE), 4) AS conv
+    SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+           ROUND(n_users / CAST(total AS DOUBLE), 4) AS conv
     FROM (
       SELECT 1 AS stage, SUM(s1) AS n_users, SUM(s1) AS total FROM flags
       UNION ALL SELECT 2, SUM(s2), SUM(s1) FROM flags

@@ -196,7 +196,7 @@ def _q56_oracle() -> str:
     SELECT source,
            CAST(FLOOR(cum_before / {PACK_CAP}) AS BIGINT) AS bin,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM cum
@@ -248,7 +248,7 @@ def _q66_oracle() -> str:
     return f"""
     WITH per_source AS (
       SELECT source, COUNT(*) AS n_docs,
-             SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS n_tokens
+             CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ), tot AS (
       SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_source

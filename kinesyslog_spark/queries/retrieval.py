@@ -165,7 +165,7 @@ def _q69_oracle() -> str:
                   AS DECIMAL(18,6)) AS h
       FROM cnt JOIN dl ON cnt.doc_id = dl.doc_id
     )
-    SELECT dl.doc_id, dl.dl AS n_tokens, dl.n_distinct,
+    SELECT dl.doc_id, CAST(dl.dl AS BIGINT) AS n_tokens, dl.n_distinct,
            CAST(ROUND(SUM(contrib.h), 4) AS DOUBLE) AS entropy_bits,
            CAST(CASE WHEN SUM(contrib.h) >= {ENTROPY_MIN_BITS}
                 THEN 1 ELSE 0 END AS INT) AS keep

@@ -37,6 +37,47 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _arrow_type_ok(spark_type: str, at) -> bool:
+    """Is the DuckDB arrow output type hash-compatible with the Spark type?
+
+    The driver exports both sides via Arrow before value-hashing, so a DuckDB
+    HUGEINT (decimal128(38,0)) next to a Spark BIGINT hash-mismatches even when
+    every value is equal (round-2 q10 lesson). This reproduces that gate.
+    """
+    import pyarrow as pa
+
+    t = pa.types
+    if spark_type in ("bigint", "int", "smallint", "tinyint"):
+        return t.is_integer(at)
+    if spark_type in ("double", "float"):
+        return t.is_floating(at)
+    if spark_type == "string":
+        return t.is_string(at) or t.is_large_string(at)
+    if spark_type == "timestamp":
+        return t.is_timestamp(at)
+    if spark_type == "date":
+        return t.is_date(at)
+    if spark_type == "boolean":
+        return t.is_boolean(at)
+    if spark_type.startswith("decimal"):
+        return str(at).replace("decimal128", "decimal").replace(" ", "") == spark_type.replace(" ", "")
+    if spark_type.startswith("array"):
+        return t.is_list(at) or t.is_large_list(at)
+    if spark_type == "binary":
+        return t.is_binary(at) or t.is_large_binary(at)
+    return True
+
+
+def type_problems(sdf, arrow_schema) -> list[str]:
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out = []
+    for field in arrow_schema:
+        st = stypes.get(field.name)
+        if st is not None and not _arrow_type_ok(st, field.type):
+            out.append(f"type[{field.name}] spark={st} duck_arrow={field.type}")
+    return out
+
+
 def norm_cell(v):
     if v is None:
         return "\x00NULL"
@@ -60,8 +101,11 @@ def check(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
         return True, f"rows-only ({len(srows)} rows, no oracle)"
     ores = con.execute(ORACLE[name])
     ocols = [d[0] for d in ores.description]
-    orows = ores.fetchall()
-    problems = []
+    otable = ores.fetch_arrow_table()
+    # Values are still compared via fetchall (python-native, tolerant of
+    # HUGEINT→int); the arrow schema check above is what mirrors the driver.
+    orows = con.execute(ORACLE[name]).fetchall()
+    problems = type_problems(sdf, otable.schema)
     if sorted(scols) != sorted(ocols):
         problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
     if len(srows) != len(orows):
