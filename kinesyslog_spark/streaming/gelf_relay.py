@@ -92,7 +92,14 @@ def parse_gelf_stream(lines: DataFrame,
     # Chunked packets: magic(2) id(8) seq(1) cnt(1) payload — sliced on
     # the hex string (JVM-side). The 64-bit id is keyed via its first 60
     # bits (conv() is unsigned; 60 bits keeps the long positive).
-    hexed = payloads.filter(kind == "chunk").select(
+    # Truncated chunk datagrams (magic present but < 12-byte header) are
+    # dropped like the reference (gelf.py parse_header's struct error is
+    # swallowed by the event loop): without the length gate the empty hex
+    # slices conv() to NULL and a single malformed UDP packet becomes a
+    # permanent poison pill in the checkpointed stateful reassembly.
+    hexed = payloads.filter(
+        (kind == "chunk") & (F.length("payload") >= 12)
+    ).select(
         F.conv(F.substring(F.hex("payload"), 5, 15), 16, 10)
         .cast("long").alias("msg_id"),
         "source",
@@ -103,6 +110,10 @@ def parse_gelf_stream(lines: DataFrame,
         .cast("int").alias("chunk_cnt"),
         F.unhex(F.expr("substring(hex(payload), 25)")).alias("payload"),
         "recv_us",
+    ).filter(
+        F.col("msg_id").isNotNull()
+        & F.col("chunk_seq").isNotNull()
+        & F.col("chunk_cnt").isNotNull()
     )
     assembled = reassemble_chunks_stream_keyed(hexed, timeout_ms).select(
         F.col("message").alias("payload"), "source", "dest", "recv_us"

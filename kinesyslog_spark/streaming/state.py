@@ -306,6 +306,11 @@ def make_reassemble_keyed_fn(timeout_ms: int = DEFAULT_TIMEOUT_MS):
             asm, recv_us = _ChunkAssembler(), 0
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
+                # Defense in depth for malformed headers: upstream filters
+                # null seq/cnt, but a NaN here must not kill the query —
+                # the checkpoint would replay it forever.
+                if pd.isna(row.chunk_seq) or pd.isna(row.chunk_cnt):
+                    continue
                 asm.add(int(row.chunk_seq), int(row.chunk_cnt), bytes(row.payload))
                 recv_us = max(recv_us, int(row.recv_us))
 

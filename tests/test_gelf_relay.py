@@ -68,6 +68,12 @@ def test_parse_gelf_stream_all_formats(spark, tmp_path):
         (zlib.compress(_doc("h2", "zlib doc", 222)), "10.0.0.1", 12201),
         (gzip.compress(_doc("h4", "gzip doc", None)), "10.0.0.2", 12201),
         (chunked[1], "10.0.0.3", 12201),   # out of order
+        # Truncated chunk headers (magic but < 12 bytes): must be dropped
+        # like the reference (gelf.py parse_header error swallowed), not
+        # poison the checkpointed stateful reassembly.
+        (GELF_MAGIC, "10.0.0.9", 12201),
+        (GELF_MAGIC + b"\x01\x02\x03", "10.0.0.9", 12201),
+        (GELF_MAGIC + b"\x01\x02\x03\x04\x05\x06\x07\x08\x00", "10.0.0.9", 12201),
         (chunked[0], "10.0.0.3", 12201),
     ])
     events = parse_gelf_stream(read_gelf_stream(spark, in_dir))
