@@ -27,7 +27,7 @@ import os
 import time
 import uuid
 
-from kinesyslog_spark.constants import MAX_MESSAGE_LENGTH
+from kinesyslog_spark.constants import MAX_MESSAGE_BUFFER, MAX_MESSAGE_LENGTH
 
 ROLL_COUNT = 128
 ROLL_SECONDS = 1.0
@@ -128,12 +128,19 @@ async def _handle_tcp(reader: asyncio.StreamReader,
                       spool: SpoolWriter, port: int,
                       proxy_protocol: bool = False,
                       gelf: bool = False) -> None:
+    from kinesyslog_spark.operators.framing import _frame_buffer
     from kinesyslog_spark.sources.proxy import NEED_MORE, strip_proxy_header
+    from kinesyslog_spark.streaming.framing import _frame_incremental
 
     peer = writer_t.get_extra_info("peername")[0]
     buf = b""
     awaiting_proxy = proxy_protocol
     protocol_error = False
+    # GELF mode: a connection whose stream starts with zlib/gzip magic
+    # carries ONE whole-stream compressed document (reference GelfProtocol
+    # magic dispatch, protocol.py:224-233); everything else is
+    # terminator-framed JSON. Decided once per connection.
+    gelf_compressed = False
     try:
         while True:
             data = await reader.read(65536)
@@ -159,24 +166,55 @@ async def _handle_tcp(reader: asyncio.StreamReader,
                 if real_source:
                     peer = real_source
                 awaiting_proxy = False
-            # F1 terminator framing over the accumulated stream.
-            while True:
-                idx = min(
-                    (buf.find(t) for t in (b"\n", b"\x00", b"\r") if buf.find(t) >= 0),
-                    default=-1,
-                )
-                if idx < 0:
-                    break
-                line, buf = buf[:idx], buf[idx + 1:]
-                if line:
-                    if gelf:
-                        # GELF TCP frames are JSON documents; keep bytes
-                        # intact for the gelf relay's dispatch.
+            if gelf:
+                if gelf_compressed:
+                    if len(buf) > MAX_MESSAGE_BUFFER:
+                        # Runaway peer (protocol.py:115-126): drop + close.
+                        protocol_error = True
+                        buf = b""
+                        break
+                    continue  # accumulate to connection close
+                head = buf.lstrip(bytes(TERMINATORS))
+                if head[:1] == b"\x78" or head[:2] == b"\x1f\x8b":
+                    # Compressed binary contains terminator bytes, so it
+                    # must never be line-split (round-2 gap: zlib/gzip TCP
+                    # GELF was chopped and unrecoverable downstream).
+                    buf = head
+                    gelf_compressed = True
+                    continue
+                if head == b"\x1f":
+                    continue  # 1-byte prefix of gzip magic: need more
+                # Uncompressed GELF TCP frames are JSON documents,
+                # terminator-framed; bytes stay intact for the relay's
+                # dispatch.
+                while True:
+                    idx = min(
+                        (buf.find(t) for t in (b"\n", b"\x00", b"\r")
+                         if buf.find(t) >= 0),
+                        default=-1,
+                    )
+                    if idx < 0:
+                        break
+                    line, buf = buf[:idx], buf[idx + 1:]
+                    if line:
                         spool.add_binary(line, peer, port)
-                    else:
-                        spool.add(
-                            line.decode("utf-8", "backslashreplace"), peer, port
-                        )
+            else:
+                # Per-message framing dispatch (protocol.py:148-165): a
+                # leading digit starts an octet-counted frame (RFC6587
+                # §3.4.1; RFC5425 §4.3.1 mandates it for TLS syslog),
+                # anything else is F1 terminator framing — the same
+                # incremental framer as the streaming twin, so a frame
+                # straddling read() chunks is held, not split.
+                msgs, buf = _frame_incremental(buf)
+                for m in msgs:
+                    spool.add(m.decode("utf-8", "backslashreplace"), peer, port)
+                if len(buf) > MAX_MESSAGE_BUFFER:
+                    # Runaway peer (protocol.py:115-126): force-frame and
+                    # restart clean, like streaming/framing.py.
+                    for m in _frame_buffer(buf):
+                        spool.add(m.decode("utf-8", "backslashreplace"),
+                                  peer, port)
+                    buf = b""
     finally:
         # Connection close flushes the remainder (protocol.py:56-58) —
         # unless a protocol error dropped the buffer above.
@@ -184,7 +222,8 @@ async def _handle_tcp(reader: asyncio.StreamReader,
             if gelf:
                 spool.add_binary(buf, peer, port)
             else:
-                spool.add(buf.decode("utf-8", "backslashreplace"), peer, port)
+                for m in _frame_buffer(buf):
+                    spool.add(m.decode("utf-8", "backslashreplace"), peer, port)
         writer_t.close()
 
 

@@ -133,6 +133,20 @@ def test_gelf_bridge_spools_binary(tmp_path):
     c = socket.create_connection(("127.0.0.1", tcp_port))
     c.sendall(_doc("ht", "tcp json", 7) + b"\x00")
     c.close()
+    # GELF TCP compressed: a zlib/gzip stream is ONE whole-connection
+    # message (reference GelfProtocol magic dispatch) — it contains
+    # 0x0A/0x00 bytes and must NOT be terminator-split (round-2 gap).
+    ztcp = zlib.compress(_doc("hz", "tcp zlib " + "x" * 300, 43))
+    assert any(bytes([b]) in b"\n\x00\r" for b in ztcp)
+    c = socket.create_connection(("127.0.0.1", tcp_port))
+    c.sendall(ztcp[:20])
+    time.sleep(0.1)  # split write: magic sniff must hold across reads
+    c.sendall(ztcp[20:])
+    c.close()
+    gtcp = gzip.compress(_doc("hg", "tcp gzip", 44))
+    c = socket.create_connection(("127.0.0.1", tcp_port))
+    c.sendall(gtcp)
+    c.close()
 
     time.sleep(1.5)
     loop.call_soon_threadsafe(stop.set)
@@ -142,11 +156,14 @@ def test_gelf_bridge_spools_binary(tmp_path):
     for name in os.listdir(out_dir):
         with open(os.path.join(out_dir, name)) as f:
             rows += [json.loads(line) for line in f]
-    by_dest = {r["dest"]: r for r in rows}
-    assert set(by_dest) == {udp_port, tcp_port}
+    payloads = [base64.b64decode(r["raw_b64"]) for r in rows]
+    assert {r["dest"] for r in rows} == {udp_port, tcp_port}
     # binary round-trips exactly through base64 (no lossy text decode)
-    assert base64.b64decode(by_dest[udp_port]["raw_b64"]) == zdoc
-    assert json.loads(base64.b64decode(by_dest[tcp_port]["raw_b64"]))["host"] == "ht"
+    assert zdoc in payloads
+    assert ztcp in payloads and gtcp in payloads  # never line-split
+    assert any(
+        p[:1] == b"{" and json.loads(p)["host"] == "ht" for p in payloads
+    )
     assert all("raw" not in r for r in rows)
 
 
