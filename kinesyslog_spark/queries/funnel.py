@@ -50,7 +50,7 @@ def _q59_oracle() -> str:
       FROM per_user
     )
     SELECT stage, CAST(n_users AS BIGINT) AS n_users,
-           ROUND(n_users / CAST(total AS DOUBLE), 4) AS conv
+           FLOOR(n_users / CAST(total AS DOUBLE) * 10000 + 0.5) / 10000 AS conv
     FROM (
       SELECT 1 AS stage, SUM(s1) AS n_users, SUM(s1) AS total FROM flags
       UNION ALL SELECT 2, SUM(s2), SUM(s1) FROM flags
@@ -100,7 +100,14 @@ def q59_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stages.select(
         "stage",
         "n_users",
-        F.round(F.col("n_users") / F.col("total").cast("double"), 4).alias("conv"),
+        # Shared floor quantization (q73 lesson): user-count denominators
+        # are large enough to land on .00005 round boundaries.
+        (
+            F.floor(
+                F.col("n_users") / F.col("total").cast("double") * 10000
+                + F.lit(0.5)
+            ) / 10000
+        ).alias("conv"),
     ).orderBy("stage")
 
 

@@ -254,9 +254,11 @@ def _q66_oracle() -> str:
       SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_source
     )
     SELECT source, n_docs, n_tokens,
-           ROUND(n_tokens / CAST(total_tokens AS DOUBLE), 4) AS actual_share,
-           ROUND(CASE WHEN n_tokens * n_sources <= total_tokens THEN 1.0
-                 ELSE total_tokens / (CAST(n_sources AS DOUBLE) * n_tokens) END, 4) AS mix_weight
+           FLOOR(n_tokens / CAST(total_tokens AS DOUBLE) * 10000 + 0.5) / 10000
+             AS actual_share,
+           FLOOR(CASE WHEN n_tokens * n_sources <= total_tokens THEN 1.0
+                 ELSE total_tokens / (CAST(n_sources AS DOUBLE) * n_tokens) END
+                 * 10000 + 0.5) / 10000 AS mix_weight
     FROM per_source CROSS JOIN tot
     ORDER BY source
     """
@@ -278,17 +280,27 @@ def q66_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("total_tokens").cast("double"), 4)
-            .alias("actual_share"),
-            F.round(
-                F.when(
-                    F.col("n_tokens") * F.col("n_sources") <= F.col("total_tokens"),
-                    F.lit(1.0),
-                ).otherwise(
-                    F.col("total_tokens")
-                    / (F.col("n_sources").cast("double") * F.col("n_tokens"))
-                ),
-                4,
+            # Shared floor quantization on large-denominator int ratios
+            # (q73 lesson): round(double) is engine-divergent at .00005
+            # boundaries.
+            (
+                F.floor(
+                    F.col("n_tokens") / F.col("total_tokens").cast("double")
+                    * 10000 + F.lit(0.5)
+                ) / 10000
+            ).alias("actual_share"),
+            (
+                F.floor(
+                    F.when(
+                        F.col("n_tokens") * F.col("n_sources")
+                        <= F.col("total_tokens"),
+                        F.lit(1.0),
+                    ).otherwise(
+                        F.col("total_tokens")
+                        / (F.col("n_sources").cast("double") * F.col("n_tokens"))
+                    )
+                    * 10000 + F.lit(0.5)
+                ) / 10000
             ).alias("mix_weight"),
         )
         .orderBy("source")

@@ -170,7 +170,8 @@ sizes AS (
 )
 SELECT epoch_ms(c.cohort_w) AS cohort_ms, c.week_offset, c.n_users,
        s.cohort_size,
-       ROUND(c.n_users / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+       FLOOR(c.n_users / CAST(s.cohort_size AS DOUBLE) * 10000 + 0.5) / 10000
+         AS retention
 FROM cells c JOIN sizes s ON c.cohort_w = s.cohort_w
 ORDER BY cohort_ms, week_offset
 """
@@ -205,8 +206,14 @@ def q74_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_offset",
             "n_users",
             "cohort_size",
-            F.round(
-                F.col("n_users") / F.col("cohort_size").cast("double"), 4
+            # Shared floor quantization, not round(): see module header —
+            # Spark round(double) and DuckDB ROUND disagree by 1 ulp on
+            # .00005 boundaries (q73 lesson).
+            (
+                F.floor(
+                    F.col("n_users") / F.col("cohort_size").cast("double")
+                    * 10000 + F.lit(0.5)
+                ) / 10000
             ).alias("retention"),
         )
         .orderBy("cohort_ms", "week_offset")
@@ -320,7 +327,7 @@ totals AS (
   SELECT from_type, SUM(n) AS tot FROM trans GROUP BY from_type
 )
 SELECT t.from_type, t.to_type, t.n,
-       ROUND(t.n / CAST(s.tot AS DOUBLE), 4) AS p
+       FLOOR(t.n / CAST(s.tot AS DOUBLE) * 10000 + 0.5) / 10000 AS p
 FROM trans t JOIN totals s ON t.from_type = s.from_type
 ORDER BY t.from_type, t.to_type
 """
@@ -344,7 +351,13 @@ def q76_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "from_type",
             "to_type",
             "n",
-            F.round(F.col("n") / F.col("tot").cast("double"), 4).alias("p"),
+            # Shared floor quantization (q73 lesson), not round().
+            (
+                F.floor(
+                    F.col("n") / F.col("tot").cast("double") * 10000
+                    + F.lit(0.5)
+                ) / 10000
+            ).alias("p"),
         )
         .orderBy("from_type", "to_type")
     )

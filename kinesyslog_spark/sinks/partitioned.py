@@ -43,11 +43,16 @@ def write_partitioned(
     With mode='overwrite' and dynamic partition overwrite, only the
     partitions present in `df` are replaced — safe for incremental /
     replayed batch appends of new time windows."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if sort_within:
         df = df.sortWithinPartitions(*sort_within)
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    # Writer-level option, not session conf: a shared session's other
+    # writers must not silently inherit dynamic overwrite.
+    (
+        df.write.mode(mode)
+        .partitionBy(*partition_cols)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
 
 
 def events_by_day(events: DataFrame) -> DataFrame:
@@ -111,8 +116,8 @@ def compact_partitioned(
 ) -> int:
     """Compact fragmented partitions of a partitioned parquet table in
     place. Returns the number of partitions rewritten."""
-    import functools
     import os
+    import shutil
 
     stats = partition_file_stats(path)
     todo = {
@@ -123,16 +128,14 @@ def compact_partitioned(
     if not todo:
         return 0
 
-    df = spark.read.parquet(path)
-    conds = []
-    for rel in todo:
-        kvs = [part.split("=", 1) for part in rel.split(os.sep)]
-        conds.append(
-            functools.reduce(
-                lambda a, b: a & b, [F.col(k) == v for k, v in kvs]
-            )
-        )
-    sel = df.filter(functools.reduce(lambda a, b: a | b, conds))
+    # Read ONLY the fragmented leaf directories, with basePath so SPARK
+    # parses the dir names into partition values (its own unescaping +
+    # type inference). String-equality predicates against inferred
+    # columns mis-select non-canonical dir values — zero-padded ints
+    # (hour=05), URL-escaped specials, __HIVE_DEFAULT_PARTITION__ nulls.
+    sel = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, rel) for rel in todo]
+    )
 
     total_bytes = sum(b for _, b in todo.values())
     n_rows = sel.count()
@@ -141,12 +144,23 @@ def compact_partitioned(
     max_records = max(1, int(n_rows * target_file_bytes / max(total_bytes, 1)))
 
     sel = sel.localCheckpoint(eager=True)  # break lineage to the files
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    before = {
+        rel: set(os.listdir(os.path.join(path, rel))) for rel in todo
+    }
     (
         sel.repartition(*partition_cols)
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
+        .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", max_records)
         .parquet(path)
     )
+    # Dynamic overwrite lands rows under CANONICAL dir names; a source
+    # dir spelled non-canonically (hour=05 -> rows now under hour=5) is
+    # untouched by the write and would double every read — detect (file
+    # set unchanged) and remove it.
+    for rel in todo:
+        dirp = os.path.join(path, rel)
+        if os.path.isdir(dirp) and set(os.listdir(dirp)) == before[rel]:
+            shutil.rmtree(dirp)
     return len(todo)

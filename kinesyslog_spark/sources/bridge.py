@@ -34,6 +34,18 @@ ROLL_SECONDS = 1.0
 TERMINATORS = b"\n\x00\r"
 
 
+def _recv_ts() -> str:
+    """Microsecond UTC stamp from ONE clock sample — seconds and fraction
+    formatted from the same time_ns() read, so a second-boundary rollover
+    between two reads can't skew the stamp by ~1 s (GELF receive-time
+    fallback + arrival ordering depend on it)."""
+    ns = time.time_ns()
+    return (
+        time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(ns // 1_000_000_000))
+        + f".{(ns // 1000) % 1_000_000:06d}"
+    )
+
+
 class SpoolWriter:
     """Buffers stamped lines and publishes them atomically as JSON files."""
 
@@ -53,8 +65,7 @@ class SpoolWriter:
                 "raw": raw[:MAX_MESSAGE_LENGTH],
                 "source": source,
                 "dest": dest,
-                "recv_ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())
-                + f".{int(time.time_ns() // 1000) % 1_000_000:06d}",
+                "recv_ts": _recv_ts(),
                 "seq": self._seq,
             }
         )
@@ -72,8 +83,7 @@ class SpoolWriter:
                 "raw_b64": base64.b64encode(payload).decode("ascii"),
                 "source": source,
                 "dest": dest,
-                "recv_ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())
-                + f".{int(time.time_ns() // 1000) % 1_000_000:06d}",
+                "recv_ts": _recv_ts(),
                 "seq": self._seq,
             }
         )

@@ -107,3 +107,40 @@ def test_compact_partitioned(spark, tmp_path):
 
     # idempotent: nothing left to do
     assert compact_partitioned(spark, path, ["day"]) == 0
+
+
+def test_compact_noncanonical_partition_dirs(spark, tmp_path):
+    """A zero-padded partition dir (hour=05) compacts to the canonical
+    dir (hour=5) WITHOUT leaving the old directory behind — raw
+    dir-name string matching against type-inferred columns used to
+    write the rows back under the canonical name and double every
+    subsequent read."""
+    import os
+
+    from kinesyslog_spark.sinks.partitioned import compact_partitioned
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    # Write fragmented files directly under a NON-canonical dir name, as
+    # an external writer (hive, manual copy) would.
+    frag = spark.range(0, 200).selectExpr("id", "id * 3 AS v").repartition(4)
+    frag.write.parquet(os.path.join(path, "hour=05"))
+    for f in os.listdir(os.path.join(path, "hour=05")):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(path, "hour=05", f))
+    rows_before = {
+        (r["id"], r["hour"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert {r[1] for r in rows_before} == {5}
+
+    n = compact_partitioned(spark, path, ["hour"], target_file_bytes=1 << 30)
+    assert n == 1
+
+    # old non-canonical dir removed; rows identical (no duplication)
+    assert not os.path.isdir(os.path.join(path, "hour=05"))
+    rows_after = {
+        (r["id"], r["hour"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows_after == rows_before
