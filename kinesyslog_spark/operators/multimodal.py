@@ -6,15 +6,18 @@ extraction / resize / frame-sampling as Arrow-batched pandas functions via
 `mapInPandas` — one Python worker per partition, one Arrow batch per
 ~10k rows, never a row-at-a-time UDF.
 
-The actual codecs (PIL / libav / ffmpeg) are NOT in this container, so
-`decode_media` is a clearly-marked stub (`NotImplementedError`) and the
-pipeline runs `fake_decode_meta` instead — a deterministic pure function
-of the payload bytes. Everything Spark-side (schema, batching, partition
-behavior) is real and oracle-checked.
+Image METADATA decode (JPEG/PNG/GIF width-height-codec) is real — pure
+header parsing, zero deps (`parse_image_header`). Pixel-level codecs
+(PIL / libav / ffmpeg) are NOT in this container, so pixel decode,
+thumbnailing, and frame extraction stay clearly-marked stubs and the
+oracle-checked pipeline runs `fake_decode_meta` — a deterministic pure
+function of the payload bytes that a SQL oracle can reproduce.
+Everything Spark-side (schema, batching, partition behavior) is real.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,14 +29,79 @@ META_SCHEMA = (
 
 _MODALITIES = ("image", "audio", "video")
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF0-SOF15 carry frame dims, except DHT(C4)/JPG(C8)/DAC(CC).
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """(codec, width, height) from raw image bytes via pure header
+    parsing — PNG IHDR, GIF logical-screen descriptor, JPEG SOF scan.
+    Returns None for anything unrecognized/truncated (caller decides
+    whether that is an error). No image library involved.
+    """
+    buf = bytes(payload)
+    # PNG (spec: 8-byte signature, IHDR is always the first chunk;
+    # width/height are the first two big-endian u32 of its data).
+    if buf[:8] == _PNG_SIG and len(buf) >= 24 and buf[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", buf[16:24])
+        return {"codec": "png", "width": w, "height": h}
+    # GIF (87a/89a: logical screen width/height, little-endian u16).
+    if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 10:
+        w, h = struct.unpack("<HH", buf[6:10])
+        return {"codec": "gif", "width": w, "height": h}
+    # JPEG: walk marker segments from SOI to the first SOF.
+    if buf[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(buf):
+            if buf[i] != 0xFF:
+                return None  # desynced: not a well-formed segment stream
+            marker = buf[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            (seg_len,) = struct.unpack(">H", buf[i + 2:i + 4])
+            if marker in _JPEG_SOF:
+                if i + 9 > len(buf):
+                    return None
+                h, w = struct.unpack(">HH", buf[i + 5:i + 9])
+                return {"codec": "jpeg", "width": w, "height": h}
+            if marker == 0xDA:  # SOS: entropy-coded data, no SOF seen
+                return None
+            i += 2 + seg_len
+    return None
+
 
 def decode_media(payload: bytes, modality: str) -> dict:
-    """REAL decode entry point — stubbed: media codecs are not installed.
+    """REAL decode entry point.
 
-    A production deployment plugs PIL/torchaudio/pyav in here; the
-    signature (bytes in, metadata dict out) and the mapInPandas batch
-    shape are what the engine guarantees.
+    Image metadata (JPEG/PNG/GIF dims + codec) is parsed from the
+    headers with zero dependencies. Pixel decode and audio/video need
+    codecs not installed in this container — a production deployment
+    plugs PIL/torchaudio/pyav in here; the signature (bytes in,
+    metadata dict out) and the mapInPandas batch shape are what the
+    engine guarantees.
     """
+    if modality == "image":
+        meta = parse_image_header(payload)
+        if meta is not None:
+            return {
+                "modality": "image",
+                "n_bytes": len(payload),
+                "width": meta["width"],
+                "height": meta["height"],
+                "codec": meta["codec"],
+                "duration_s": None,
+            }
+        raise NotImplementedError(
+            "unrecognized image container (only JPEG/PNG/GIF headers are "
+            "parseable without codec libraries)"
+        )
     raise NotImplementedError(
         f"{modality} decode requires media codecs not present in this "
         "environment; use fake_decode_meta for deterministic testing"
@@ -51,6 +119,35 @@ def fake_decode_meta(payload: bytes, doc_id: int) -> dict:
         "height": (n * 7) % 480 + 1,
         "duration_s": round((n % 10000) / 100.0, 4),
     }
+
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, codec string, width long, height long, n_bytes long"
+)
+
+
+def image_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for the REAL image-metadata path: (doc_id,
+    payload) -> IMAGE_META_SCHEMA rows via `parse_image_header`.
+    Unrecognized/truncated payloads yield codec=NULL instead of failing
+    the task — at corpus scale a malformed blob must never kill a
+    partition; filter `codec IS NOT NULL` downstream."""
+    cols = ["doc_id", "codec", "width", "height", "n_bytes"]
+    for pdf in batches:
+        rows = []
+        for p, d in zip(pdf["payload"], pdf["doc_id"]):
+            raw = bytes(p)
+            meta = parse_image_header(raw) or {}
+            rows.append({
+                "doc_id": d,
+                "codec": meta.get("codec"),
+                "width": meta.get("width"),
+                "height": meta.get("height"),
+                "n_bytes": len(raw),
+            })
+        yield pd.DataFrame(rows, columns=cols)
 
 
 THUMB_BYTES = 64          # stub "resize": first 64 payload bytes

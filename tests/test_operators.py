@@ -8,11 +8,82 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def test_decode_media_is_stubbed():
+import base64
+
+# Real 1x1 PNG (full valid file).
+PNG_1x1 = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+    "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+# Minimal JPEG: SOI + APP0(JFIF) + SOF0 declaring 3x2 px, then EOI.
+JPEG_3x2 = (
+    b"\xff\xd8"
+    b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    b"\xff\xc0\x00\x11\x08\x00\x02\x00\x03\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    b"\xff\xd9"
+)
+# Minimal GIF89a header declaring a 7x9 logical screen.
+GIF_7x9 = b"GIF89a\x07\x00\x09\x00\x00\x00\x00;"
+
+
+def test_parse_image_header_real_formats():
+    from kinesyslog_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(PNG_1x1) == {
+        "codec": "png", "width": 1, "height": 1,
+    }
+    assert parse_image_header(JPEG_3x2) == {
+        "codec": "jpeg", "width": 3, "height": 2,
+    }
+    assert parse_image_header(GIF_7x9) == {
+        "codec": "gif", "width": 7, "height": 9,
+    }
+    # truncated/garbage -> None, never an exception
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\x89PNG...") is None
+    assert parse_image_header(PNG_1x1[:10]) is None
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None
+    assert parse_image_header(b"not an image at all") is None
+
+
+def test_decode_media_real_images_stubbed_av():
     from kinesyslog_spark.operators.multimodal import decode_media
 
+    meta = decode_media(JPEG_3x2, "image")
+    assert (meta["codec"], meta["width"], meta["height"]) == ("jpeg", 3, 2)
+    assert meta["n_bytes"] == len(JPEG_3x2)
+    # pixel-level / av decode still needs absent codec libs
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG...", "image")
+        decode_media(b"\x89PNG but not really", "image")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFF....WAVE", "audio")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00 ftypisom", "video")
+
+
+def test_image_meta_mapinpandas(spark):
+    """The real header parser through actual Spark mapInPandas plumbing:
+    mixed valid/garbage payloads, nulls instead of task failures."""
+    from kinesyslog_spark.operators.multimodal import (
+        IMAGE_META_SCHEMA,
+        image_meta_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(PNG_1x1)), (2, bytearray(JPEG_3x2)),
+         (3, bytearray(GIF_7x9)), (4, bytearray(b"garbage"))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(
+            image_meta_batches, schema=IMAGE_META_SCHEMA
+        ).collect()
+    }
+    assert (out[1]["codec"], out[1]["width"], out[1]["height"]) == ("png", 1, 1)
+    assert (out[2]["codec"], out[2]["width"], out[2]["height"]) == ("jpeg", 3, 2)
+    assert (out[3]["codec"], out[3]["width"], out[3]["height"]) == ("gif", 7, 9)
+    assert out[4]["codec"] is None and out[4]["n_bytes"] == 7
 
 
 def test_fake_decode_meta_deterministic():
