@@ -98,3 +98,81 @@ class PlanFacts:
 
 def facts(df: DataFrame) -> PlanFacts:
     return PlanFacts(formatted_plan(df))
+
+
+# ---------------------------------------------------------------------------
+# Executed-plan node walk — the truthful view for ITERATIVE queries.
+#
+# Explain text (formatted or simple) prints every InMemoryRelation's full
+# cached subtree; a query built on N checkpoint/persist rounds therefore
+# shows the whole unrolled lineage (round-2 verdict: q72's PLANS row
+# counted 1497 broadcast joins in a plan that actually executes ~17
+# nodes). Walking the JVM plan tree and STOPPING at InMemoryTableScan
+# (cache boundary) yields the operator multiset of the plan as it runs.
+# ---------------------------------------------------------------------------
+
+
+def executed_node_names(df: DataFrame) -> list[str]:
+    """Class names of the physical nodes that actually execute.
+
+    AQE / query-stage shells unwrap to their contained plan; each cached
+    InMemoryRelation's build plan is descended into exactly ONCE (it ran
+    once to populate the cache), no matter how many scans reference it —
+    explain text instead re-prints the full subtree under every
+    reference, which is how an iterative query's report ballooned to
+    1497 phantom broadcast joins."""
+    out: list[str] = []
+    seen_relations: set[int] = set()
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        out.append(cls)
+        if cls.startswith("InMemoryTableScan"):
+            rel = node.relation()
+            h = rel.hashCode()
+            if h not in seen_relations:
+                seen_relations.add(h)
+                walk(rel.cachedPlan())
+            return
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+@dataclass
+class ExecutedFacts:
+    nodes: list[str]
+
+    def _count(self, *prefixes: str) -> int:
+        return sum(
+            1 for n in self.nodes if any(n.startswith(p) for p in prefixes)
+        )
+
+    @property
+    def exchange_count(self) -> int:
+        return self._count("ShuffleExchange")
+
+    @property
+    def broadcast_any_count(self) -> int:
+        return self._count("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+
+    @property
+    def python_eval_count(self) -> int:
+        return self._count("BatchEvalPython", "ArrowEvalPython")
+
+    @property
+    def sort_aggregate_count(self) -> int:
+        return self._count("SortAggregate")
+
+
+def executed_facts(df: DataFrame) -> ExecutedFacts:
+    return ExecutedFacts(executed_node_names(df))

@@ -49,8 +49,14 @@ def start_relay(
 
     checkpointLocation gives exactly-once *source* progress; combined
     with the uploader's per-record ack (K3) the end-to-end contract is
-    at-least-once, matching the reference (README.md:134-148)."""
-    events = parse_syslog(read_line_stream(spark, input_dir))
+    at-least-once, matching the reference (README.md:134-148).
+
+    The O2 message count/byte observation rides the input stream, so a
+    registered RelayMetricsListener accumulates per-stream metrics
+    (reference constant.py:43-52 registry) with zero extra passes."""
+    from kinesyslog_spark.observability import observe_messages
+
+    events = parse_syslog(observe_messages(read_line_stream(spark, input_dir)))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spool_batch(batch_df, spool_dir, **envelope_kw)
