@@ -55,3 +55,4 @@ from kinesyslog_spark.queries import retrieval  # noqa: E402,F401
 from kinesyslog_spark.queries import verdict  # noqa: E402,F401
 from kinesyslog_spark.queries import graph  # noqa: E402,F401
 from kinesyslog_spark.queries import timeseries  # noqa: E402,F401
+from kinesyslog_spark.queries import pipeline_ops  # noqa: E402,F401

@@ -1,0 +1,327 @@
+"""Round-3 pipeline operators — q79-q82.
+
+q79 — EXACT heavy hitters via two-pass sketch+verify: per-partition
+Misra-Gries summaries (capacity M) generate a candidate superset, then
+one exact counting pass over the candidate set yields the true top-K
+tokens. The MG merge guarantee makes the final output *exact* (not
+approximate) whenever the K-th frequency exceeds N/M: if an item's
+global frequency > N/M then some partition has local frequency >
+N_p/M, so it survives that partition's summary. The verify pass makes
+the result independent of MG internals — deterministic by construction.
+
+q80 — duplicated n-gram span coverage (substring-level dedup signal, cf.
+Lee et al., "Deduplicating Training Data Makes Language Models Better",
+ACL'22): per document, the fraction of its distinct word 5-grams that
+occur in at least one other document. High-coverage docs are
+boilerplate/near-copies even when whole-doc MinHash misses them.
+
+q81 — SCD2 history build (CDC-style batch merge): collapse each user's
+event-derived state (value tier) into validity runs with
+valid_from/valid_to epoch-millis and an is_current flag — the standard
+slowly-changing-dimension type-2 shape every warehouse pipeline emits.
+
+q82 — hourly anomaly detection: per event-type hourly counts scored by
+z-score against that type's mean/stddev. Moments are accumulated as
+exact integer sums (SUM(n), SUM(n*n) over BIGINT counts), so mean/var
+derive from identical operands on both engines — no float-summation
+order dependence anywhere.
+
+Scale notes (100 TB posture):
+- q79 pass 1 is map-only (per-partition state, bounded M rows out per
+  partition); pass 2 broadcasts the tiny candidate set into the token
+  scan and hash-aggregates with map-side combine. No full-vocabulary
+  shuffle ever happens — this is THE way to top-K a 100 TB token
+  stream. (A plain groupBy would shuffle the whole vocabulary.)
+- q80 shuffles once on the shingle key with a window count (no
+  join-back, no pair expansion), then once on doc_id — both hash
+  aggregations with map-side combine; hot boilerplate shingles cost a
+  wide window partition, not a quadratic blow-up.
+- q81/q82 are single-shuffle window/aggregate plans on (user_id) /
+  (event_type, hour) — textbook partition-parallel.
+
+Reference parity: the reference engine has no analytics layer (it is a
+syslog relay; SURVEY §2b extends it); these queries extend the declared
+LLM-pipeline inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesyslog_spark.operators.text import TOKEN_RE, word_shingles
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.queries.relational import _t
+from kinesyslog_spark.tables import hot_tokens
+
+# ---------------------------------------------------------------------------
+# Q79 — exact heavy hitters (Misra-Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 256  # per-partition summary size; exact top-K iff f_K > N/M
+TOPK_TOKENS = 20
+
+
+def misra_gries_candidates(tokens_df: DataFrame, capacity: int = MG_CAPACITY) -> DataFrame:
+    """Per-partition Misra-Gries summaries over a single `token` string
+    column — returns a `token` DataFrame of <= capacity rows per input
+    partition (the candidate superset for exact heavy hitters).
+
+    Arrow-batched (mapInPandas); state is a plain dict per partition —
+    the iterator-of-batches contract means one dict spans all of a
+    partition's batches."""
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < capacity:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step (dict small: <= capacity)
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        if counters:
+            yield pd.DataFrame({"token": list(counters.keys())})
+
+    return tokens_df.mapInPandas(summarize, schema="token string")
+
+
+_Q79_ORACLE = f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT {TOPK_TOKENS}
+    """
+
+
+@query("q79_heavy_hitters", oracle=_Q79_ORACLE)
+def q79_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = hot_tokens(spark, sf_dir).select(
+        F.explode("toks").alias("token")
+    )
+    cand = misra_gries_candidates(toks).distinct()
+    # Exact verify pass: broadcast the bounded candidate set into the
+    # token scan; only candidate tokens reach the aggregate.
+    exact = (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.orderBy(F.desc("cnt"), "token").limit(TOPK_TOKENS)
+
+
+# ---------------------------------------------------------------------------
+# Q80 — duplicated n-gram span coverage per document
+# ---------------------------------------------------------------------------
+
+SPAN_N = 5  # word n-gram width
+
+
+_Q80_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + {SPAN_N - 1}), ' ') AS gram
+      FROM toks, unnest(range(1, len(t) - {SPAN_N} + 2)) AS u(i)
+      WHERE len(t) >= {SPAN_N}
+    ), scored AS (
+      SELECT doc_id, gram,
+             COUNT(*) OVER (PARTITION BY gram) AS n_docs
+      FROM sh
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           FLOOR(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS dup_frac
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@query("q80_dup_ngram_spans", oracle=_Q80_ORACLE)
+def q80_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = hot_tokens(spark, sf_dir).filter(F.size("toks") >= SPAN_N)
+    sh = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), SPAN_N)).alias("gram")
+    )
+    # One shuffle on gram: window COUNT over the gram partition (no
+    # join-back), then one hash aggregate on doc_id.
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    scored = sh.select("doc_id", n_docs.alias("n_docs"))
+    dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    total = F.count(F.lit(1))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            total.alias("n_shingles"),
+            dup.alias("n_dup"),
+            (F.floor(dup / total.cast("double") * 10000 + F.lit(0.5)) / 10000).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q81 — SCD2 history build (CDC batch merge shape)
+# ---------------------------------------------------------------------------
+
+TIER_LOW, TIER_MID = 100.0, 500.0
+
+
+def _tier_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} < {TIER_LOW} THEN 'low' "
+        f"WHEN {col} < {TIER_MID} THEN 'mid' ELSE 'high' END"
+    )
+
+
+_Q81_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, {_tier_sql("value")} AS tier
+      FROM events WHERE value IS NOT NULL
+    ), runs AS (
+      SELECT user_id, ts, event_id, tier,
+             CASE WHEN LAG(tier) OVER w IS DISTINCT FROM tier THEN 1 ELSE 0 END AS chg
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), grp AS (
+      SELECT user_id, ts, tier,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      FROM runs
+    ), scd AS (
+      SELECT user_id, run_id, tier,
+             MIN(ts) AS from_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM grp GROUP BY user_id, run_id, tier
+    )
+    SELECT user_id, run_id, tier,
+           epoch_ms(from_ts) AS valid_from_ms,
+           epoch_ms(LEAD(from_ts) OVER w2) AS valid_to_ms,
+           n_events,
+           (LEAD(from_ts) OVER w2 IS NULL) AS is_current
+    FROM scd WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+    ORDER BY user_id, run_id
+    """
+
+
+@query("q81_scd2_history", oracle=_Q81_ORACLE)
+def q81_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    tier = (
+        F.when(F.col("value") < TIER_LOW, "low")
+        .when(F.col("value") < TIER_MID, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.select("user_id", "ts", "event_id", tier.alias("tier")).withColumn(
+        "chg",
+        F.when(
+            ~F.lag("tier").over(w).eqNullSafe(F.col("tier")), 1
+        ).otherwise(0),
+    )
+    grp = runs.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    scd = grp.groupBy("user_id", "run_id", "tier").agg(
+        F.min("ts").alias("from_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("from_ts").over(w2)
+    return scd.select(
+        "user_id",
+        "run_id",
+        "tier",
+        F.unix_millis(F.col("from_ts").cast("timestamp")).alias("valid_from_ms"),
+        F.unix_millis(nxt.cast("timestamp")).alias("valid_to_ms"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "run_id")
+
+
+# ---------------------------------------------------------------------------
+# Q82 — hourly anomaly detection (z-score from exact integer moments)
+# ---------------------------------------------------------------------------
+
+Z_THRESHOLD = 2.0
+
+
+_Q82_ORACLE = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(SUM(n * n) AS BIGINT) AS tot2
+      FROM hourly GROUP BY event_type
+    ), scored AS (
+      SELECT h.event_type, h.hour, h.n,
+             (h.n - tot / CAST(m AS DOUBLE))
+               / sqrt((tot2 - tot * (tot / CAST(m AS DOUBLE))) / (m - 1)) AS z
+      FROM hourly h JOIN stats s ON h.event_type = s.event_type
+      WHERE m > 1 AND tot2 * (m - 1) > tot * tot - tot2
+    )
+    SELECT event_type, epoch_ms(hour) AS hour_ms, n,
+           FLOOR(z * 10000 + 0.5) / 10000 AS z_q4
+    FROM scored
+    WHERE abs(z) >= {thr}
+    ORDER BY event_type, hour_ms
+    """.format(thr=Z_THRESHOLD)
+
+
+@query("q82_hourly_anomaly", oracle=_Q82_ORACLE)
+def q82_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("tot2"),
+    )
+    # Variance from exact integer sums; every float op below runs on
+    # operands identical across engines (see module header).
+    mean = F.col("tot") / F.col("m").cast("double")
+    var = (F.col("tot2") - F.col("tot") * mean) / (F.col("m") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    scored = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("m") > 1)
+            & (F.col("tot2") * (F.col("m") - 1) > F.col("tot") * F.col("tot") - F.col("tot2"))
+        )
+        .select("event_type", "hour", "n", z.alias("z"))
+    )
+    return (
+        scored.filter(F.abs("z") >= Z_THRESHOLD)
+        .select(
+            "event_type",
+            F.unix_millis(F.col("hour").cast("timestamp")).alias("hour_ms"),
+            "n",
+            (F.floor(F.col("z") * 10000 + F.lit(0.5)) / 10000).alias("z_q4"),
+        )
+        .orderBy("event_type", "hour_ms")
+    )
