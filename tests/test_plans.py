@@ -169,3 +169,60 @@ def test_q72_pagerank_jvm_side(spark, sf_dir):
     # nodes; rank/out-weight tables are node-sized (broadcast at scale).
     f = facts(QUERIES["q72_pagerank"](spark, sf_dir))
     assert f.python_eval_count == 0
+
+
+def test_q79_sketch_verify_plan(spark, sf_dir):
+    # Pass 1 is the ONLY Python node (the Arrow MG summarizer, map-only);
+    # pass 2 broadcasts the bounded candidate set into the token scan —
+    # the whole vocabulary is never shuffled.
+    f = facts(QUERIES["q79_heavy_hitters"](spark, sf_dir))
+    assert f.python_eval_count == 0, "no row-at-a-time Python"
+    assert "MapInPandas" in f.text, "the MG pass must be the Arrow summarizer"
+    assert f.broadcast_any_count >= 1, "candidate set must broadcast"
+    assert "TakeOrderedAndProject" in f.text, "top-k must not global-sort"
+
+
+def test_q80_span_coverage_plan(spark, sf_dir):
+    # One shuffle on the gram key (window count, no join-back), one on
+    # doc_id, one range partition for the output order — nothing else.
+    from kinesyslog_spark.plans.checks import executed_facts
+
+    df = QUERIES["q80_dup_ngram_spans"](spark, sf_dir)
+    f = facts(df)
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
+    ef = executed_facts(df)
+    assert ef.exchange_count <= 4, (
+        f"span coverage grew extra shuffles: {ef.nodes}"
+    )
+
+
+def test_q81_scd2_single_user_shuffle(spark, sf_dir):
+    # The user_id hash partition must be REUSED by the run aggregate and
+    # the validity window (subset-partitioning satisfies the clustered
+    # distribution); only the final ORDER BY adds a range exchange.
+    f = facts(QUERIES["q81_scd2_history"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.exchange_count <= 2, f"SCD2 build must reuse the user_id shuffle:\n{f.text[:400]}"
+
+
+def test_q82_stats_broadcast(spark, sf_dir):
+    f = facts(QUERIES["q82_hourly_anomaly"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.broadcast_any_count >= 1, "per-type stats must broadcast"
+
+
+def test_q77_kmeans_map_only_assignment(spark, sf_dir):
+    # Assignment distances come from broadcast centroid LITERALS — the
+    # final plan has no join at all, just the cluster-summary aggregate.
+    f = facts(QUERIES["q77_kmeans_clusters"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "Join" not in f.text, "k-means assignment must not join the corpus"
+
+
+def test_q78_cluster_bucketed_pairs(spark, sf_dir):
+    # Pair expansion joins on the cluster key (never a cartesian) and the
+    # exact-cosine verify stays in JVM expressions.
+    f = facts(QUERIES["q78_semantic_neardup"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
