@@ -46,7 +46,7 @@ LLM-pipeline inventory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -188,6 +188,16 @@ def q80_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 TIER_LOW, TIER_MID = 100.0, 500.0
 
 
+def tier_expr(col: str = "value") -> Column:
+    """The event-derived SCD2 state (shared by q81 and the W12
+    incremental CDC merge in streaming/cdc.py)."""
+    return (
+        F.when(F.col(col) < TIER_LOW, "low")
+        .when(F.col(col) < TIER_MID, "mid")
+        .otherwise("high")
+    )
+
+
 def _tier_sql(col: str) -> str:
     return (
         f"CASE WHEN {col} < {TIER_LOW} THEN 'low' "
@@ -226,11 +236,7 @@ _Q81_ORACLE = f"""
 @query("q81_scd2_history", oracle=_Q81_ORACLE)
 def q81_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    tier = (
-        F.when(F.col("value") < TIER_LOW, "low")
-        .when(F.col("value") < TIER_MID, "mid")
-        .otherwise("high")
-    )
+    tier = tier_expr("value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     runs = ev.select("user_id", "ts", "event_id", tier.alias("tier")).withColumn(
         "chg",

@@ -197,9 +197,10 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     slowdown on an iterative query purely from that pressure. Call this
     when a dataset's query family is done. Next access rebuilds."""
     from kinesyslog_spark.queries.ann import _IVF_CACHE
+    from kinesyslog_spark.queries.semantic import _KMEANS_CACHE
 
     n = 0
-    for cache in (_HOT_CACHE, _IVF_CACHE):
+    for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE):
         for key in list(cache):
             if key[0] != id(spark):
                 continue
