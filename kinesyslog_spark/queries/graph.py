@@ -128,11 +128,14 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = (1.0 - PR_DAMPING) / n
-    r = persist_now(
-        nodes.select(
-            "node",
-            F.round(F.lit(1.0) / n, 9).cast("decimal(10,9)").alias("rank"),
-        )
+    # The rank lineage is LINEAR (each r is consumed exactly once by the
+    # next iteration), so no per-iteration persist is needed: one final
+    # action runs all PR_ITERATIONS shuffles in a single job, saving an
+    # action+materialization round-trip per iteration (measured ~2x at
+    # sf0.1). edges/nodes/outw stay persisted — they fan out.
+    r = nodes.select(
+        "node",
+        F.round(F.lit(1.0) / n, 9).cast("decimal(10,9)").alias("rank"),
     )
     for _ in range(PR_ITERATIONS):
         contrib = (
@@ -148,18 +151,14 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("acc"))
         )
-        prev = r
-        r = persist_now(
-            nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-                "node",
-                F.round(
-                    F.lit(base)
-                    + PR_DAMPING * F.coalesce(F.col("acc"), F.lit(0)).cast("double"),
-                    9,
-                ).cast("decimal(10,9)").alias("rank"),
-            )
+        r = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            F.round(
+                F.lit(base)
+                + PR_DAMPING * F.coalesce(F.col("acc"), F.lit(0)).cast("double"),
+                9,
+            ).cast("decimal(10,9)").alias("rank"),
         )
-        prev.unpersist()
     return (
         r.select("node", F.col("rank").cast("double").alias("rank"))
         .orderBy(F.desc("rank"), "node")
