@@ -112,3 +112,66 @@ def test_scd2_stream_end_to_end(spark, sf_dir, tmp_path):
     chunk = spark.createDataFrame(rows, "user_id long, ts_ms long, ord long, tier string")
     want = _canon(scd2_apply_batch(None, chunk).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# property: incremental fold == one-shot fold, vs a pure-Python SCD2 model
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_scd2(events):
+    """Reference model: events are (user, ts_ms, ord, tier), globally
+    ordered per key by (ts_ms, ord)."""
+    out = {}
+    for u, ts, o, tier in sorted(events, key=lambda e: (e[0], e[1], e[2])):
+        runs = out.setdefault(u, [])
+        if runs and runs[-1]["tier"] == tier:
+            runs[-1]["n"] += 1
+        else:
+            runs.append({"tier": tier, "from": ts, "n": 1})
+    rows = set()
+    for u, runs in out.items():
+        for i, r in enumerate(runs):
+            nxt = runs[i + 1]["from"] if i + 1 < len(runs) else None
+            rows.add((u, i + 1, r["tier"], r["from"], nxt, r["n"], nxt is None))
+    return rows
+
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),        # user
+        st.integers(min_value=0, max_value=50),       # ts_ms
+        st.sampled_from(["low", "mid", "high"]),      # tier
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(evs=_events_strategy, cuts=st.lists(st.integers(0, 39), max_size=3))
+def test_scd2_fold_property(spark, evs, cuts):
+    # unique ord per event; global (ts, ord) order defines the timeline
+    events = [(u, ts, i, tier) for i, (u, ts, tier) in enumerate(evs)]
+    events.sort(key=lambda e: (e[1], e[2]))
+    bounds = sorted({c for c in cuts if c < len(events)} | {len(events)})
+    table, start = None, 0
+    for b in bounds:
+        if b <= start:
+            continue
+        chunk = spark.createDataFrame(
+            [(u, ts, o, t) for (u, ts, o, t) in events[start:b]],
+            "user_id long, ts_ms long, ord long, tier string",
+        )
+        merged = scd2_apply_batch(table, chunk)
+        table = spark.createDataFrame(merged.collect(), merged.schema)
+        start = b
+    got = {
+        (r.user_id, r.run_id, r.tier, r.valid_from_ms, r.valid_to_ms,
+         r.n_events, r.is_current)
+        for r in table.collect()
+    }
+    assert got == _py_scd2(events)
