@@ -331,3 +331,67 @@ def q82_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_ms")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q84 — curriculum sharding (quality-ordered training shards)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+_Q84_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{{token_re}}')) AS n_tokens
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, n_tokens,
+             NTILE({N_SHARDS}) OVER (ORDER BY n_tokens, doc_id) AS shard
+      FROM scored
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sharded GROUP BY shard ORDER BY shard
+    """.format(token_re=TOKEN_RE)
+
+
+@query("q84_curriculum_shards", oracle=_Q84_ORACLE)
+def q84_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered shard assignment (curriculum/data-ordering stage):
+    docs sorted by a difficulty proxy (token count; unique tie-break
+    doc_id) and dealt into N_SHARDS contiguous shards via NTILE — the
+    deterministic 'sort then shard' every curriculum pipeline runs
+    before writing training chunks.
+
+    Scale notes: NTILE over a global order is a range-partitioned sort
+    (Spark samples boundaries; no single-node bottleneck); the per-shard
+    roll-up reuses the sorted partitioning. At 100 TB the same plan
+    holds — sort-based shuffle with spill, then map-side-combined
+    aggregate."""
+    scored = hot_tokens(spark, sf_dir).select(
+        "doc_id", F.size("toks").alias("n_tokens")
+    )
+    sharded = scored.select(
+        "doc_id",
+        "n_tokens",
+        F.ntile(N_SHARDS)
+        .over(Window.orderBy("n_tokens", "doc_id"))
+        .cast("long")
+        .alias("shard"),
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
