@@ -424,3 +424,161 @@ def q70_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q85 — TPC-H Q7 shape (volume shipping between nation pairs).
+# Two roles of the SAME dimension (nation n1/n2 for supplier/customer
+# side) with an inequality predicate between them — the classic
+# self-referential dimension join. Both nation copies broadcast; the
+# fact-side join order is left to Catalyst.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q85_nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+    ) t
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q85_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(_t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q86 — TPC-H Q8 shape (market share). Per (region, year): one nation's
+# share of ECONOMY-part revenue. Conditional-sum ratio over an exact
+# decimal denominator; the share is floor-quantized to 4dp on both
+# engines (decimal/decimal division is scale-pinned, then the double
+# quotient is quantized — no round(double) ulp trap).
+# ---------------------------------------------------------------------------
+
+SHARE_NATION = "NATION_7"
+
+
+@query(
+    "q86_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             n_s.n_name AS supp_nation,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS v
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+      JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+      JOIN region  ON n_c.n_regionkey = r_regionkey
+      WHERE p_type = 'ECONOMY'
+    )
+    SELECT r_name, o_year,
+           CAST(SUM(CASE WHEN supp_nation = '{SHARE_NATION}' THEN v ELSE 0 END)
+                AS DOUBLE) AS nation_vol,
+           CAST(SUM(v) AS DOUBLE) AS total_vol,
+           FLOOR(CAST(SUM(CASE WHEN supp_nation = '{SHARE_NATION}' THEN v ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(SUM(v) AS DOUBLE) * 10000 + 0.5) / 10000 AS share
+    FROM vol
+    GROUP BY r_name, o_year
+    ORDER BY r_name, o_year
+    """,
+)
+def q86_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    vol = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(_t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(_t(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .select(
+            "r_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "supp_nation",
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("v"),
+        )
+    )
+    nation_v = F.sum(
+        F.when(F.col("supp_nation") == SHARE_NATION, F.col("v")).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    total_v = F.sum("v")
+    return (
+        vol.groupBy("r_name", "o_year")
+        .agg(
+            nation_v.cast("double").alias("nation_vol"),
+            total_v.cast("double").alias("total_vol"),
+            (
+                F.floor(
+                    nation_v.cast("double") / total_v.cast("double") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("share"),
+        )
+        .orderBy("r_name", "o_year")
+    )
