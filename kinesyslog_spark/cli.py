@@ -102,6 +102,18 @@ def _parser() -> argparse.ArgumentParser:
     cp.add_argument("--target-mb", type=int, default=128)
     cp.add_argument("--min-files", type=int, default=2)
     cp.add_argument("--cpus", default=None)
+
+    pl = sub.add_parser(
+        "pipeline",
+        help="materialize the composed LLM training-data pipeline "
+             "(q71 filter -> q40 dedup -> q84 curriculum shards) as a "
+             "shard-partitioned parquet artifact",
+    )
+    pl.add_argument("out_dir", help="output table root")
+    pl.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    pl.add_argument("--shards", type=int, default=16)
+    pl.add_argument("--cpus", default=None)
     return p
 
 
@@ -322,6 +334,18 @@ def compact_cmd(args) -> int:
     return 0
 
 
+def pipeline_cmd(args) -> int:
+    import json
+
+    from kinesyslog_spark.pipeline import run_pipeline
+    from kinesyslog_spark.session import get_spark
+
+    spark = get_spark("kinesyslog-spark-pipeline", cpus=args.cpus)
+    stats = run_pipeline(spark, args.sf_dir, args.out_dir, n_shards=args.shards)
+    print(json.dumps(stats), flush=True)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
     if args.command == "listen":
@@ -334,6 +358,8 @@ def main(argv: list[str] | None = None) -> int:
         return dump(args)
     if args.command == "compact":
         return compact_cmd(args)
+    if args.command == "pipeline":
+        return pipeline_cmd(args)
     return 2
 
 

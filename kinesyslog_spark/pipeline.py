@@ -1,0 +1,90 @@
+"""End-to-end training-data materialization: the composed LLM pipeline
+as one artifact-producing job (`kinesyslog-spark pipeline`).
+
+Stages (all reuse the oracle-checked query components — this module
+adds NO new semantics, only composition + storage):
+1. FILTER  — q71's composed verdict (decontamination, repetition,
+   boilerplate, token entropy; fixed rule priority).
+2. DEDUP   — q40's MinHash-LSH connected components; each near-dup
+   cluster keeps its min-doc_id representative.
+3. SHARD   — q84's curriculum order (token-count proxy, unique
+   tie-break) dealt into N contiguous shards via NTILE.
+4. WRITE   — shard-partitioned parquet via the dynamic-overwrite sink
+   (sinks/partitioned.py), sorted by doc_id within shards.
+
+Scale notes: every stage is the already-plan-guarded distributed form
+(broadcast filter stats, bucket-bounded pair generation, O(log d)
+pointer-jumping components, range-partitioned sort). The composition
+adds two doc_id-keyed joins (keep-set, drop-set) — dimension-sized
+semi/anti joins against the corpus scan.
+
+Reference parity: the reference relay materializes record spools; this
+is the analogous batch artifact for the LLM-data side of the engine
+(SURVEY §2b extension), exercised end-to-end by tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesyslog_spark.queries.cluster import q40_dedup_clusters
+from kinesyslog_spark.queries.verdict import q71_filter_pipeline
+from kinesyslog_spark.sinks.partitioned import write_partitioned
+from kinesyslog_spark.tables import hot_table, hot_tokens
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 16,
+) -> dict:
+    """Materialize the filtered/deduped/sharded corpus; returns stats."""
+    docs = hot_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+
+    # 1. composed filter verdict (q71): keep-set
+    verdict = q71_filter_pipeline(spark, sf_dir)
+    keep = verdict.filter(F.col("keep") == 1).select("doc_id")
+
+    # 2. near-dup clusters (q40): drop everything but each cluster's
+    # min-doc_id representative
+    clusters = q40_dedup_clusters(spark, sf_dir)
+    rep = Window.partitionBy("cluster_id")
+    drops = (
+        clusters.withColumn("rep", F.min("doc_id").over(rep))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select("doc_id")
+    )
+
+    kept = (
+        docs.join(keep, "doc_id", "left_semi")
+        .join(drops, "doc_id", "left_anti")
+    )
+
+    # 3. curriculum shard assignment (q84's order)
+    toks = hot_tokens(spark, sf_dir).select("doc_id", F.size("toks").alias("n_tokens"))
+    sharded = (
+        kept.join(toks, "doc_id", "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+        .withColumn(
+            "shard",
+            F.ntile(n_shards).over(Window.orderBy("n_tokens", "doc_id")).cast("long"),
+        )
+    )
+
+    # 4. shard-partitioned artifact
+    write_partitioned(sharded, out_dir, ["shard"], sort_within=["doc_id"])
+
+    n_kept = kept.count()
+    n_dropped_dup = drops.count()
+    return {
+        "n_total": n_total,
+        "n_filtered_out": n_total - verdict.filter(F.col("keep") == 1).count(),
+        "n_dropped_dup": n_dropped_dup,
+        "n_kept": n_kept,
+        "n_shards": n_shards,
+        "out_dir": out_dir,
+    }

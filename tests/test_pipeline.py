@@ -1,0 +1,62 @@
+"""End-to-end training-data pipeline artifact (pipeline.py + CLI)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesyslog_spark.pipeline import run_pipeline
+from kinesyslog_spark.queries import QUERIES
+from kinesyslog_spark.sinks.partitioned import read_partitioned
+
+
+def test_pipeline_materializes_consistent_artifact(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    stats = run_pipeline(spark, sf_dir, out, n_shards=4)
+
+    table = read_partitioned(spark, out)
+    rows = table.collect()
+    assert len(rows) == stats["n_kept"] > 0
+    assert stats["n_total"] >= stats["n_kept"]
+
+    # kept set == verdict keeps minus non-representative dup-cluster members
+    verdict = QUERIES["q71_filter_pipeline"](spark, sf_dir)
+    keeps = {r.doc_id for r in verdict.filter(F.col("keep") == 1).collect()}
+    clusters = QUERIES["q40_dedup_clusters"](spark, sf_dir).collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    dup_drops = {
+        d for members in by_cluster.values() for d in members if d != min(members)
+    }
+    assert {r.doc_id for r in rows} == keeps - dup_drops
+
+    # shard assignment is the q84 curriculum order over the KEPT set
+    kept_sorted = sorted(rows, key=lambda r: (r.n_tokens, r.doc_id))
+    n = len(kept_sorted)
+    for rank, r in enumerate(kept_sorted):
+        # NTILE semantics: first (n % 4) shards get ceil(n/4) rows
+        big, rem = divmod(n, 4)
+        boundary = rank // (big + 1) if rank < (big + 1) * rem else (
+            rem + (rank - (big + 1) * rem) // big
+        )
+        assert r.shard == boundary + 1, (rank, r.shard)
+
+    # partition layout: one directory per shard, hive-style
+    import os
+
+    shards = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert shards == {f"shard={r.shard}" for r in rows}
+
+
+def test_pipeline_cli(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from kinesyslog_spark.cli import main
+
+    out = str(tmp_path / "cli_corpus")
+    rc = main(["pipeline", out, "--sf-dir", sf_dir, "--shards", "2",
+               "--cpus", "4"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_kept"] > 0 and stats["n_shards"] == 2
+    assert read_partitioned(spark, out).count() == stats["n_kept"]
