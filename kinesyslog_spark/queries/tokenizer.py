@@ -112,15 +112,18 @@ def q83_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(syms, i + 1).alias("s2"),
             ),
         )
-        best = (
+        best_rows = (
             rep_df.filter(F.size(syms) >= 2)
             .select("freq", F.explode(pair_structs).alias("p"))
             .groupBy("p.s1", "p.s2")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "s1", "s2")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not best_rows:  # vocabulary fully merged (oracle rounds empty too)
+            break
+        best = best_rows[0]
         merges.append((rnd, best.s1, best.s2, best.s1 + best.s2, best.cnt))
         if rnd < BPE_ROUNDS:
             nxt = rep_df.select(

@@ -147,11 +147,39 @@ def publish_snapshot(table_dir: str, name: str) -> None:
     os.replace(tmp, _pointer_path(table_dir))
 
 
+SNAPSHOT_RETENTION = 3  # published + this many predecessors survive vacuum
+
+
+def vacuum_snapshots(table_dir: str, keep: int = SNAPSHOT_RETENTION) -> int:
+    """Delete snapshot dirs older than the last `keep` BEFORE the
+    published one (the pointer target itself is never removed, and
+    newer-than-published snapshots — a concurrent writer's in-flight
+    epoch — are left alone). Returns the number removed."""
+    import shutil
+
+    cur = current_snapshot(table_dir)
+    if cur is None:
+        return 0
+    cur_name = os.path.basename(cur)
+    older = sorted(
+        d
+        for d in os.listdir(table_dir)
+        if d.startswith("snap-") and d < cur_name
+    )
+    doomed = older[:-keep] if keep else older
+    for d in doomed:
+        shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+    return len(doomed)
+
+
 def apply_epoch(
     spark: SparkSession, table_dir: str, epoch_id: int, changes: DataFrame
 ) -> bool:
     """Merge one micro-batch into the table; returns False for a replayed
-    (already-applied) epoch. Idempotence: the snapshot dir is the marker."""
+    (already-applied) epoch. Idempotence: the snapshot dir is the marker.
+    Old snapshots beyond SNAPSHOT_RETENTION are vacuumed after publish
+    (replayed epochs older than the retention horizon are impossible:
+    the checkpoint only replays the LAST epoch)."""
     os.makedirs(table_dir, exist_ok=True)
     snap_name = f"snap-{epoch_id:020d}"
     snap_dir = os.path.join(table_dir, snap_name)
@@ -163,6 +191,7 @@ def apply_epoch(
     merged = scd2_apply_batch(read_scd2(spark, table_dir), changes)
     merged.write.mode("overwrite").parquet(snap_dir)
     publish_snapshot(table_dir, snap_name)
+    vacuum_snapshots(table_dir)
     return True
 
 

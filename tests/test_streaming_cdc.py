@@ -175,3 +175,39 @@ def test_scd2_fold_property(spark, evs, cuts):
         for r in table.collect()
     }
     assert got == _py_scd2(events)
+
+
+def test_snapshot_vacuum_keeps_readable_history(spark, sf_dir, tmp_path):
+    from kinesyslog_spark.streaming.cdc import (
+        SNAPSHOT_RETENTION,
+        current_snapshot,
+        vacuum_snapshots,
+    )
+
+    table_dir = str(tmp_path / "scd2v")
+    rows = _changes(spark, sf_dir).collect()
+    rows.sort(key=lambda r: (r.ts_ms, r.ord))
+    rows = rows[:240]
+    step = 30
+    for epoch, i in enumerate(range(0, len(rows), step)):
+        chunk = spark.createDataFrame(
+            rows[i : i + step], "user_id long, ts_ms long, ord long, tier string"
+        )
+        assert apply_epoch(spark, table_dir, epoch, chunk) is True
+    snaps = sorted(d for d in os.listdir(table_dir) if d.startswith("snap-"))
+    # retention bound: published + SNAPSHOT_RETENTION predecessors
+    assert len(snaps) <= SNAPSHOT_RETENTION + 1
+    assert os.path.basename(current_snapshot(table_dir)) == snaps[-1]
+    # table still equals the one-shot fold after vacuuming
+    got = _canon(read_scd2(spark, table_dir).collect())
+    want = _canon(
+        scd2_apply_batch(
+            None,
+            spark.createDataFrame(rows, "user_id long, ts_ms long, ord long, tier string"),
+        ).collect()
+    )
+    assert got == want
+    # an explicit full vacuum keeps only the published snapshot + keep=0
+    vacuum_snapshots(table_dir, keep=0)
+    left = sorted(d for d in os.listdir(table_dir) if d.startswith("snap-"))
+    assert left == [os.path.basename(current_snapshot(table_dir))]
