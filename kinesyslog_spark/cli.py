@@ -114,6 +114,16 @@ def _parser() -> argparse.ArgumentParser:
                     default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     pl.add_argument("--shards", type=int, default=16)
     pl.add_argument("--cpus", default=None)
+
+    ex = sub.add_parser(
+        "explain",
+        help="print the formatted physical plan (and executed-plan node "
+             "counts) for a registered query",
+    )
+    ex.add_argument("query", help="registered query name, e.g. q03_shipping_priority")
+    ex.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ex.add_argument("--cpus", default=None)
     return p
 
 
@@ -346,6 +356,26 @@ def pipeline_cmd(args) -> int:
     return 0
 
 
+def explain_cmd(args) -> int:
+    from kinesyslog_spark.plans.checks import executed_facts, formatted_plan
+    from kinesyslog_spark.queries import QUERIES
+    from kinesyslog_spark.session import get_spark
+
+    if args.query not in QUERIES:
+        print(f"unknown query {args.query!r}; registered: "
+              f"{', '.join(sorted(QUERIES))}", file=sys.stderr)
+        return 2
+    spark = get_spark("kinesyslog-spark-explain", cpus=args.cpus)
+    df = QUERIES[args.query](spark, args.sf_dir)
+    print(formatted_plan(df))
+    ef = executed_facts(df)
+    print(f"# executed-plan: {ef.exchange_count} shuffle exchange(s), "
+          f"{ef.broadcast_any_count} broadcast join(s), "
+          f"{ef.python_eval_count} python-eval node(s), "
+          f"{ef.sort_aggregate_count} sort-aggregate(s)", flush=True)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
     if args.command == "listen":
@@ -360,6 +390,8 @@ def main(argv: list[str] | None = None) -> int:
         return compact_cmd(args)
     if args.command == "pipeline":
         return pipeline_cmd(args)
+    if args.command == "explain":
+        return explain_cmd(args)
     return 2
 
 

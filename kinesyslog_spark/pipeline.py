@@ -25,7 +25,7 @@ is the analogous batch artifact for the LLM-data side of the engine
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 

@@ -60,3 +60,14 @@ def test_pipeline_cli(spark, sf_dir, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["n_kept"] > 0 and stats["n_shards"] == 2
     assert read_partitioned(spark, out).count() == stats["n_kept"]
+
+
+def test_explain_cli(spark, sf_dir, capsys):
+    from kinesyslog_spark.cli import main
+
+    rc = main(["explain", "q04_customers_per_region", "--sf-dir", sf_dir,
+               "--cpus", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "# executed-plan:" in out
+    assert main(["explain", "nope", "--sf-dir", sf_dir]) == 2
