@@ -58,3 +58,4 @@ from kinesyslog_spark.queries import timeseries  # noqa: E402,F401
 from kinesyslog_spark.queries import pipeline_ops  # noqa: E402,F401
 from kinesyslog_spark.queries import semantic  # noqa: E402,F401
 from kinesyslog_spark.queries import tokenizer  # noqa: E402,F401
+from kinesyslog_spark.queries import analytics_ext  # noqa: E402,F401

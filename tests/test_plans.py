@@ -245,3 +245,21 @@ def test_q84_range_partitioned_sort(spark, sf_dir):
     f = facts(QUERIES["q84_curriculum_shards"](spark, sf_dir))
     assert f.python_eval_count == 0
     assert "CartesianProduct" not in f.text
+
+
+def test_q87_map_only_topk(spark, sf_dir):
+    # Priority sampling is a map-side score + global top-K: no joins, no
+    # Python, TakeOrderedAndProject instead of a global sort.
+    f = facts(QUERIES["q87_weighted_sample"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "Join" not in f.text
+    assert "TakeOrderedAndProject" in f.text
+
+
+def test_q88_no_per_day_self_join(spark, sf_dir):
+    # The explode formulation must not degrade into a day-spine join of
+    # the corpus: no cartesian, no Python, hash aggregates only.
+    f = facts(QUERIES["q88_dau_mau"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
+    assert f.sort_aggregate_count == 0
