@@ -582,3 +582,96 @@ def q86_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q92 — TPC-H Q18 shape: large-quantity orders (HAVING on a grouped child,
+# joined back to its dimensions). The aggregate-then-semi-join-back plan:
+# the lineitem-per-order sum is computed ONCE, filtered, and only the
+# surviving (rare) order keys flow into the customer/orders joins — at
+# 100 TB the filter cuts the join input by ~100x before any wide row is
+# built. Quantity sums are exact DECIMAL (relational.py rule) so the
+# HAVING threshold cannot flip on float summation order.
+# ---------------------------------------------------------------------------
+
+Q92_MIN_QTY = 250
+
+
+@query(
+    "q92_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q92_MIN_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           epoch_ms(o.o_orderdate) AS orderdate_ms,
+           o.o_totalprice,
+           CAST(big.total_qty AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q92_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > Q92_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("orderdate_ms"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q93 — TPC-H Q13 shape: customer order-count distribution (double
+# aggregate over a LEFT OUTER join, zero-order customers included). The
+# first aggregate shuffles on c_custkey (the outer join's own key — AQE
+# coalesces the two into one exchange); the second aggregate's domain is
+# |distinct order counts| — tiny, map-side combined.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q93_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q93_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
