@@ -263,3 +263,46 @@ def test_q88_no_per_day_self_join(spark, sf_dir):
     assert f.python_eval_count == 0
     assert "CartesianProduct" not in f.text
     assert f.sort_aggregate_count == 0
+
+
+def test_q89_fusion_probe_broadcast(spark, sf_dir):
+    # Both retrieval lists are top-k bounded; the dense probe must
+    # broadcast (one-row side), and nothing may degrade to a cartesian.
+    f = facts(QUERIES["q89_hybrid_rrf"](spark, sf_dir))
+    assert f.broadcast_any_count >= 1, "dense probe must broadcast"
+    assert "CartesianProduct" not in f.text
+    assert f.python_eval_count == 0
+
+
+def test_q90_range_join_is_bin_replicated(spark, sf_dir):
+    # The range join must run as explode-to-bins + hash aggregate on the
+    # bin key — never a point-vs-interval theta join (BroadcastNestedLoop/
+    # Cartesian), which is the plan that dies at 100 TB.
+    f = facts(QUERIES["q90_range_join_inflight"](spark, sf_dir))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoop" not in f.text
+    assert "Generate" in f.text, "bin expansion (explode) missing from plan"
+    assert f.python_eval_count == 0
+
+
+def test_q91_chunking_map_only(spark, sf_dir):
+    # Chunking is per-row expansion: beyond the shared token-cache build
+    # (whose own exchanges the plan re-prints under the scan), the
+    # chunker itself may add at most the output-order exchange.
+    from kinesyslog_spark.tables import hot_tokens
+
+    base = facts(hot_tokens(spark, sf_dir))
+    f = facts(QUERIES["q91_doc_chunks"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.exchange_count - base.exchange_count <= 1, (
+        f"chunker must be map-only up to the output order:\n{f.text[:500]}"
+    )
+
+
+def test_q92_aggregate_before_join(spark, sf_dir):
+    # Q18 shape: the quantity sum + HAVING must land BELOW the joins so
+    # only surviving orders reach customer/orders.
+    f = facts(QUERIES["q92_large_orders"](spark, sf_dir))
+    assert "CartesianProduct" not in f.text
+    assert "HashAggregate" in f.text
+    assert f.python_eval_count == 0
