@@ -66,6 +66,10 @@ def _q72_oracle() -> str:
       SELECT src AS node, CAST(SUM(w_dec) AS DOUBLE) AS tw
       FROM edges GROUP BY src
     ),
+    en AS (
+      SELECT e.src, e.dst, e.w / o.tw AS nw
+      FROM edges e JOIN outw o ON e.src = o.node
+    ),
     r0 AS (
       SELECT node, CAST(ROUND(1.0 / (SELECT n FROM nn), 9) AS DECIMAL(10,9)) AS rank
       FROM nodes
@@ -75,11 +79,10 @@ def _q72_oracle() -> str:
         steps.append(f"""
     acc{i} AS (
       SELECT e.dst AS node,
-             SUM(CAST(ROUND(CAST(r.rank AS DOUBLE) * e.w / o.tw, 12)
+             SUM(CAST(ROUND(CAST(r.rank AS DOUBLE) * e.nw, 12)
                  AS DECIMAL(28,12))) AS acc
-      FROM edges e
+      FROM en e
       JOIN r{i - 1} r ON e.src = r.node
-      JOIN outw o ON e.src = o.node
       GROUP BY e.dst
     ),
     r{i} AS (
@@ -110,21 +113,45 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w_dec")
         )
     )
-    c_node = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-    s_node = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    w = F.col("w_dec").cast("double")
+    # Internal node ids are INTEGERS (customer 2k, supplier 2k+1): every
+    # shuffle/join below keys on a long instead of a 'c123' string — same
+    # grouping sets, same summed values, so oracle parity is untouched;
+    # only the final projection renders the 'c'/'s' label. The symmetric
+    # edge pair is produced by a single explode pass over e0 (a union of
+    # two selects recomputes the join+aggregate TWICE).
+    c_node = F.col("o_custkey") * 2
+    s_node = F.col("l_suppkey") * 2 + 1
     edges = persist_now(
-        e0.select(c_node.alias("src"), s_node.alias("dst"), w.alias("w"), "w_dec")
-        .unionByName(
-            e0.select(s_node.alias("src"), c_node.alias("dst"), w.alias("w"), "w_dec")
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(c_node.alias("src"), s_node.alias("dst")),
+                    F.struct(s_node.alias("src"), c_node.alias("dst")),
+                )
+            ).alias("e"),
+            "w_dec",
+        ).select(
+            F.col("e.src").alias("src"),
+            F.col("e.dst").alias("dst"),
+            F.col("w_dec").cast("double").alias("w"),
+            "w_dec",
         )
     )
     nodes = persist_now(edges.select(F.col("src").alias("node")).distinct())
     n = nodes.count()  # driver scalar (graph size), like q40's convergence check
-    outw = persist_now(
+    outw = (
         edges.groupBy("src")
         .agg(F.sum("w_dec").cast("double").alias("tw"))
         .withColumnRenamed("src", "node")
+    )
+    # Fold the out-weight normalization into the edge table ONCE: the
+    # normalized weight nw = w / tw is iteration-invariant, so each of
+    # the PR_ITERATIONS rounds joins one table fewer. nw is the same
+    # double on both engines (w and tw are doubles cast from exact
+    # decimal sums), so rank*nw stays bit-identical to the oracle.
+    en = persist_now(
+        edges.join(outw, edges.src == outw.node)
+        .select("src", "dst", (F.col("w") / F.col("tw")).alias("nw"))
     )
 
     base = (1.0 - PR_DAMPING) / n
@@ -139,13 +166,11 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(PR_ITERATIONS):
         contrib = (
-            edges.join(r, edges.src == r.node)
-            .join(outw.withColumnRenamed("node", "onode"),
-                  edges.src == F.col("onode"))
+            en.join(r, en.src == r.node)
             .select(
                 "dst",
                 F.round(
-                    F.col("rank").cast("double") * F.col("w") / F.col("tw"), 12
+                    F.col("rank").cast("double") * F.col("nw"), 12
                 ).cast("decimal(28,12)").alias("c"),
             )
             .groupBy("dst")
@@ -159,8 +184,14 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).cast("decimal(10,9)").alias("rank"),
         )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
     return (
-        r.select("node", F.col("rank").cast("double").alias("rank"))
+        r.select(label.alias("node"), F.col("rank").cast("double").alias("rank"))
         .orderBy(F.desc("rank"), "node")
         .limit(PR_TOPK)
     )
