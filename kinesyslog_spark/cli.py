@@ -115,6 +115,21 @@ def _parser() -> argparse.ArgumentParser:
     pl.add_argument("--shards", type=int, default=16)
     pl.add_argument("--cpus", default=None)
 
+    zo = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet table laid out along the Morton curve of "
+             "the given columns (multi-column min/max file pruning; see "
+             "operators/zorder.py)",
+    )
+    zo.add_argument("in_path", help="input parquet path")
+    zo.add_argument("out_path", help="output parquet path")
+    zo.add_argument("--cols", required=True,
+                    help="comma-separated numeric columns (1-4)")
+    zo.add_argument("--files", type=int, default=32,
+                    help="output file count (size so each is ~100-500 MB)")
+    zo.add_argument("--bits", type=int, default=16)
+    zo.add_argument("--cpus", default=None)
+
     ex = sub.add_parser(
         "explain",
         help="print the formatted physical plan (and executed-plan node "
@@ -344,6 +359,19 @@ def compact_cmd(args) -> int:
     return 0
 
 
+def zorder_cmd(args) -> int:
+    from kinesyslog_spark.operators.zorder import write_zordered
+    from kinesyslog_spark.session import get_spark
+
+    spark = get_spark("kinesyslog-spark-zorder", cpus=args.cpus)
+    cols = [c for c in args.cols.split(",") if c]
+    df = spark.read.parquet(args.in_path)
+    write_zordered(df, cols, args.out_path, n_files=args.files, bits=args.bits)
+    print(f"z-ordered {args.in_path} -> {args.out_path} "
+          f"on {cols} in {args.files} files", flush=True)
+    return 0
+
+
 def pipeline_cmd(args) -> int:
     import json
 
@@ -390,6 +418,8 @@ def main(argv: list[str] | None = None) -> int:
         return compact_cmd(args)
     if args.command == "pipeline":
         return pipeline_cmd(args)
+    if args.command == "zorder":
+        return zorder_cmd(args)
     if args.command == "explain":
         return explain_cmd(args)
     return 2

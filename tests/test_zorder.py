@@ -103,3 +103,20 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
         == spark.read.parquet(lpath).filter(y_pred).count()
         == 64 * 8
     )
+
+
+def test_zorder_cli_roundtrip(spark, tmp_path, capsys):
+    from kinesyslog_spark.cli import main
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    (
+        spark.createDataFrame(
+            [(x, y) for x in range(32) for y in range(32)], "x long, y long"
+        ).write.parquet(src)
+    )
+    rc = main(["zorder", src, dst, "--cols", "x,y", "--files", "4", "--bits", "5"])
+    assert rc == 0
+    assert "z-ordered" in capsys.readouterr().out
+    out = spark.read.parquet(dst)
+    assert out.count() == 32 * 32 and set(out.columns) == {"x", "y"}
