@@ -675,3 +675,60 @@ def q93_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q94 — TPC-H Q10 shape: returned-item revenue report. The lineitem spine
+# is filtered on l_returnflag AT THE SCAN (pushed filter), aggregated to
+# per-customer revenue BEFORE the customer/nation joins (aggregate
+# pushdown by construction — the join input is |customers with returns|,
+# not |return lineitems|), nation broadcast. Exact-decimal revenue.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q94_returned_item_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o.o_custkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(rev.revenue AS DOUBLE) AS revenue, c.c_acctbal
+    FROM rev
+    JOIN customer c ON rev.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q94_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .alias("revenue")
+        )
+    )
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("revenue").cast("double").alias("revenue"),
+            "c_acctbal",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
