@@ -60,6 +60,7 @@ from kinesyslog_spark.queries.dedup import (
     MINHASH_K,
     _mh_expr,
     _par,
+    hot_shingle_sigs,
 )
 from kinesyslog_spark.tables import hot_tokens, persist_now
 
@@ -191,13 +192,7 @@ def _q96_oracle() -> str:
 
 @query("q96_incremental_neardup", oracle=_q96_oracle())
 def q96_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = (
-        hot_tokens(spark, sf_dir)
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
-        .persist()
-    )
-    sigs = persist_now(minhash_df(sh, ["doc_id"], "sh", MINHASH_K))
+    sh, sigs = hot_shingle_sigs(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         F.explode(

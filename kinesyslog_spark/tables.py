@@ -197,20 +197,24 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     slowdown on an iterative query purely from that pressure. Call this
     when a dataset's query family is done. Next access rebuilds."""
     from kinesyslog_spark.queries.ann import _IVF_CACHE
+    from kinesyslog_spark.queries.dedup import _SIG_CACHE
     from kinesyslog_spark.queries.semantic import _KMEANS_CACHE
 
     n = 0
-    for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE):
+    for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE):
         for key in list(cache):
             if key[0] != id(spark):
                 continue
             if sf_dir is not None and key[1] != sf_dir.rstrip("/"):
                 continue
-            try:
-                cache.pop(key).unpersist()
-                n += 1
-            except Exception:
-                pass
+            entry = cache.pop(key)
+            dfs = entry if isinstance(entry, tuple) else (entry,)
+            for df in dfs:
+                try:
+                    df.unpersist()
+                    n += 1
+                except Exception:
+                    pass
     return n
 
 
