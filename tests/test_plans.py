@@ -306,3 +306,28 @@ def test_q92_aggregate_before_join(spark, sf_dir):
     assert "CartesianProduct" not in f.text
     assert "HashAggregate" in f.text
     assert f.python_eval_count == 0
+
+
+def test_q94_pushdown_and_agg_below_join(spark, sf_dir):
+    # Q10 shape: the returnflag filter must reach the lineitem scan and
+    # nation must broadcast; revenue aggregates before the wide joins.
+    f = facts(QUERIES["q94_returned_item_revenue"](spark, sf_dir))
+    pushed = f.pushed_filters("lineitem")
+    assert pushed and any("l_returnflag" in p for p in pushed)
+    assert f.broadcast_join_count >= 1, "nation must broadcast"
+    assert "CartesianProduct" not in f.text
+
+
+def test_q95_no_python_no_cartesian(spark, sf_dir):
+    f = facts(QUERIES["q95_bigram_logprob"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
+
+
+def test_q96_incremental_broadcasts_new_side(spark, sf_dir):
+    # The incoming batch must broadcast into the reference corpus's
+    # banded signatures — never a shuffle of the corpus side per batch.
+    f = facts(QUERIES["q96_incremental_neardup"](spark, sf_dir))
+    assert f.broadcast_any_count >= 1, "new-batch side must broadcast"
+    assert "CartesianProduct" not in f.text
+    assert f.python_eval_count == 0
