@@ -138,3 +138,34 @@ def test_streaming_heavy_hitters_replay(spark, tmp_path):
         assert not any(t.startswith("n") for t in got)
     finally:
         q.stop()
+
+
+def test_space_saving_invariants_property():
+    """Space-Saving guarantees, fuzzed: for every summary entry,
+    true <= est <= true + err; any token with true count >= slen/capacity
+    is guaranteed present; state never exceeds capacity."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.sampled_from("abcdefghij"), min_size=1, max_size=200),
+        st.integers(min_value=2, max_value=6),
+    )
+    def check(stream, capacity):
+        fn = make_heavy_fn(capacity=capacity, min_count=10**9)
+        state = FakeState()
+        _drive(fn, state, stream)
+        toks_l, counts, errs, _, slen = state.get
+        assert len(toks_l) <= capacity and slen == len(stream)
+        true = Counter(stream)
+        for t, c, e in zip(toks_l, counts, errs):
+            assert true[t] <= c <= true[t] + e, (t, c, e, true[t])
+        guarantee = slen / capacity
+        for t, n in true.items():
+            if n >= guarantee:
+                assert t in toks_l, (t, n, guarantee, toks_l)
+
+    check()
