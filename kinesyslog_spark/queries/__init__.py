@@ -61,3 +61,4 @@ from kinesyslog_spark.queries import tokenizer  # noqa: E402,F401
 from kinesyslog_spark.queries import analytics_ext  # noqa: E402,F401
 from kinesyslog_spark.queries import fusion  # noqa: E402,F401
 from kinesyslog_spark.queries import corpus_ext  # noqa: E402,F401
+from kinesyslog_spark.queries import relational_more  # noqa: E402,F401

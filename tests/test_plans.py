@@ -331,3 +331,60 @@ def test_q96_incremental_broadcasts_new_side(spark, sf_dir):
     assert f.broadcast_any_count >= 1, "new-batch side must broadcast"
     assert "CartesianProduct" not in f.text
     assert f.python_eval_count == 0
+
+
+def test_q97_semi_join_with_pushed_date(spark, sf_dir):
+    # Q4 shape: EXISTS must compile to a LeftSemi hash join (no correlated
+    # per-row subplan, no cartesian) and the quarter filter must reach the
+    # orders scan.
+    f = facts(QUERIES["q97_order_priority_check"](spark, sf_dir))
+    assert "LeftSemi" in f.text, "EXISTS must be a left-semi join"
+    assert "CartesianProduct" not in f.text
+    pushed = f.pushed_filters("orders")
+    assert pushed and any("o_orderdate" in p for p in pushed)
+
+
+def test_q98_month_filter_pushed_part_broadcast(spark, sf_dir):
+    # Q14 shape: the ship-month filter prunes the lineitem scan; the part
+    # dim broadcasts; the ratio comes from one hash aggregate.
+    f = facts(QUERIES["q98_promo_revenue_share"](spark, sf_dir))
+    pushed = f.pushed_filters("lineitem")
+    assert pushed and any("l_shipdate" in p for p in pushed)
+    assert f.broadcast_join_count >= 1, "part must broadcast"
+    assert f.python_eval_count == 0
+
+
+def test_q99_argmax_broadcast_no_resort(spark, sf_dir):
+    # Q15 shape: the MAX scalar is a 1-row broadcast; supplier broadcasts;
+    # nothing re-aggregates with a sort.
+    f = facts(QUERIES["q99_top_supplier_revenue"](spark, sf_dir))
+    assert f.broadcast_any_count >= 2, "max row + supplier dim must broadcast"
+    assert "CartesianProduct" not in f.text
+
+
+def test_q100_decorrelated_single_brand_slice(spark, sf_dir):
+    # Q17 shape: the brand slice broadcasts into both lineitem reads; the
+    # per-part aggregate joins back as a hash join, not a per-row subplan.
+    f = facts(QUERIES["q100_small_qty_revenue"](spark, sf_dir))
+    assert f.broadcast_any_count >= 1, "brand part-slice must broadcast"
+    assert "CartesianProduct" not in f.text
+    assert f.python_eval_count == 0
+
+
+def test_q101_scalar_broadcast_and_anti_join(spark, sf_dir):
+    # Q22 shape: the global-threshold row broadcasts (the one legitimate
+    # 1-row cross join); the lapsed-customer test is LeftAnti.
+    f = facts(QUERIES["q101_idle_rich_customers"](spark, sf_dir))
+    assert "LeftAnti" in f.text, "no-recent-orders must be an anti join"
+    assert f.broadcast_any_count >= 2, "threshold row + nation must broadcast"
+
+
+def test_q102_envelope_reaches_scans(spark, sf_dir):
+    # Q19 shape: the coarse envelope implied by the OR branches must reach
+    # both parquet scans even though Catalyst can't derive it itself.
+    f = facts(QUERIES["q102_disjunctive_revenue"](spark, sf_dir))
+    pushed_li = f.pushed_filters("lineitem")
+    assert pushed_li and any("l_quantity" in p for p in pushed_li)
+    pushed_p = f.pushed_filters("part")
+    assert pushed_p and any("p_size" in p for p in pushed_p)
+    assert f.broadcast_join_count >= 1, "part slice must broadcast"
