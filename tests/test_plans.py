@@ -388,3 +388,21 @@ def test_q102_envelope_reaches_scans(spark, sf_dir):
     pushed_p = f.pushed_filters("part")
     assert pushed_p and any("p_size" in p for p in pushed_p)
     assert f.broadcast_join_count >= 1, "part slice must broadcast"
+
+
+def test_q103_dsir_broadcast_model(spark, sf_dir):
+    # DSIR's point: the bucket model is O(B) rows and must broadcast back
+    # into a map-only scoring join — the corpus is never reshuffled on a
+    # model key.
+    f = facts(QUERIES["q103_dsir_weights"](spark, sf_dir))
+    assert f.broadcast_any_count >= 2, "totals row + lambda table must broadcast"
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
+
+
+def test_q104_novelty_no_python(spark, sf_dir):
+    # Corpus-vs-corpus gram join: both sides shuffle on the gram key (no
+    # broadcast of a corpus-sized set), everything JVM-side.
+    f = facts(QUERIES["q104_ngram_novelty"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
