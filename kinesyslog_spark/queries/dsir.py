@@ -101,13 +101,12 @@ def _q103_oracle() -> str:
     """
 
 
-@query("q103_dsir_weights", oracle=_q103_oracle())
-def q103_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = hot_tokens(spark, sf_dir)
-    docs = hot_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    uni = toks.select("doc_id", F.explode("toks").alias("f"))
+def doc_feature_buckets(toks_df: DataFrame) -> DataFrame:
+    """(doc_id, toks) -> (doc_id, bucket): hashed uni+bigram features with
+    multiplicity — the DSIR featurizer (map-only at any scale)."""
+    uni = toks_df.select("doc_id", F.explode("toks").alias("f"))
     bi = (
-        toks.filter(F.size("toks") >= 2)
+        toks_df.filter(F.size("toks") >= 2)
         .select(
             "doc_id",
             F.explode(
@@ -118,24 +117,24 @@ def q103_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f"),
         )
     )
-    fb = persist_now(
-        uni.unionAll(bi)
-        .select("doc_id", (md5_int60(F.col("f")) % DSIR_B).alias("bucket"))
-        .join(docs, "doc_id")
+    return uni.unionAll(bi).select(
+        "doc_id", (md5_int60(F.col("f")) % DSIR_B).alias("bucket")
     )
-    cnt = fb.groupBy("bucket").agg(
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("ct"),
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 0).otherwise(1)
-        ).alias("cb"),
+
+
+def build_dsir_model(feats_with_flag: DataFrame) -> DataFrame:
+    """(bucket, is_target) occurrences -> (bucket, lam) log-likelihood-
+    ratio model, exactly 2*DSIR_B aggregate rows — the broadcastable
+    static artifact. `feats_with_flag` needs columns (bucket, is_target)."""
+    cnt = feats_with_flag.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cb"),
     )
     tot = cnt.agg(
         F.sum("ct").cast("double").alias("t_all"),
         F.sum("cb").cast("double").alias("b_all"),
     )
-    lam = (
+    return (
         cnt.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
@@ -148,14 +147,37 @@ def q103_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(12,6)").alias("lam"),
         )
     )
+
+
+def score_feature_buckets(
+    feats: DataFrame, lam: DataFrame, carry: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, bucket, *carry) x broadcast (bucket, lam) -> per-doc mean
+    weight. Map-only join + one doc_id aggregate; the corpus never
+    reshuffles (carry columns ride the groupBy instead of a second
+    corpus-sized join)."""
     mean = F.sum("lam").cast("double") / F.count("*")
     return (
-        fb.join(F.broadcast(lam), "bucket")
-        .groupBy("doc_id", "lang")
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", *(carry or []))
         .agg(
             F.count("*").alias("n_feats"),
             (F.floor(mean * 10000 + F.lit(0.5)) / 10000).alias("dsir_weight"),
         )
+    )
+
+
+@query("q103_dsir_weights", oracle=_q103_oracle())
+def q103_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = hot_tokens(spark, sf_dir)
+    docs = hot_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    fb = persist_now(doc_feature_buckets(toks).join(docs, "doc_id"))
+    lam = build_dsir_model(
+        fb.select("bucket", (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"))
+    )
+    return (
+        score_feature_buckets(fb, lam, carry=["lang"])
+        .select("doc_id", "lang", "n_feats", "dsir_weight")
         .orderBy("doc_id")
     )
 
