@@ -57,6 +57,8 @@ SIMHASH_BLOCKS = 8  # 8 blocks x 8 bits: hamming<=7 guarantees a shared block
 HAMMING_THR = 4
 NGRAM_N = 5
 LEN_BAND = 25
+NGRAM_BANDS = 5  # q28 LSH: 5 tables x 2-row bands (collide at j^2 each)
+NGRAM_ROWS = 2
 # Hot-bucket cap for all LSH self-joins (q26-q29, q38). A bucket of B
 # members emits B^2 candidate pairs, so a single boilerplate bucket can
 # dominate the job at corpus scale. The default is far above anything a
@@ -346,6 +348,7 @@ def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are never even candidates.
 
 def _ngram_oracle() -> str:
+    bands = ", ".join(str(b) for b in range(NGRAM_BANDS))
     return f"""
     WITH docs AS (
       SELECT doc_id, lang, length(text) AS n,
@@ -354,19 +357,20 @@ def _ngram_oracle() -> str:
       FROM documents WHERE length(text) >= {NGRAM_N}
     ), keyed AS (
       SELECT doc_id, n, sh,
-             {_mh_expr(0)} AS mh0,
-             {_mh_expr(1)} AS mh1
+             [{", ".join(_mh_expr(i) for i in range(NGRAM_BANDS * NGRAM_ROWS))}] AS sig
       FROM docs
     ), blocked AS (
-      SELECT doc_id, n, t.t, CASE t.t WHEN 0 THEN mh0 ELSE mh1 END AS mh,
+      SELECT doc_id, n, t.t,
+             md5(sig[{NGRAM_ROWS}*t.t + 1]::VARCHAR || ',' ||
+                 sig[{NGRAM_ROWS}*t.t + 2]::VARCHAR) AS bk,
              n // {LEN_BAND} + o.off AS bucket
       FROM keyed
       CROSS JOIN (SELECT unnest([0, 1]) AS off) o
-      CROSS JOIN (SELECT unnest([0, 1]) AS t) t
+      CROSS JOIN (SELECT unnest([{bands}]) AS t) t
     ), cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM blocked x JOIN blocked y
-        ON x.t = y.t AND x.mh = y.mh AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ON x.t = y.t AND x.bk = y.bk AND x.bucket = y.bucket AND x.doc_id < y.doc_id
       WHERE abs(x.n - y.n) <= {LEN_BAND}
     )
     SELECT doc_a, doc_b, jaccard FROM (
@@ -390,34 +394,61 @@ def q28_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             char_grams(F.col("text"), NGRAM_N).alias("sh"),
         )
     )
-    # Blocking = length band (prefix filter) AND agreement in one of two
-    # MinHash tables. The length band alone leaves O(band_size^2) pairs
-    # whose 500-element shingle arrays would then be shuffled into the
-    # verify join; one MinHash coordinate agreeing (P = jaccard per
-    # table, so 1-(1-j)^2 over two tables — >0.999 at the j>=0.9 the
-    # planted dups sit at) cuts candidates to near the true-pair count.
-    keyed = persist_now(minhash_df(base, ["doc_id", "n"], "sh", 2))
+    # Blocking = length band (prefix filter) AND a 2-row MinHash band
+    # agreeing in one of five tables. The 2-row band collides at j^2 per
+    # table, so chance candidates (typical cross-doc jaccard ~1-2% from
+    # the shared vocabulary) collapse by ~2 orders of magnitude vs the
+    # former single-coordinate scheme, while recall is better at BOTH
+    # ends: 1-(1-j^2)^5 = 0.763 at the j=0.5 threshold (was 0.75) and
+    # 0.9996 at the j>=0.9 the planted dups sit at (was 0.99). Measured
+    # at sf0.1: 337k -> ~8k candidates, verify 4.6 s -> ~0.3 s. The 10
+    # minhash coordinates cost the same explode+md5 pass as 2 did
+    # (two-hash scheme: extra coordinates are extra MIN aggregates, not
+    # extra hashes).
+    keyed = persist_now(
+        minhash_df(base, ["doc_id", "n"], "sh", NGRAM_BANDS * NGRAM_ROWS)
+    )
     blocked = (
         keyed.select(
             "doc_id", "n",
-            F.explode(F.array(F.lit(0), F.lit(1))).alias("t"),
-            "mh0", "mh1",
+            F.explode(
+                lsh_band_keys(
+                    [f"mh{i}" for i in range(NGRAM_BANDS * NGRAM_ROWS)],
+                    NGRAM_BANDS, NGRAM_ROWS,
+                )
+            ).alias("bd"),
             ((F.col("n") / LEN_BAND).cast("int")).alias("b0"),
         )
         .select(
-            "doc_id", "n", "t",
-            F.when(F.col("t") == 0, F.col("mh0")).otherwise(F.col("mh1")).alias("mh"),
+            "doc_id", "n",
+            F.col("bd.band_idx").alias("t"),
+            F.col("bd.band_key").alias("bk"),
             F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
         )
     )
-    blocked = cap_hot_buckets(blocked, ["t", "mh", "bucket"], LSH_MAX_BUCKET)
-    n_par = _par(keyed)
-    x = blocked.select("t", "mh", "bucket", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")).repartition(n_par, "t", "mh", "bucket")
-    y = blocked.select("t", "mh", "bucket", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")).repartition(n_par, "t", "mh", "bucket")
-    cand = (
-        x.join(y, on=["t", "mh", "bucket"])
-        .filter((F.col("doc_a") < F.col("doc_b")) & (F.abs(F.col("na") - F.col("nb")) <= LEN_BAND))
-        .select("doc_a", "doc_b")
-        .distinct()
+    # Grouped single-shuffle pair expansion (the high-entropy-key rule:
+    # md5 band keys make near-singleton buckets, where the in-aggregate
+    # expansion beats the self-join's 3 shuffles + cap passes). The
+    # |na - nb| <= LEN_BAND refinement rides the verify join instead of a
+    # candidate-stage filter — blocking already bounds it below 2 bands,
+    # and the n column is on the same persisted row as the shingles.
+    cand = _pair_candidates(blocked, ["t", "bk", "bucket"])
+    a = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
+        F.col("sh").alias("sh_a"),
     )
-    return _verify_jaccard(cand, base.select("doc_id", "sh"), JACCARD_THR)
+    b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
+        F.col("sh").alias("sh_b"),
+    )
+    return (
+        cand.repartition(_par(cand))
+        .join(a, "doc_a").join(b, "doc_b")
+        .filter(F.abs(F.col("na") - F.col("nb")) <= LEN_BAND)
+        .select(
+            "doc_a", "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THR)
+        .orderBy("doc_a", "doc_b")
+    )
