@@ -1,0 +1,193 @@
+"""q105 — Product-Quantization ANN (Jégou et al. 2011) over the
+embedding corpus: split each 64-dim vector into PQ_M subvectors, train
+a PQ_K-codeword codebook per subspace with the shared exact-integer
+Lloyd machinery (queries/semantic.py), encode the corpus as PQ_M small
+codes, and answer top-k by Asymmetric Distance Computation — the probe
+computes one distance table per subspace against the codebook, and
+every corpus vector is scored by TWO table lookups instead of a 64-dim
+distance.
+
+This completes the ANN family's technique coverage: q21 brute-force,
+q29/q38 sign-LSH, q35/q47 IVF (+ the persisted IVF index in
+operators/vector_index.py), q46 scalar int8 quantization, q105 PQ —
+the memory-bound path (a 64-dim float vector becomes PQ_M bytes of
+codes; at 100 TB of embeddings the codes fit where the vectors never
+could).
+
+Cross-engine float determinism (q77 conventions): all distances are
+SUM(FLOOR((x-c)^2 * 1e10 + 0.5)) — exact integer-valued doubles, so
+ADC sums and rank orderings are bit-identical on both engines;
+centroids quantized to 1e-9 every update (see semantic.py module doc).
+Tie-break (ad2, vec_id).
+
+Scale notes (100 TB posture):
+- Codebook training: two subspace k-means runs = 2 * (map-only assign +
+  one (cid, dim) partial-sum shuffle) per round — the corpus is never
+  joined (semantic.py scale note). Codebooks are K*D/M doubles on the
+  driver.
+- Encoding: map-only against broadcast centroid literals.
+- Query: the probe's distance tables are PQ_M * PQ_K doubles — they
+  broadcast as literal maps into a map-only scoring pass; per-probe
+  top-k is one row_number shuffle of (|corpus| * n_probes) scored rows
+  locally, which at cluster scale becomes per-partition top-k + tiny
+  merge (the q21/q89 pattern). The corpus-side input is the CODES
+  table (PQ_M ints/row), not the vectors — PQ's entire point.
+
+Reference parity: north-star extension (no reference analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.queries.ann import N_PROBES
+from kinesyslog_spark.queries.semantic import (
+    _C_SCALE,
+    _D2_SCALE,
+    kmeans_assignments,
+    kmeans_centroids,
+)
+from kinesyslog_spark.tables import hot_vectors
+
+PQ_M = 2  # subspaces
+PQ_DIM = 64  # embedding dim (asserted against the data at runtime)
+PQ_SUBDIM = PQ_DIM // PQ_M
+PQ_K = 8  # codewords per subspace
+PQ_ITERS = 2  # Lloyd rounds per codebook
+PQ_TOPK = 10
+
+
+def _pq_chain(m: int, k: int, iters: int) -> str:
+    """DuckDB CTE chain for subspace m's codebook: s{m}c0 .. s{m}a{iters}
+    (mirrors semantic._kmeans_ctes, restricted to the subspace dims)."""
+    lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+    parts = [
+        """
+    s{m}c0 AS (
+      SELECT s.cid, dims.d, FLOOR(dims.x * {cs} + 0.5) / {cs} AS c
+      FROM dims JOIN seeds s USING (vec_id)
+      WHERE dims.d BETWEEN {lo} AND {hi}
+    )""".format(m=m, cs=_C_SCALE, lo=lo, hi=hi)
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            """
+    s{m}a{i} AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT dims.vec_id, c.cid,
+               SUM(FLOOR((dims.x - c.c) * (dims.x - c.c) * {ds} + 0.5)) AS d2
+        FROM dims JOIN s{m}c{p} c ON dims.d = c.d
+        GROUP BY dims.vec_id, c.cid
+      ) t
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    )""".format(m=m, i=i, p=i - 1, ds=_D2_SCALE)
+        )
+        if i < iters:
+            parts.append(
+                """
+    s{m}c{i} AS (
+      SELECT a.cid, dims.d,
+             FLOOR(SUM(FLOOR(dims.x * {cs} + 0.5)) / COUNT(*) + 0.5) / {cs} AS c
+      FROM dims JOIN s{m}a{i} a ON dims.vec_id = a.vec_id
+      WHERE dims.d BETWEEN {lo} AND {hi}
+      GROUP BY a.cid, dims.d
+    )""".format(m=m, i=i, cs=_C_SCALE, lo=lo, hi=hi)
+            )
+    return ",".join(parts)
+
+
+def _q105_oracle() -> str:
+    final_c = PQ_ITERS - 1
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    dims AS (
+      SELECT vec_id, generate_subscripts(emb, 1) AS d, unnest(emb) AS x FROM v
+    ),
+    seeds AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    {_pq_chain(0, PQ_K, PQ_ITERS)},
+    {_pq_chain(1, PQ_K, PQ_ITERS)},
+    probes AS (
+      SELECT vec_id AS pid, d, x FROM dims WHERE vec_id < {N_PROBES}
+    ),
+    dt0 AS (
+      SELECT p.pid, c.cid,
+             SUM(FLOOR((p.x - c.c) * (p.x - c.c) * {_D2_SCALE} + 0.5)) AS pd2
+      FROM probes p JOIN s0c{final_c} c ON p.d = c.d
+      GROUP BY p.pid, c.cid
+    ),
+    dt1 AS (
+      SELECT p.pid, c.cid,
+             SUM(FLOOR((p.x - c.c) * (p.x - c.c) * {_D2_SCALE} + 0.5)) AS pd2
+      FROM probes p JOIN s1c{final_c} c ON p.d = c.d
+      GROUP BY p.pid, c.cid
+    ),
+    scored AS (
+      SELECT dt0.pid, a0.vec_id, dt0.pd2 + dt1.pd2 AS ad2
+      FROM s0a{PQ_ITERS} a0
+      JOIN s1a{PQ_ITERS} a1 ON a0.vec_id = a1.vec_id
+      JOIN dt0 ON dt0.cid = a0.cid
+      JOIN dt1 ON dt1.cid = a1.cid AND dt1.pid = dt0.pid
+    )
+    SELECT pid, vec_id, ad2, rank FROM (
+      SELECT pid, vec_id, ad2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ad2, vec_id)
+                  AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {PQ_TOPK}
+    ORDER BY pid, rank
+    """
+
+
+def _adc_map(cents: list[tuple[int, list[float]]], lo: int):
+    """Literal map cid -> exact scaled d2(probe_subvector, centroid)."""
+    sub = F.slice("emb", lo, PQ_SUBDIM)
+    keys, vals = [], []
+    for cid, cent in cents:
+        arr = F.array(*[F.lit(float(c)) for c in cent])
+        terms = F.zip_with(
+            sub, arr,
+            lambda x, c: F.floor((x - c) * (x - c) * F.lit(_D2_SCALE) + F.lit(0.5)),
+        )
+        keys.append(F.lit(cid))
+        vals.append(F.aggregate(terms, F.lit(0.0), lambda a, x: a + x))
+    return F.map_from_arrays(F.array(*keys), F.array(*vals))
+
+
+@query("q105_pq_ann", oracle=_q105_oracle())
+def q105_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = hot_vectors(spark, sf_dir)
+    codes, dts = None, []
+    for m in range(PQ_M):
+        lo = m * PQ_SUBDIM + 1
+        sub_base = e.select("vec_id", F.slice("emb", lo, PQ_SUBDIM).alias("emb"))
+        cm = kmeans_assignments(
+            spark, sf_dir, PQ_K, PQ_ITERS, base=sub_base, tag=f"pq{m}"
+        ).select("vec_id", F.col("cid").alias(f"c{m}"))
+        codes = cm if codes is None else codes.join(cm, "vec_id")
+        cents = kmeans_centroids(
+            spark, sf_dir, PQ_K, PQ_ITERS, base=sub_base, tag=f"pq{m}"
+        )
+        dts.append((_adc_map(cents, lo), lo))
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pid"),
+        *[dt.alias(f"dt{m}") for m, (dt, _) in enumerate(dts)],
+    )
+    ad2 = sum(
+        F.element_at(f"dt{m}", F.col(f"c{m}")) for m in range(PQ_M)
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(probes))
+        .select("pid", "vec_id", ad2.alias("ad2"))
+    )
+    w = W.partitionBy("pid").orderBy("ad2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .orderBy("pid", "rank")
+    )

@@ -56,6 +56,7 @@ _D2_SCALE = 1e10
 _C_SCALE = 1e9
 
 _KMEANS_CACHE: dict[tuple, tuple] = {}
+_CENTROID_CACHE: dict[tuple, list] = {}
 
 
 # ---------------------------------------------------------------------------
@@ -79,16 +80,23 @@ def _assign_expr(centroids: list[tuple[int, list[float]]]) -> Column:
 
 
 def kmeans_assignments(
-    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+    base: DataFrame | None = None, tag: str = "",
 ) -> DataFrame:
     """Final (vec_id, cid, d2) assignment after `iters` Lloyd rounds —
-    session-memoized (persisted) so q77/q78 share one clustering run."""
-    key = (id(spark), sf_dir.rstrip("/"), k, iters)
+    session-memoized (persisted) so q77/q78 share one clustering run.
+
+    `base` overrides the input (vec_id, emb) frame (q105 clusters
+    SUBVECTORS with the same machinery); `tag` disambiguates the memo
+    key for such callers. The final centroids are retrievable via
+    kmeans_centroids() — PQ's ADC tables need them."""
+    key = (id(spark), sf_dir.rstrip("/"), k, iters, tag)
     got = _KMEANS_CACHE.get(key)
     if got is not None:
         return got
 
-    base = hot_vectors(spark, sf_dir)  # (vec_id, label, emb double[], nrm)
+    if base is None:
+        base = hot_vectors(spark, sf_dir)  # (vec_id, label, emb double[], nrm)
 
     # seeds: K smallest vec_ids, quantized like every later centroid
     qc = F.transform(
@@ -135,7 +143,21 @@ def kmeans_assignments(
     out = assigned.select("vec_id", "cid", "d2").persist()
     out.count()
     _KMEANS_CACHE[key] = out
+    _CENTROID_CACHE[key] = centroids
     return out
+
+
+def kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+    base: DataFrame | None = None, tag: str = "",
+) -> list[tuple[int, list[float]]]:
+    """The centroids the final kmeans_assignments() round assigned
+    against (i.e. after iters-1 updates). Runs the clustering if the
+    memo is cold."""
+    key = (id(spark), sf_dir.rstrip("/"), k, iters, tag)
+    if key not in _CENTROID_CACHE:
+        kmeans_assignments(spark, sf_dir, k, iters, base=base, tag=tag)
+    return _CENTROID_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

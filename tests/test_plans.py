@@ -406,3 +406,12 @@ def test_q104_novelty_no_python(spark, sf_dir):
     f = facts(QUERIES["q104_ngram_novelty"](spark, sf_dir))
     assert f.python_eval_count == 0
     assert "CartesianProduct" not in f.text
+
+
+def test_q105_pq_adc_broadcast_scoring(spark, sf_dir):
+    # PQ's point: corpus side is the codes table, scored map-only against
+    # broadcast per-probe distance tables; no cartesian, no Python.
+    f = facts(QUERIES["q105_pq_ann"](spark, sf_dir))
+    assert f.broadcast_any_count >= 1, "probe distance tables must broadcast"
+    assert "CartesianProduct" not in f.text
+    assert f.python_eval_count == 0
