@@ -99,10 +99,11 @@ def _pq_chain(m: int, k: int, iters: int) -> str:
     return ",".join(parts)
 
 
-def _q105_oracle() -> str:
+def _pq_ctes() -> str:
+    """Shared WITH-body: codebooks, codes, probe tables, ADC `scored`."""
     final_c = PQ_ITERS - 1
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     dims AS (
       SELECT vec_id, generate_subscripts(emb, 1) AS d, unnest(emb) AS x FROM v
     ),
@@ -133,7 +134,12 @@ def _q105_oracle() -> str:
       JOIN s1a{PQ_ITERS} a1 ON a0.vec_id = a1.vec_id
       JOIN dt0 ON dt0.cid = a0.cid
       JOIN dt1 ON dt1.cid = a1.cid AND dt1.pid = dt0.pid
-    )
+    )"""
+
+
+def _q105_oracle() -> str:
+    return f"""
+    WITH {_pq_ctes()}
     SELECT pid, vec_id, ad2, rank FROM (
       SELECT pid, vec_id, ad2,
              CAST(ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ad2, vec_id)
@@ -190,4 +196,81 @@ def q105_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= PQ_TOPK)
         .orderBy("pid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q106 — PQ recall@k against the exact L2 ground truth. The standard ANN
+# quality gate: how many of the true top-k does ADC-over-codes recover?
+# Exact side reuses the brute-force broadcast-probe shape (q21) with the
+# same integer-exact distances, so ground truth is deterministic too.
+# ---------------------------------------------------------------------------
+
+
+def _q106_oracle() -> str:
+    return f"""
+    WITH {_pq_ctes()},
+    exd AS (
+      SELECT p.pid, d.vec_id,
+             SUM(FLOOR((p.x - d.x) * (p.x - d.x) * {_D2_SCALE} + 0.5)) AS d2
+      FROM probes p JOIN dims d ON p.d = d.d
+      GROUP BY p.pid, d.vec_id
+    ),
+    ex AS (
+      SELECT pid, vec_id FROM (
+        SELECT pid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, vec_id) AS rn
+        FROM exd
+      ) WHERE rn <= {PQ_TOPK}
+    ),
+    pqk AS (
+      SELECT pid, vec_id FROM (
+        SELECT pid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ad2, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {PQ_TOPK}
+    )
+    SELECT ex.pid,
+           CAST(COUNT(pqk.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(pqk.vec_id) AS DOUBLE) / {PQ_TOPK} AS recall
+    FROM ex LEFT JOIN pqk ON ex.pid = pqk.pid AND ex.vec_id = pqk.vec_id
+    GROUP BY ex.pid
+    ORDER BY ex.pid
+    """
+
+
+@query("q106_pq_recall", oracle=_q106_oracle())
+def q106_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = hot_vectors(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("emb").alias("pemb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "pemb", "emb",
+            lambda x, y: F.floor((x - y) * (x - y) * F.lit(_D2_SCALE) + F.lit(0.5)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = W.partitionBy("pid").orderBy("d2", "vec_id")
+    exact = (
+        e.select("vec_id", "emb")
+        .crossJoin(F.broadcast(probes))
+        .select("pid", "vec_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("pid", "vec_id")
+    )
+    pqk = q105_pq_ann(spark, sf_dir).select("pid", "vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(pqk, ["pid", "vec_id"], "left_outer")
+        .groupBy("pid")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_overlap"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / PQ_TOPK
+            ).alias("recall"),
+        )
+        .orderBy("pid")
     )
