@@ -145,3 +145,4 @@ def q40_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
