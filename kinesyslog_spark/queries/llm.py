@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from kinesyslog_spark.operators.topk import topk_per_key
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.tables import hot_table, hot_vectors, load_table
 
@@ -103,10 +104,12 @@ def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot / (F.col("pnorm") * F.col("enorm")), 4).alias("sim"),
         )
     )
-    w = W.partitionBy("pid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    # Two-phase top-k (operators/topk.py): only per-partition survivors
+    # reach the per-probe shuffle — at corpus scale the ranking exchange
+    # carries O(k * partitions * probes) rows, not |corpus| * probes.
     return (
-        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= TOP_K)
+        topk_per_key(pairs, "pid", [F.desc("sim"), F.asc("vec_id")], TOP_K)
+        .withColumn("rn", F.col("rn").cast("long"))
         .orderBy("pid", "rn")
     )
 

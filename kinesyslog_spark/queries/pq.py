@@ -28,10 +28,10 @@ Scale notes (100 TB posture):
 - Encoding: map-only against broadcast centroid literals.
 - Query: the probe's distance tables are PQ_M * PQ_K doubles — they
   broadcast as literal maps into a map-only scoring pass; per-probe
-  top-k is one row_number shuffle of (|corpus| * n_probes) scored rows
-  locally, which at cluster scale becomes per-partition top-k + tiny
-  merge (the q21/q89 pattern). The corpus-side input is the CODES
-  table (PQ_M ints/row), not the vectors — PQ's entire point.
+  top-k is the two-phase form (operators/topk.py) — the ranking shuffle
+  carries per-partition survivors, not |corpus| * n_probes scored rows.
+  The corpus-side input is the CODES table (PQ_M ints/row), not the
+  vectors — PQ's entire point.
 
 Reference parity: north-star extension (no reference analog).
 """
@@ -40,9 +40,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from kinesyslog_spark.queries import query
+from kinesyslog_spark.operators.topk import topk_per_key
 from kinesyslog_spark.queries.ann import N_PROBES
 from kinesyslog_spark.queries.semantic import (
     _C_SCALE,
@@ -191,10 +191,14 @@ def q105_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.crossJoin(F.broadcast(probes))
         .select("pid", "vec_id", ad2.alias("ad2"))
     )
-    w = W.partitionBy("pid").orderBy("ad2", "vec_id")
+    # Two-phase top-k (operators/topk.py): the ranking shuffle carries
+    # per-partition survivors, not |corpus| * probes scored rows.
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= PQ_TOPK)
+        topk_per_key(
+            scored, "pid", [F.asc("ad2"), F.asc("vec_id")], PQ_TOPK,
+            rank_col="rank",
+        )
+        .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("pid", "rank")
     )
 
@@ -253,15 +257,12 @@ def q106_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    w = W.partitionBy("pid").orderBy("d2", "vec_id")
-    exact = (
+    exact = topk_per_key(
         e.select("vec_id", "emb")
         .crossJoin(F.broadcast(probes))
-        .select("pid", "vec_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= PQ_TOPK)
-        .select("pid", "vec_id")
-    )
+        .select("pid", "vec_id", d2.alias("d2")),
+        "pid", [F.asc("d2"), F.asc("vec_id")], PQ_TOPK,
+    ).select("pid", "vec_id")
     pqk = q105_pq_ann(spark, sf_dir).select("pid", "vec_id", F.lit(1).alias("hit"))
     return (
         exact.join(pqk, ["pid", "vec_id"], "left_outer")
