@@ -6,10 +6,13 @@ adds NO new semantics, only composition + storage):
 1. FILTER  — q71's composed verdict (decontamination, repetition,
    boilerplate, token entropy; fixed rule priority).
 2. DEDUP   — q40's MinHash-LSH connected components; each near-dup
-   cluster keeps its min-doc_id representative.
-3. SHARD   — q84's curriculum order (token-count proxy, unique
+   cluster keeps its best-q31-quality member (q107's survivor rule,
+   tie-break min doc_id).
+3. WEIGHT  — q103's DSIR importance weight attached per document
+   (downstream mixture sampling reads it off the artifact).
+4. SHARD   — q84's curriculum order (token-count proxy, unique
    tie-break) dealt into N contiguous shards via NTILE.
-4. WRITE   — shard-partitioned parquet via the dynamic-overwrite sink
+5. WRITE   — shard-partitioned parquet via the dynamic-overwrite sink
    (sinks/partitioned.py), sorted by doc_id within shards.
 
 Scale notes: every stage is the already-plan-guarded distributed form
@@ -30,6 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesyslog_spark.queries.cluster import q40_dedup_clusters
+from kinesyslog_spark.queries.dsir import q103_dsir_weights
+from kinesyslog_spark.queries.llm import q31_quality_score
 from kinesyslog_spark.queries.verdict import q71_filter_pipeline
 from kinesyslog_spark.sinks.partitioned import write_partitioned
 from kinesyslog_spark.tables import hot_table, hot_tokens
@@ -49,13 +54,17 @@ def run_pipeline(
     verdict = q71_filter_pipeline(spark, sf_dir)
     keep = verdict.filter(F.col("keep") == 1).select("doc_id")
 
-    # 2. near-dup clusters (q40): drop everything but each cluster's
-    # min-doc_id representative
+    # 2. near-dup clusters (q40): keep each cluster's best-quality
+    # member (q107's survivor rule — quality DESC, doc_id tie-break)
     clusters = q40_dedup_clusters(spark, sf_dir)
-    rep = Window.partitionBy("cluster_id")
+    qual = q31_quality_score(spark, sf_dir).select("doc_id", "quality")
+    surv = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
     drops = (
-        clusters.withColumn("rep", F.min("doc_id").over(rep))
-        .filter(F.col("doc_id") != F.col("rep"))
+        clusters.join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(surv))
+        .filter(F.col("rn") > 1)
         .select("doc_id")
     )
 
@@ -64,7 +73,13 @@ def run_pipeline(
         .join(drops, "doc_id", "left_anti")
     )
 
-    # 3. curriculum shard assignment (q84's order)
+    # 3. DSIR importance weight (q103) on the artifact
+    weights = q103_dsir_weights(spark, sf_dir).select("doc_id", "dsir_weight")
+    kept = kept.join(weights, "doc_id", "left").withColumn(
+        "dsir_weight", F.coalesce("dsir_weight", F.lit(0.0))
+    )
+
+    # 4. curriculum shard assignment (q84's order)
     toks = hot_tokens(spark, sf_dir).select("doc_id", F.size("toks").alias("n_tokens"))
     sharded = (
         kept.join(toks, "doc_id", "left")
@@ -75,7 +90,7 @@ def run_pipeline(
         )
     )
 
-    # 4. shard-partitioned artifact
+    # 5. shard-partitioned artifact
     write_partitioned(sharded, out_dir, ["shard"], sort_within=["doc_id"])
 
     n_kept = kept.count()

@@ -18,17 +18,31 @@ def test_pipeline_materializes_consistent_artifact(spark, sf_dir, tmp_path):
     assert len(rows) == stats["n_kept"] > 0
     assert stats["n_total"] >= stats["n_kept"]
 
-    # kept set == verdict keeps minus non-representative dup-cluster members
+    # kept set == verdict keeps minus non-survivor dup-cluster members
+    # (survivor = best q31 quality, tie-break min doc_id — q107's rule)
     verdict = QUERIES["q71_filter_pipeline"](spark, sf_dir)
     keeps = {r.doc_id for r in verdict.filter(F.col("keep") == 1).collect()}
+    quality = {
+        r.doc_id: r.quality
+        for r in QUERIES["q31_quality_score"](spark, sf_dir).collect()
+    }
     clusters = QUERIES["q40_dedup_clusters"](spark, sf_dir).collect()
     by_cluster: dict[int, list[int]] = {}
     for r in clusters:
         by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
-    dup_drops = {
-        d for members in by_cluster.values() for d in members if d != min(members)
-    }
+    dup_drops = set()
+    for members in by_cluster.values():
+        survivor = min(members, key=lambda d: (-quality[d], d))
+        dup_drops.update(d for d in members if d != survivor)
     assert {r.doc_id for r in rows} == keeps - dup_drops
+
+    # DSIR weight rides the artifact (q103; 0.0 for featureless docs)
+    weights = {
+        r.doc_id: r.dsir_weight
+        for r in QUERIES["q103_dsir_weights"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.dsir_weight == weights.get(r.doc_id, 0.0)
 
     # shard assignment is the q84 curriculum order over the KEPT set
     kept_sorted = sorted(rows, key=lambda r: (r.n_tokens, r.doc_id))
