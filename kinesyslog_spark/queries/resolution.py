@@ -69,3 +69,107 @@ def q107_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q110 — token-budget mixture construction: allocate a global token
+# budget across sources proportional to sqrt(source token mass) — the
+# standard sub-linear upsampling of small domains — then fill each
+# source's budget greedily in quality order (q31 DESC, doc_id
+# tie-break) until the next document would exceed it. The final
+# "assemble the training mix" step on top of weights + quality + token
+# counts.
+#
+# Determinism: sqrt/div on identical doubles (IEEE, both engines),
+# budget floored to BIGINT, running token sums exact integers, quality
+# values 4-dp-identical by q31's own gate.
+#
+# Scale notes: two broadcastable aggregates (per-source totals ->
+# budgets, |sources| rows) and ONE window over (source, quality order)
+# — the same shuffle a per-source sort already costs; no corpus joins
+# beyond doc_id-keyed quality/token lookups.
+# ---------------------------------------------------------------------------
+
+Q110_BUDGET = 50_000
+
+
+def _q110_oracle() -> str:
+    from kinesyslog_spark.queries import ORACLE
+
+    return f"""
+    WITH qual AS (
+      SELECT doc_id, quality FROM ({ORACLE["q31_quality_score"]})
+    ), tk AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), tot AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS st FROM tk GROUP BY source
+    ), b AS (
+      SELECT source,
+             CAST(FLOOR({Q110_BUDGET} * sqrt(CAST(st AS DOUBLE))
+                        / (SELECT SUM(sqrt(CAST(st AS DOUBLE))) FROM tot))
+                  AS BIGINT) AS budget
+      FROM tot
+    ), ranked AS (
+      SELECT tk.source, tk.doc_id, tk.n_tokens, q.quality,
+             SUM(tk.n_tokens) OVER (PARTITION BY tk.source
+               ORDER BY q.quality DESC, tk.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tk JOIN qual q USING (doc_id)
+    )
+    SELECT r.source, b.budget,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r.n_tokens) AS BIGINT) AS tokens_selected
+    FROM ranked r JOIN b ON r.source = b.source
+    WHERE r.cum <= b.budget
+    GROUP BY r.source, b.budget
+    ORDER BY r.source
+    """
+
+
+@query("q110_token_budget_mix", oracle=_q110_oracle())
+def q110_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.queries.llm import q31_quality_score
+    from kinesyslog_spark.tables import hot_table, hot_tokens
+
+    docs = hot_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tk = (
+        hot_tokens(spark, sf_dir)
+        .select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(docs, "doc_id")
+    )
+    tot = tk.groupBy("source").agg(F.sum("n_tokens").alias("st"))
+    wsum = tot.agg(
+        F.sum(F.sqrt(F.col("st").cast("double"))).alias("wsum")
+    )
+    b = (
+        tot.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            F.floor(
+                Q110_BUDGET * F.sqrt(F.col("st").cast("double")) / F.col("wsum")
+            ).cast("long").alias("budget"),
+        )
+    )
+    qual = q31_quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = (
+        tk.join(qual, "doc_id")
+        .withColumn("cum", F.sum("n_tokens").over(w))
+    )
+    return (
+        ranked.join(F.broadcast(b), "source")
+        .filter(F.col("cum") <= F.col("budget"))
+        .groupBy("source", "budget")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )
