@@ -36,3 +36,30 @@ def test_k_larger_than_group(spark):
     ).repartition(8)
     rows = topk_per_key(df, "key", [F.asc("vid")], 5).collect()
     assert len(rows) == 3
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 1000), st.integers(0, 50)),
+    min_size=1, max_size=60, unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_rows, k=st.integers(1, 6))
+def test_topk_property(spark, rows, k):
+    df = spark.createDataFrame(rows, "key int, vid int, score int").repartition(8)
+    got = sorted(
+        (r["key"], r["rn"], r["vid"])
+        for r in topk_per_key(df, "key", [F.desc("score"), F.asc("vid")], k).collect()
+    )
+    want = []
+    by_key: dict[int, list] = {}
+    for key, vid, score in rows:
+        by_key.setdefault(key, []).append((vid, score))
+    for key, vs in by_key.items():
+        ranked = sorted(vs, key=lambda t: (-t[1], t[0]))[:k]
+        want.extend((key, i + 1, vid) for i, (vid, _) in enumerate(ranked))
+    assert got == sorted(want)
