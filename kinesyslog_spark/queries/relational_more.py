@@ -368,3 +368,49 @@ def q102_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q111 — RANGE-interval window frame: 30-day trailing revenue per
+# customer. The window battery (q51) covers the ranking functions and
+# q09 the ROWS cumulative frame; this is the third frame kind — RANGE
+# over an event-time interval (peer rows included by VALUE, not
+# position), the moving-aggregate shape Spark expresses with a numeric
+# rangeBetween over epoch seconds.
+#
+# Scale: one hash-partitioned window on o_custkey (per-customer state,
+# no global sort); exact-decimal sums.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q111_trailing_window_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           epoch_ms(o_orderdate) AS orderdate_ms,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS trailing_30d
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q111_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    win = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            F.sum(dec("o_totalprice")).over(win).cast("double").alias("trailing_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
