@@ -414,3 +414,68 @@ def q111_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q112 — SCD2 point-in-time lookup: join each purchase event to the
+# q81 dimension version valid AT its event time (valid_from <= ts <
+# valid_to, open-ended current row). The standard warehouse
+# "AS OF transaction time" join against a versioned dimension.
+#
+# Scale: equi-join on user_id (co-partitioned shuffle both sides) with
+# the validity range as a residual predicate — the history side has
+# O(runs per user) rows, so the per-key probe is tiny; no broadcast of
+# a corpus-sized side, no interval explosion.
+# ---------------------------------------------------------------------------
+
+
+def _q112_oracle() -> str:
+    from kinesyslog_spark.queries import ORACLE
+
+    return f"""
+    WITH hist AS (
+      SELECT * FROM ({ORACLE["q81_scd2_history"]})
+    ), pur AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts_ms,
+           h.tier AS tier_at_purchase, h.run_id
+    FROM pur p
+    LEFT JOIN hist h
+      ON p.user_id = h.user_id
+     AND p.ts_ms >= h.valid_from_ms
+     AND (h.valid_to_ms IS NULL OR p.ts_ms < h.valid_to_ms)
+    ORDER BY p.event_id
+    """
+
+
+@query("q112_scd2_point_in_time", oracle=_q112_oracle())
+def q112_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.queries.pipeline_ops import q81_scd2_history
+
+    hist = q81_scd2_history(spark, sf_dir).select(
+        F.col("user_id").alias("h_user"), "tier", "run_id",
+        "valid_from_ms", "valid_to_ms",
+    )
+    pur = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+    )
+    cond = (
+        (pur.user_id == hist.h_user)
+        & (F.col("ts_ms") >= F.col("valid_from_ms"))
+        & (F.col("valid_to_ms").isNull() | (F.col("ts_ms") < F.col("valid_to_ms")))
+    )
+    return (
+        pur.join(hist, cond, "left")
+        .select(
+            "event_id", "user_id", "ts_ms",
+            F.col("tier").alias("tier_at_purchase"), "run_id",
+        )
+        .orderBy("event_id")
+    )
