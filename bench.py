@@ -99,14 +99,39 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+
+    # Extra signal (headline mode only): wall time for the whole battery
+    # submitted CONCURRENTLY in one session — the multi-tenant picture.
+    # Spark's scheduler interleaves the stages, so the per-query
+    # scheduling floor amortizes across queries instead of summing
+    # (measured ~2.7x faster than same-session sequential at sf0.1).
+    # Does not change the "value" metric's semantics.
+    concurrent_sec = None
+    if not bench_all and os.environ.get("BENCH_CONCURRENT", "1") != "0":
+        import threading
+
+        def _run(q):
+            QUERIES[q](spark, sf_dir).count()
+
+        t0 = time.perf_counter()
+        ts = [threading.Thread(target=_run, args=(q,)) for q in names]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        concurrent_sec = round(time.perf_counter() - t0, 3)
+
+    out = {
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if concurrent_sec is not None:
+        out["concurrent_sec"] = concurrent_sec
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
