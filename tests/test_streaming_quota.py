@@ -125,3 +125,40 @@ def test_stage1_counts(spark):
     )
     rows = {r.doc_id: r.n_tokens for r in doc_token_counts(df).collect()}
     assert rows == {1: 3, 2: 0}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tokens = st.lists(st.integers(0, 8), min_size=1, max_size=30)
+_cuts = st.lists(st.integers(0, 29), max_size=4)
+
+
+@settings(max_examples=40, deadline=None)
+@given(toks=_tokens, cuts=_cuts, budget=st.integers(0, 60))
+def test_admission_invariant_under_batch_cuts(toks, cuts, budget):
+    """If doc_ids arrive in increasing order across batches, the
+    admission decisions must not depend on WHERE the micro-batch
+    boundaries fall — same stream, same quota, same verdicts."""
+    docs = [(i, "s", n) for i, n in enumerate(toks)]
+
+    def run(batches):
+        fn = make_quota_fn({"s": budget})
+        st_ = FakeState()
+        out = {}
+        for b in batches:
+            if not b:
+                continue
+            res = _drive(fn, st_, b)
+            for r in res.itertuples():
+                out[int(r.doc_id)] = (int(r.admitted), int(r.used_after))
+        return out
+
+    one = run([docs])
+    points = sorted({c for c in cuts if c < len(docs)})
+    split, prev = [], 0
+    for c in points:
+        split.append(docs[prev:c])
+        prev = c
+    split.append(docs[prev:])
+    assert run(split) == one
