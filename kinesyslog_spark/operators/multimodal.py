@@ -6,13 +6,16 @@ extraction / resize / frame-sampling as Arrow-batched pandas functions via
 `mapInPandas` — one Python worker per partition, one Arrow batch per
 ~10k rows, never a row-at-a-time UDF.
 
-Image METADATA decode (JPEG/PNG/GIF width-height-codec) is real — pure
-header parsing, zero deps (`parse_image_header`). Pixel-level codecs
-(PIL / libav / ffmpeg) are NOT in this container, so pixel decode,
-thumbnailing, and frame extraction stay clearly-marked stubs and the
-oracle-checked pipeline runs `fake_decode_meta` — a deterministic pure
-function of the payload bytes that a SQL oracle can reproduce.
-Everything Spark-side (schema, batching, partition behavior) is real.
+MEDIA METADATA decode is real — pure header parsing, zero deps:
+JPEG/PNG/GIF width-height-codec (`parse_image_header`), WAV/RIFF
+channels-rate-bits-duration (`parse_audio_header`), and ISO-BMFF (MP4)
+brand + mvhd duration / Matroska sniff (`parse_video_header`).
+Pixel/sample-level codecs (PIL / libav / ffmpeg) are NOT in this
+container, so pixel decode, thumbnailing, and frame extraction stay
+clearly-marked stubs and the oracle-checked pipeline runs
+`fake_decode_meta` — a deterministic pure function of the payload
+bytes that a SQL oracle can reproduce. Everything Spark-side (schema,
+batching, partition behavior) is real.
 """
 
 from __future__ import annotations
@@ -77,6 +80,79 @@ def parse_image_header(payload: bytes) -> dict | None:
     return None
 
 
+def parse_audio_header(payload: bytes) -> dict | None:
+    """(codec, channels, sample_rate, duration_s) from raw audio bytes —
+    WAV/RIFF chunk walk, zero deps. None for unrecognized/truncated."""
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt, data_size = None, None
+    while i + 8 <= len(buf):
+        cid = buf[i:i + 4]
+        (clen,) = struct.unpack("<I", buf[i + 4:i + 8])
+        if cid == b"fmt " and i + 8 + 16 <= len(buf):
+            _fmt, ch, rate, byte_rate, _ba, bits = struct.unpack(
+                "<HHIIHH", buf[i + 8:i + 24]
+            )
+            fmt = {"channels": ch, "sample_rate": rate,
+                   "byte_rate": byte_rate, "bits": bits}
+        elif cid == b"data":
+            data_size = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None or not fmt["byte_rate"]:
+        return None
+    return {
+        "codec": "wav",
+        "channels": fmt["channels"],
+        "sample_rate": fmt["sample_rate"],
+        "bits": fmt["bits"],
+        "duration_s": data_size / fmt["byte_rate"],
+    }
+
+
+def parse_video_header(payload: bytes) -> dict | None:
+    """(codec/container brand, duration_s) from raw video bytes —
+    ISO-BMFF (MP4) box walk reading ftyp major_brand and moov/mvhd
+    timescale+duration; Matroska sniffed by EBML magic. Zero deps."""
+    buf = bytes(payload)
+    if buf[:4] == b"\x1a\x45\xdf\xa3":  # EBML → Matroska/WebM
+        return {"codec": "matroska", "brand": None, "duration_s": None}
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        return None
+    brand = buf[8:12].decode("latin-1")
+    duration_s = None
+    i = 0
+    while i + 8 <= len(buf):
+        (size,) = struct.unpack(">I", buf[i:i + 4])
+        btype = buf[i + 4:i + 8]
+        if size < 8:
+            break
+        if btype == b"moov":
+            j = i + 8
+            end = min(i + size, len(buf))
+            while j + 8 <= end:
+                (csize,) = struct.unpack(">I", buf[j:j + 4])
+                ctype = buf[j + 4:j + 8]
+                if csize < 8:
+                    break
+                if ctype == b"mvhd" and j + 8 + 20 <= len(buf):
+                    ver = buf[j + 8]
+                    if ver == 1 and j + 8 + 28 <= len(buf):
+                        ts, dur = struct.unpack(
+                            ">IQ", buf[j + 28:j + 40]
+                        )
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", buf[j + 20:j + 28]
+                        )
+                    if ts:
+                        duration_s = dur / ts
+                j += csize
+        i += size
+    return {"codec": "mp4", "brand": brand, "duration_s": duration_s}
+
+
 def decode_media(payload: bytes, modality: str) -> dict:
     """REAL decode entry point.
 
@@ -101,6 +177,39 @@ def decode_media(payload: bytes, modality: str) -> dict:
         raise NotImplementedError(
             "unrecognized image container (only JPEG/PNG/GIF headers are "
             "parseable without codec libraries)"
+        )
+    if modality == "audio":
+        meta = parse_audio_header(payload)
+        if meta is not None:
+            return {
+                "modality": "audio",
+                "n_bytes": len(payload),
+                "width": None,
+                "height": None,
+                "codec": meta["codec"],
+                "channels": meta["channels"],
+                "sample_rate": meta["sample_rate"],
+                "duration_s": meta["duration_s"],
+            }
+        raise NotImplementedError(
+            "unrecognized audio container (only WAV/RIFF headers are "
+            "parseable without codec libraries)"
+        )
+    if modality == "video":
+        meta = parse_video_header(payload)
+        if meta is not None:
+            return {
+                "modality": "video",
+                "n_bytes": len(payload),
+                "width": None,
+                "height": None,
+                "codec": meta["codec"],
+                "brand": meta["brand"],
+                "duration_s": meta["duration_s"],
+            }
+        raise NotImplementedError(
+            "unrecognized video container (only ISO-BMFF/Matroska headers "
+            "are parseable without codec libraries)"
         )
     raise NotImplementedError(
         f"{modality} decode requires media codecs not present in this "

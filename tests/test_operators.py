@@ -56,9 +56,11 @@ def test_decode_media_real_images_stubbed_av():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG but not really", "image")
     with pytest.raises(NotImplementedError):
-        decode_media(b"RIFF....WAVE", "audio")
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x00\x00\x00 ftypisom", "video")
+        decode_media(b"RIFF....WAVE", "audio")  # no fmt/data chunks
+    # ISO-BMFF headers now parse (brand sniff; no moov -> no duration)
+    v = decode_media(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00", "video")
+    assert v["codec"] == "mp4" and v["brand"] == "isom"
+    assert v["duration_s"] is None
 
 
 def test_image_meta_mapinpandas(spark):
@@ -174,3 +176,59 @@ def test_q50_sketch_error_bounded(spark, sf_dir):
     rows = QUERIES["q50_approx_distinct_sketch"](spark, sf_dir).collect()
     assert rows and all(r["in_bounds"] for r in rows)
     assert all(r["exact_parts"] > 0 for r in rows)
+
+
+def test_parse_audio_header_wav():
+    import io
+    import wave
+
+    from kinesyslog_spark.operators.multimodal import (
+        decode_media,
+        parse_audio_header,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 2 * 8000)  # exactly 1 s of stereo
+    data = buf.getvalue()
+    meta = parse_audio_header(data)
+    assert meta == {
+        "codec": "wav", "channels": 2, "sample_rate": 8000, "bits": 16,
+        "duration_s": 1.0,
+    }
+    full = decode_media(data, "audio")
+    assert full["codec"] == "wav" and full["duration_s"] == 1.0
+    assert parse_audio_header(b"RIFFxxxxWAVE") is None  # no chunks
+    assert parse_audio_header(b"\x00" * 40) is None
+
+
+def test_parse_video_header_mp4_and_matroska():
+    import struct
+
+    from kinesyslog_spark.operators.multimodal import (
+        decode_media,
+        parse_video_header,
+    )
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    # mvhd v0: ver/flags + ctime + mtime + timescale(1000) + duration(2500)
+    mvhd_payload = (
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">II", 1000, 2500) + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    meta = parse_video_header(ftyp + moov)
+    assert meta == {"codec": "mp4", "brand": "isom", "duration_s": 2.5}
+    full = decode_media(ftyp + moov, "video")
+    assert full["brand"] == "isom" and full["duration_s"] == 2.5
+
+    assert parse_video_header(b"\x1a\x45\xdf\xa3rest")["codec"] == "matroska"
+    assert parse_video_header(b"\x00" * 40) is None
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00" * 40, "video")
