@@ -173,3 +173,69 @@ def q110_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q113 — skew diagnostics: the distribution report behind every
+# partitioning decision in this repo (operators/skew.py's salted joins,
+# the LSH bucket caps, AQE skew thresholds). Per-supplier lineitem
+# counts summarized as max-share and a Gini coefficient — all integer
+# arithmetic until the final quantized ratios, so both engines emit
+# identical doubles.
+#
+#   gini = SUM((2i - n - 1) * x_i) / (n * SUM(x)),  x sorted ascending
+#
+# Scale: one count aggregate on the key (map-side combined) + one
+# window over the |keys|-sized count table — never over the fact table.
+# ---------------------------------------------------------------------------
+
+
+def _q113_oracle() -> str:
+    return """
+    WITH c AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    ), r AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt, l_suppkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(cnt) OVER () AS tot
+      FROM c
+    )
+    SELECT 'l_suppkey' AS key_col,
+           CAST(MAX(n) AS BIGINT) AS n_keys,
+           CAST(MAX(tot) AS BIGINT) AS total_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_count,
+           FLOOR(CAST(MAX(cnt) AS DOUBLE) / MAX(tot) * 10000 + 0.5) / 10000
+             AS max_share,
+           FLOOR(CAST(SUM((2 * i - n - 1) * cnt) AS DOUBLE)
+                 / (MAX(n) * MAX(tot)) * 10000 + 0.5) / 10000 AS gini
+    FROM r
+    """
+
+
+@query("q113_skew_report", oracle=_q113_oracle())
+def q113_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.queries.relational import _t
+
+    c = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    r = c.select(
+        "cnt",
+        F.row_number().over(W.orderBy("cnt", "l_suppkey")).cast("long").alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        F.sum("cnt").over(W.partitionBy()).alias("tot"),
+    )
+    q4 = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cnt"))
+    return r.agg(
+        F.lit("l_suppkey").alias("key_col"),
+        F.max("n").alias("n_keys"),
+        F.max("tot").alias("total_rows"),
+        F.max("cnt").alias("max_count"),
+        q4(F.max("cnt").cast("double") / F.max("tot")).alias("max_share"),
+        q4(num.cast("double") / (F.max("n") * F.max("tot"))).alias("gini"),
+    )
