@@ -158,3 +158,95 @@ def q114_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q115 — Count-Min Sketch token frequencies: the point-estimate
+# frequency sketch (Cormode & Muthukrishnan 2005) completing the sketch
+# family (HLL q50, Misra-Gries q79, Space-Saving W14, Bloom q114,
+# winnowing q32). CMS_D md5-derived hash rows x CMS_W counters; a
+# token's estimate is the MIN over its row cells, which can only
+# OVER-count (one-sided error) — measured here against the exact counts
+# of the exact top-20 tokens (q22's ordering), so the overcount column
+# is an exactly-checkable output.
+#
+# Scale notes: the sketch build is one aggregate to CMS_D * CMS_W cells
+# (map-side combined — the token stream never shuffles wider than the
+# cell space); the probe side is the exact top-20 joined against the
+# broadcast cell table. Deterministic md5 positions (md5_int60
+# convention) make the oracle replay bit-exact.
+# ---------------------------------------------------------------------------
+
+CMS_D = 3     # hash rows
+CMS_W = 1024  # counters per row — tight enough to measure collisions
+CMS_TOPK = 20
+
+
+def _q115_oracle() -> str:
+    pos = (
+        "CAST('0x' || substring(md5('c' || j || ':' || tok), 1, 15) AS BIGINT)"
+        f" % {CMS_W}"
+    )
+    return f"""
+    WITH tok_stream AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM tok_stream GROUP BY tok
+    ), cells AS (
+      SELECT j, {pos} AS pos, CAST(SUM(true_count) AS BIGINT) AS cell
+      FROM counts CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) jj
+      GROUP BY j, pos
+    ), top AS (
+      SELECT tok, true_count FROM counts
+      ORDER BY true_count DESC, tok LIMIT {CMS_TOPK}
+    ), est AS (
+      SELECT t.tok, t.true_count, MIN(c.cell) AS est_count
+      FROM top t
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) jj
+      JOIN cells c ON c.j = jj.j
+                  AND c.pos = CAST('0x' || substring(md5('c' || jj.j || ':' || t.tok), 1, 15) AS BIGINT) % {CMS_W}
+      GROUP BY t.tok, t.true_count
+    )
+    SELECT tok, true_count, est_count,
+           CAST(est_count - true_count AS BIGINT) AS overcount
+    FROM est
+    ORDER BY true_count DESC, tok
+    """
+
+
+@query("q115_cms_frequencies", oracle=_q115_oracle())
+def q115_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = hot_tokens(spark, sf_dir)
+    counts = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("true_count"))
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+    cpos = md5_int60(
+        F.concat(F.lit("c"), F.col("j"), F.lit(":"), F.col("tok"))
+    ) % CMS_W
+    cells = (
+        counts.select("tok", "true_count", js)
+        .select("j", cpos.alias("pos"), "true_count")
+        .groupBy("j", "pos")
+        .agg(F.sum("true_count").alias("cell"))
+    )
+    top = counts.orderBy(F.desc("true_count"), "tok").limit(CMS_TOPK)
+    est = (
+        top.select("tok", "true_count", js)
+        .select("tok", "true_count", "j", cpos.alias("pos"))
+        .join(F.broadcast(cells), ["j", "pos"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cell").alias("est_count"))
+    )
+    return (
+        est.select(
+            "tok", "true_count", "est_count",
+            (F.col("est_count") - F.col("true_count")).cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("true_count"), "tok")
+    )
