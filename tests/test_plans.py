@@ -415,3 +415,45 @@ def test_q105_pq_adc_broadcast_scoring(spark, sf_dir):
     assert f.broadcast_any_count >= 1, "probe distance tables must broadcast"
     assert "CartesianProduct" not in f.text
     assert f.python_eval_count == 0
+
+
+def test_q108_eval_embeddings_broadcast(spark, sf_dir):
+    # Semantic decontam: the eval side broadcasts into a map-only cosine
+    # pass; the corpus is never shuffled on a similarity key.
+    f = facts(QUERIES["q108_semantic_decontam"](spark, sf_dir))
+    assert f.broadcast_any_count >= 1, "eval embeddings must broadcast"
+    assert f.python_eval_count == 0
+
+
+def test_q110_budget_table_broadcast(spark, sf_dir):
+    # Mixture budgets: the |sources|-sized budget table broadcasts; the
+    # only wide shuffle is the per-source quality-order window.
+    f = facts(QUERIES["q110_token_budget_mix"](spark, sf_dir))
+    assert f.broadcast_any_count >= 2, "wsum row + budget table must broadcast"
+    assert "CartesianProduct" not in f.text
+    assert f.python_eval_count == 0
+
+
+def test_q113_no_fact_table_window(spark, sf_dir):
+    # Skew report: the window runs over the |keys|-sized count table;
+    # the fact table only feeds one hash aggregate.
+    f = facts(QUERIES["q113_skew_report"](spark, sf_dir))
+    assert "HashAggregate" in f.text
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
+
+
+def test_q114_bloom_positions_broadcast(spark, sf_dir):
+    # Bloom probe: the occupied-position table broadcasts; the corpus
+    # gram stream maps through it without a shuffle on pos.
+    f = facts(QUERIES["q114_bloom_decontam"](spark, sf_dir))
+    assert f.broadcast_any_count >= 1, "bloom position set must broadcast"
+    assert f.python_eval_count == 0
+
+
+def test_q115_cms_cells_broadcast(spark, sf_dir):
+    # CMS probe: the D*W cell table broadcasts into the top-20 join.
+    f = facts(QUERIES["q115_cms_frequencies"](spark, sf_dir))
+    assert f.broadcast_any_count >= 1, "cell table must broadcast"
+    assert f.python_eval_count == 0
+    assert f.sort_aggregate_count == 0, "cell build must hash-aggregate"
