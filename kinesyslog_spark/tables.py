@@ -197,6 +197,7 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     slowdown on an iterative query purely from that pressure. Call this
     when a dataset's query family is done. Next access rebuilds."""
     from kinesyslog_spark.queries.ann import _IVF_CACHE
+    from kinesyslog_spark.queries.cluster import _CLUSTER_CACHE
     from kinesyslog_spark.queries.dedup import _SIG_CACHE
     from kinesyslog_spark.queries.semantic import _CENTROID_CACHE, _KMEANS_CACHE
 
@@ -204,7 +205,7 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
         if key[0] == id(spark) and (sf_dir is None or key[1] == sf_dir.rstrip("/")):
             _CENTROID_CACHE.pop(key)
     n = 0
-    for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE):
+    for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE, _CLUSTER_CACHE):
         for key in list(cache):
             if key[0] != id(spark):
                 continue
