@@ -1,18 +1,20 @@
-"""Two-phase per-key top-k: per-partition pre-reduce, then the global
-rank — the scale-safe form of `row_number().over(partitionBy(key))`.
+"""Per-key top-k with the scale-safe plan — which, on Spark 4, is the
+PLAIN ranking window: the planner rewrites `row_number() OVER
+(PARTITION BY key ORDER BY ...) <= k` into a WindowGroupLimit
+Partial/Final pair, i.e. each input partition keeps at most k rows per
+key BEFORE the exchange and only those survivors shuffle. That is
+exactly the hand-rolled "two-phase top-k" pattern — built in.
 
-A plain ranking window shuffles EVERY scored row to its key's reducer;
-for top-k-per-probe over a corpus that is |corpus| * n_probes rows of
-shuffle. Phase 1 here ranks within each *input partition* (no shuffle —
-`spark_partition_id()` is already materialized) and keeps at most k rows
-per (key, partition); only those survivors — O(k * n_partitions * n_keys)
-rows — reach the phase-2 shuffle, where the true global rank is computed.
-Results are identical to the single-window form for any deterministic
-total order: a row outside its partition's top-k cannot be in the global
-top-k.
+This module exists to make that a pinned, named fact rather than
+folklore: an earlier hand-rolled two-phase form (rank within
+`spark_partition_id()` first, then globally) measured STRICTLY WORSE —
+the phase-1 window forced its own `Exchange hashpartitioning(pid,
+key)`, so the data shuffled twice. The executed-plan assertion in
+tests/test_topk.py::test_partial_group_limit_in_plan keeps the
+built-in rewrite from regressing silently (it requires the filter on
+the rank column to be present and foldable to a group limit).
 
-Used by the ANN family (q21-shape scoring); the LSH/IVF queries don't
-need it because their candidate sets are already bucket-bounded.
+Callers: the ANN family's probe-ranking joins (q21/q105/q106).
 """
 
 from __future__ import annotations
@@ -28,14 +30,8 @@ def topk_per_key(
 ) -> DataFrame:
     """Rows ranked 1..k per `key` under `order` (must be a deterministic
     total order — include a unique tiebreak column). Adds `rank_col`."""
-    local = W.partitionBy(F.spark_partition_id(), key).orderBy(*order)
-    pre = (
-        df.withColumn("_lrn", F.row_number().over(local))
-        .filter(F.col("_lrn") <= k)
-        .drop("_lrn")
-    )
-    final = W.partitionBy(key).orderBy(*order)
+    w = W.partitionBy(key).orderBy(*order)
     return (
-        pre.withColumn(rank_col, F.row_number().over(final))
+        df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )

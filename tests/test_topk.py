@@ -63,3 +63,20 @@ def test_topk_property(spark, rows, k):
         ranked = sorted(vs, key=lambda t: (-t[1], t[0]))[:k]
         want.extend((key, i + 1, vid) for i, (vid, _) in enumerate(ranked))
     assert got == sorted(want)
+
+
+def test_partial_group_limit_in_plan(spark):
+    """Spark 4 rewrites rank-filtered windows into WindowGroupLimit
+    Partial/Final — per-partition top-k BEFORE the exchange. Pin it so a
+    refactor that breaks the foldable rank filter (and silently shuffles
+    the full input) fails here."""
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 7).alias("key"),
+        F.col("id").alias("vid"),
+        ((F.col("id") * 37) % 101).alias("score"),
+    ).repartition(8)
+    out = topk_per_key(df, "key", [F.desc("score"), F.asc("vid")], 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
+    # exactly one hash exchange on the key (plus the input repartition)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
