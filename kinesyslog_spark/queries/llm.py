@@ -104,9 +104,9 @@ def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot / (F.col("pnorm") * F.col("enorm")), 4).alias("sim"),
         )
     )
-    # Two-phase top-k (operators/topk.py): only per-partition survivors
-    # reach the per-probe shuffle — at corpus scale the ranking exchange
-    # carries O(k * partitions * probes) rows, not |corpus| * probes.
+    # Ranked via operators/topk.py — Spark 4's WindowGroupLimit makes
+    # the plain window two-phase (per-partition top-k before the
+    # exchange), so only O(k * partitions * probes) rows shuffle.
     return (
         topk_per_key(pairs, "pid", [F.desc("sim"), F.asc("vec_id")], TOP_K)
         .withColumn("rn", F.col("rn").cast("long"))

@@ -28,10 +28,10 @@ Scale notes (100 TB posture):
 - Encoding: map-only against broadcast centroid literals.
 - Query: the probe's distance tables are PQ_M * PQ_K doubles — they
   broadcast as literal maps into a map-only scoring pass; per-probe
-  top-k is the two-phase form (operators/topk.py) — the ranking shuffle
-  carries per-partition survivors, not |corpus| * n_probes scored rows.
-  The corpus-side input is the CODES table (PQ_M ints/row), not the
-  vectors — PQ's entire point.
+  top-k ranks via operators/topk.py (Spark 4's WindowGroupLimit keeps
+  the shuffle to per-partition survivors, not |corpus| * n_probes
+  scored rows). The corpus-side input is the CODES table (PQ_M
+  ints/row), not the vectors — PQ's entire point.
 
 Reference parity: north-star extension (no reference analog).
 """
@@ -191,8 +191,8 @@ def q105_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.crossJoin(F.broadcast(probes))
         .select("pid", "vec_id", ad2.alias("ad2"))
     )
-    # Two-phase top-k (operators/topk.py): the ranking shuffle carries
-    # per-partition survivors, not |corpus| * probes scored rows.
+    # Ranked via operators/topk.py — WindowGroupLimit keeps the ranking
+    # shuffle to per-partition survivors, not |corpus| * probes rows.
     return (
         topk_per_key(
             scored, "pid", [F.asc("ad2"), F.asc("vec_id")], PQ_TOPK,
