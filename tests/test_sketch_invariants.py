@@ -35,3 +35,43 @@ def test_pq_recall_is_valid_fraction(spark, sf_dir):
     # the self-match (probe is its own nearest neighbor under ADC and
     # exact L2 alike) keeps recall strictly positive
     assert all(r.n_overlap >= 1 for r in rows)
+
+
+def test_sketches_are_mergeable(spark):
+    """The production property that makes these sketches work at 100 TB:
+    they MERGE — a CMS over a union is the cellwise sum of per-shard
+    sketches, and a bloom over a union is the position-set union. Built
+    from plain aggregates, so the property holds by construction; the
+    test pins it against a refactor toward non-linear state."""
+    from pyspark.sql import functions as F
+
+    from kinesyslog_spark.operators.text import md5_int60
+    from kinesyslog_spark.queries.bloom import CMS_W
+
+    rows = [(i, f"tok{i % 13} tok{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    halves = [df.filter(F.col("doc_id") % 2 == p) for p in (0, 1)]
+
+    def cms_cells(frame):
+        toks = frame.select(F.explode(F.split("text", " ")).alias("tok"))
+        pos = md5_int60(F.concat(F.lit("c0:"), F.col("tok"))) % CMS_W
+        return {
+            r.pos: r.cell
+            for r in toks.groupBy(pos.alias("pos"))
+            .agg(F.count("*").alias("cell"))
+            .collect()
+        }
+
+    whole = cms_cells(df)
+    merged: dict = {}
+    for h in halves:
+        for pos, cell in cms_cells(h).items():
+            merged[pos] = merged.get(pos, 0) + cell
+    assert merged == whole
+
+    def bloom_positions(frame):
+        toks = frame.select(F.explode(F.split("text", " ")).alias("tok"))
+        pos = md5_int60(F.concat(F.lit("b0:"), F.col("tok"))) % CMS_W
+        return {r.pos for r in toks.select(pos.alias("pos")).distinct().collect()}
+
+    assert bloom_positions(halves[0]) | bloom_positions(halves[1]) == bloom_positions(df)
