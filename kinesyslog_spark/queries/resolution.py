@@ -239,3 +239,93 @@ def q113_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.max("cnt").cast("double") / F.max("tot")).alias("max_share"),
         q4(num.cast("double") / (F.max("n") * F.max("tot"))).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q116 — event debounce (trailing/gap form): emit only the FIRST event
+# of each burst per (user, event_type), where a burst is a maximal run
+# of events whose consecutive gaps are all <= DEBOUNCE_S — i.e. a new
+# event extends the suppression window (the debounce semantics of UI
+# toolkits and alert dedupers; the fixed-anchor variant is what W17's
+# stateful path would implement if quotas were time-based). Equivalent
+# to emitting each session-window start under q10/W3's gap rule — the
+# telemetry dedup every ingestion pipeline runs in front of counting.
+#
+# Plain-SQL form: LAG gap flag -> cumulative run id -> first row per
+# run ((ts, event_id) tie-ordered), identical on both engines.
+#
+# Scale: one window per (user_id, event_type) partition — the same
+# shuffle any per-user op costs; no joins.
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_S = 30
+
+
+def _q116_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, ts,
+             LAG(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, event_id, ts,
+             CAST(SUM(CASE WHEN prev_ts IS NULL
+                           OR ts > prev_ts + INTERVAL {DEBOUNCE_S} SECOND
+                      THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS gap_run
+      FROM ev
+    ), anchored AS (
+      SELECT user_id, event_type, event_id, ts,
+             MIN(ts) OVER (PARTITION BY user_id, event_type, gap_run)
+               AS anchor_ts
+      FROM runs
+    )
+    SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms
+    FROM anchored
+    WHERE ts = anchor_ts
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type, anchor_ts
+                               ORDER BY event_id) = 1
+    ORDER BY event_id
+    """
+
+
+@query("q116_event_debounce", oracle=_q116_oracle())
+def q116_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.queries.relational import _t
+
+    ev = _t(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr(f"INTERVAL {DEBOUNCE_S} SECONDS")),
+        1,
+    ).otherwise(0)
+    runs = (
+        ev.withColumn("prev_ts", F.lag("ts").over(wo))
+        .withColumn("gap_run", F.sum(gap).over(
+            wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ))
+    )
+    anchored = runs.withColumn(
+        "anchor_ts",
+        F.min("ts").over(W.partitionBy("user_id", "event_type", "gap_run")),
+    )
+    return (
+        anchored.filter(F.col("ts") == F.col("anchor_ts"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "event_type", "anchor_ts")
+                .orderBy("event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+        .orderBy("event_id")
+    )
