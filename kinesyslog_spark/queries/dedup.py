@@ -347,10 +347,13 @@ def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # adjacent band (each doc is emitted into both), and distant-length pairs
 # are never even candidates.
 
-def _ngram_oracle() -> str:
+def _ngram_block_ctes() -> str:
+    """WITH-body through `cand` — q28's char-5-gram band blocking,
+    shared with q117's edit-distance verify (same candidate space,
+    different similarity measure)."""
     bands = ", ".join(str(b) for b in range(NGRAM_BANDS))
     return f"""
-    WITH docs AS (
+    docs AS (
       SELECT doc_id, lang, length(text) AS n,
              list_distinct(list_transform(range(1, length(text) - {NGRAM_N - 2}),
                  i -> text[i:i+{NGRAM_N - 1}])) AS sh
@@ -372,7 +375,12 @@ def _ngram_oracle() -> str:
       FROM blocked x JOIN blocked y
         ON x.t = y.t AND x.bk = y.bk AND x.bucket = y.bucket AND x.doc_id < y.doc_id
       WHERE abs(x.n - y.n) <= {LEN_BAND}
-    )
+    )"""
+
+
+def _ngram_oracle() -> str:
+    return f"""
+    WITH {_ngram_block_ctes()}
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT doc_a, doc_b,
         ROUND(len(list_intersect(a.sh, b.sh)) /
@@ -383,8 +391,28 @@ def _ngram_oracle() -> str:
     """
 
 
-@query("q28_ngram_jaccard", oracle=_ngram_oracle())
-def q28_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """q28's blocking as a reusable stage: returns (cand, base) where
+    cand = distinct (doc_a < doc_b) candidate pairs and base = persisted
+    (doc_id, n, sh). Shared with q117's edit-distance verify.
+
+    Blocking = length band (prefix filter) AND a 2-row MinHash band
+    agreeing in one of five tables. The 2-row band collides at j^2 per
+    table, so chance candidates (typical cross-doc jaccard ~1-2% from
+    the shared vocabulary) collapse by ~2 orders of magnitude vs the
+    former single-coordinate scheme, while recall is better at BOTH
+    ends: 1-(1-j^2)^5 = 0.763 at the j=0.5 threshold (was 0.75) and
+    0.9996 at the j>=0.9 the planted dups sit at (was 0.99). Measured
+    at sf0.1: 337k -> ~8k candidates, verify 4.6 s -> ~0.3 s. The 10
+    minhash coordinates cost the same explode+md5 pass as 2 did
+    (two-hash scheme: extra coordinates are extra MIN aggregates, not
+    extra hashes). Pair expansion is the grouped single-shuffle form
+    (high-entropy-key rule: md5 band keys make near-singleton buckets).
+    The |na - nb| <= LEN_BAND refinement rides the caller's verify join
+    — blocking already bounds it below 2 bands, and the n column is on
+    the same persisted row as the shingles."""
     docs = hot_table(spark, sf_dir, "documents").filter(F.length("text") >= NGRAM_N)
     # Persisted: feeds the blocking pipeline and both verify-join sides.
     base = persist_now(
@@ -394,17 +422,6 @@ def q28_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             char_grams(F.col("text"), NGRAM_N).alias("sh"),
         )
     )
-    # Blocking = length band (prefix filter) AND a 2-row MinHash band
-    # agreeing in one of five tables. The 2-row band collides at j^2 per
-    # table, so chance candidates (typical cross-doc jaccard ~1-2% from
-    # the shared vocabulary) collapse by ~2 orders of magnitude vs the
-    # former single-coordinate scheme, while recall is better at BOTH
-    # ends: 1-(1-j^2)^5 = 0.763 at the j=0.5 threshold (was 0.75) and
-    # 0.9996 at the j>=0.9 the planted dups sit at (was 0.99). Measured
-    # at sf0.1: 337k -> ~8k candidates, verify 4.6 s -> ~0.3 s. The 10
-    # minhash coordinates cost the same explode+md5 pass as 2 did
-    # (two-hash scheme: extra coordinates are extra MIN aggregates, not
-    # extra hashes).
     keyed = persist_now(
         minhash_df(base, ["doc_id", "n"], "sh", NGRAM_BANDS * NGRAM_ROWS)
     )
@@ -426,13 +443,12 @@ def q28_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
         )
     )
-    # Grouped single-shuffle pair expansion (the high-entropy-key rule:
-    # md5 band keys make near-singleton buckets, where the in-aggregate
-    # expansion beats the self-join's 3 shuffles + cap passes). The
-    # |na - nb| <= LEN_BAND refinement rides the verify join instead of a
-    # candidate-stage filter — blocking already bounds it below 2 bands,
-    # and the n column is on the same persisted row as the shingles.
-    cand = _pair_candidates(blocked, ["t", "bk", "bucket"])
+    return _pair_candidates(blocked, ["t", "bk", "bucket"]), base
+
+
+@query("q28_ngram_jaccard", oracle=_ngram_oracle())
+def q28_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand, base = ngram_candidates(spark, sf_dir)
     a = base.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
         F.col("sh").alias("sh_a"),

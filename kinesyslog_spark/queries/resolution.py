@@ -329,3 +329,77 @@ def q116_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q117 — edit-distance near-dup verify: the same candidate space as q28
+# (shared blocking — queries/dedup.ngram_candidates / the
+# _ngram_block_ctes oracle body) verified with LEVENSHTEIN instead of
+# Jaccard. Edit distance catches transposition/typo-level duplication
+# that set-based measures blur; the threshold compare is
+# cross-multiplied into exact integers (4 * lev <= max_len, i.e.
+# normalized distance <= 0.25), and both engines' levenshtein is the
+# exact DP — bit-identical integers.
+#
+# Scale: identical blocking economics to q28 (band-bucket candidates,
+# never all-pairs); the verify cost per pair is O(len^2) DP, which is
+# why the candidate set — not the corpus — must pay it.
+# ---------------------------------------------------------------------------
+
+EDIT_RATIO_DEN = 4  # keep pairs with lev <= max_len / 4
+
+
+def _q117_oracle() -> str:
+    from kinesyslog_spark.queries.dedup import _ngram_block_ctes
+
+    return f"""
+    WITH {_ngram_block_ctes()}, txt AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+    )
+    SELECT doc_a, doc_b, lev, edit_ratio FROM (
+      SELECT cand.doc_a, cand.doc_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+             GREATEST(a.n, b.n) AS mx,
+             FLOOR(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                   / GREATEST(a.n, b.n) * 10000 + 0.5) / 10000 AS edit_ratio
+      FROM cand
+      JOIN txt a ON a.doc_id = cand.doc_a
+      JOIN txt b ON b.doc_id = cand.doc_b
+    ) WHERE {EDIT_RATIO_DEN} * lev <= mx
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q117_edit_distance_pairs", oracle=_q117_oracle())
+def q117_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.queries.dedup import _par, ngram_candidates
+    from kinesyslog_spark.tables import hot_table
+
+    cand, _base = ngram_candidates(spark, sf_dir)
+    txt = hot_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    a = txt.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    b = txt.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    lev = F.levenshtein("ta", "tb")
+    mx = F.greatest("na", "nb")
+    return (
+        cand.repartition(_par(cand))
+        .join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            lev.cast("long").alias("lev"),
+            mx.alias("mx"),
+            (F.floor(lev.cast("double") / mx * 10000 + F.lit(0.5)) / 10000)
+            .alias("edit_ratio"),
+        )
+        .filter(EDIT_RATIO_DEN * F.col("lev") <= F.col("mx"))
+        .drop("mx")
+        .orderBy("doc_a", "doc_b")
+    )
