@@ -615,3 +615,52 @@ def test_session_window_out_of_range_seq_drops_group(spark):
     out = reassemble_chunks_session_window(df)
     got = {r["msg_id"]: bytes(r["message"]) for r in out.collect()}
     assert got == {2: b"xxyy"}
+
+
+def test_interval_join_stream_full_outer(spark, tmp_path):
+    """Full-outer stream-stream join: matched rows emit promptly;
+    unmatched rows from BOTH sides emit with nulls once the watermark
+    passes their windows — completing W8/W11's join-mode matrix."""
+    ldir, rdir = str(tmp_path / "fo_l"), str(tmp_path / "fo_r")
+    os.makedirs(ldir), os.makedirs(rdir)
+    _write_json(os.path.join(ldir, "l1.json"), [
+        {"user_id": 7, "ts": "2024-01-01 00:00:00", "click": "c1"},
+        {"user_id": 8, "ts": "2024-01-01 00:00:00", "click": "c2"},  # no match
+    ])
+    _write_json(os.path.join(rdir, "r1.json"), [
+        {"user_id": 7, "ts": "2024-01-01 00:05:00", "buy": "b1"},
+        {"user_id": 9, "ts": "2024-01-01 00:00:00", "buy": "b3"},   # no match
+    ])
+    lt = spark.readStream.schema("user_id long, ts timestamp, click string").json(ldir)
+    rt = spark.readStream.schema("user_id long, ts timestamp, buy string").json(rdir)
+    out = interval_join(lt, rt, within="10 minutes", watermark="10 minutes",
+                        how="full_outer")
+    q = (
+        out.select("click", "r_buy")
+        .writeStream.format("memory").queryName("ivjfo").outputMode("append").start()
+    )
+
+    def poll(pred, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            got = {(r["click"], r["r_buy"])
+                   for r in spark.sql("SELECT * FROM ivjfo").collect()}
+            if pred(got):
+                return got
+            time.sleep(0.5)
+        return got
+
+    try:
+        assert ("c1", "b1") in poll(lambda g: ("c1", "b1") in g)
+        # advance event time far past both windows + watermark
+        _write_json(os.path.join(rdir, "r2.json"), [
+            {"user_id": 10, "ts": "2024-01-01 02:00:00", "buy": "b9"},
+        ])
+        _write_json(os.path.join(ldir, "l2.json"), [
+            {"user_id": 10, "ts": "2024-01-01 02:00:00", "click": "c9"},
+        ])
+        got = poll(lambda g: ("c2", None) in g and (None, "b3") in g)
+        assert ("c2", None) in got, f"unmatched LEFT row never emitted: {got}"
+        assert (None, "b3") in got, f"unmatched RIGHT row never emitted: {got}"
+    finally:
+        q.stop()
