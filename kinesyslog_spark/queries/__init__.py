@@ -67,3 +67,4 @@ from kinesyslog_spark.queries import pq  # noqa: E402,F401
 from kinesyslog_spark.queries import resolution  # noqa: E402,F401
 from kinesyslog_spark.queries import decontam_sem  # noqa: E402,F401
 from kinesyslog_spark.queries import bloom  # noqa: E402,F401
+from kinesyslog_spark.queries import stats_ext  # noqa: E402,F401
