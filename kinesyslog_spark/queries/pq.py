@@ -275,3 +275,73 @@ def q106_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q120 — nDCG@5 of the IVF ranking against the exact cosine ground
+# truth: the graded complement of q106's recall@k (recall says WHETHER
+# true neighbors were found; nDCG says whether they landed in the right
+# ORDER). Graded gain = 6 - exact_rank for vectors in the exact top-5,
+# 0 otherwise; position discounts 1/log2(p+1) are FIXED 6-dp decimal
+# literals on both engines, so every DCG is an exact decimal sum and
+# the only double step is the final normalized ratio (floor-quantized).
+# Composed from the q21/q35 plans and oracles (the q71 pattern).
+# ---------------------------------------------------------------------------
+
+_DCG_W = ("1.0", "0.63093", "0.5", "0.430677", "0.386853")  # 1/log2(p+1), 6dp
+_IDCG = "10.271927"  # sum((6-p) * w_p), exact decimal
+
+
+def _q120_oracle() -> str:
+    from kinesyslog_spark.queries import ORACLE
+
+    wvals = ", ".join(f"CAST({w} AS DECIMAL(8,6))" for w in _DCG_W)
+    return f"""
+    WITH ex AS (
+      SELECT pid, vec_id, rn FROM ({ORACLE["q21_cosine_topk"]})
+    ), iv AS (
+      SELECT pid, vec_id, rn FROM ({ORACLE["q35_ann_ivf_topk"]})
+    ), w AS (
+      SELECT unnest(range(1, 6)) AS p, unnest([{wvals}]) AS wp
+    ), g AS (
+      SELECT iv.pid, iv.rn AS p,
+             CAST(COALESCE(6 - ex.rn, 0) AS DECIMAL(8,0)) AS gain
+      FROM iv LEFT JOIN ex ON iv.pid = ex.pid AND iv.vec_id = ex.vec_id
+    )
+    SELECT g.pid,
+           CAST(SUM(g.gain * w.wp) AS DOUBLE) AS dcg,
+           FLOOR(CAST(SUM(g.gain * w.wp) AS DOUBLE) / {_IDCG}
+                 * 10000 + 0.5) / 10000 AS ndcg
+    FROM g JOIN w ON w.p = g.p
+    GROUP BY g.pid
+    ORDER BY g.pid
+    """
+
+
+@query("q120_ndcg_ivf", oracle=_q120_oracle())
+def q120_ndcg_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.queries.ann import q35_ann_ivf_topk
+    from kinesyslog_spark.queries.llm import q21_cosine_topk
+
+    ex = q21_cosine_topk(spark, sf_dir).select(
+        "pid", "vec_id", F.col("rn").alias("ex_rn")
+    )
+    iv = q35_ann_ivf_topk(spark, sf_dir).select("pid", "vec_id", "rn")
+    wp = F.lit(None).cast("decimal(8,6)")
+    for p, w in enumerate(_DCG_W, start=1):
+        wp = F.when(F.col("rn") == p, F.lit(w).cast("decimal(8,6)")).otherwise(wp)
+    gain = F.coalesce(F.lit(6) - F.col("ex_rn"), F.lit(0)).cast("decimal(8,0)")
+    scored = (
+        iv.join(ex, ["pid", "vec_id"], "left")
+        .select("pid", (gain * wp).alias("contrib"))
+    )
+    dcg = F.sum("contrib").cast("double")
+    return (
+        scored.groupBy("pid")
+        .agg(
+            dcg.alias("dcg"),
+            (F.floor(dcg / float(_IDCG) * 10000 + F.lit(0.5)) / 10000)
+            .alias("ndcg"),
+        )
+        .orderBy("pid")
+    )
