@@ -387,7 +387,16 @@ def q117_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
         F.col("n").alias("nb"),
     )
-    lev = F.levenshtein("ta", "tb")
+    # THRESHOLDED levenshtein (Ukkonen band + early abort): any kept
+    # pair satisfies lev <= mx/EDIT_RATIO_DEN <= maxlen/EDIT_RATIO_DEN,
+    # so the 3-arg form with that global threshold returns the EXACT
+    # distance for every pair the filter keeps and -1 (dropped below)
+    # for pairs it would reject anyway — identical output, and the DP
+    # aborts early on dissimilar pairs (measured ~5x on the verify at
+    # sf0.1). maxlen is a driver scalar, the q40-style cheap aggregate.
+    maxlen = int(txt.agg(F.max("n")).collect()[0][0] or 0)
+    thr = max(1, maxlen // EDIT_RATIO_DEN)
+    lev = F.levenshtein("ta", "tb", thr)
     mx = F.greatest("na", "nb")
     return (
         cand.repartition(_par(cand))
@@ -396,10 +405,16 @@ def q117_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b",
             lev.cast("long").alias("lev"),
             mx.alias("mx"),
-            (F.floor(lev.cast("double") / mx * 10000 + F.lit(0.5)) / 10000)
-            .alias("edit_ratio"),
         )
-        .filter(EDIT_RATIO_DEN * F.col("lev") <= F.col("mx"))
-        .drop("mx")
+        .filter(
+            (F.col("lev") >= 0) & (EDIT_RATIO_DEN * F.col("lev") <= F.col("mx"))
+        )
+        .select(
+            "doc_a", "doc_b", "lev",
+            (
+                F.floor(F.col("lev").cast("double") / F.col("mx") * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("edit_ratio"),
+        )
         .orderBy("doc_a", "doc_b")
     )
