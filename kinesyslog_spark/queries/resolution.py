@@ -418,3 +418,145 @@ def q117_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q121 — EXACT set-similarity join via prefix filtering (AllPairs /
+# PPJoin, Bayardo et al. 2007 / Xiao et al. 2008): unlike the LSH
+# family (q26-q28: probabilistic recall), prefix filtering finds EVERY
+# pair with word-3-gram-set Jaccard >= t and no others (verified
+# against the all-pairs brute force in tests). Shingle sets, not raw
+# token sets: the synthetic corpus shares its vocabulary so heavily
+# that token-set jaccard >= 0.6 holds for most random pairs — 3-gram
+# sets keep the measure discriminative (q26's element choice).
+#
+# Principle: order each doc's distinct tokens by ascending global
+# document frequency (rarest first, doc_id tiebreak); two sets with
+# jaccard >= t MUST share a token within each other's first
+# |s| - ceil(t*|s|) + 1 tokens (the prefix) — so candidates = pairs
+# sharing ANY prefix token, generated by one join on the prefix token,
+# then verified exactly. Rare-first ordering makes prefixes
+# low-frequency keys, so the candidate join is naturally skew-light.
+#
+# Determinism: df ranks are exact integer counts; prefix length is
+# integer ceiling arithmetic (l - ceil(t*l) + 1 with t = 6/10 done as
+# (6*l + 9) / 10 integer division); verify is exact integer set
+# intersection cross-multiplied (10*|A∩B| >= 6*|A∪B|).
+#
+# Scale: one df aggregate (map-side combined), one prefix-token join
+# (shuffle on token; rare-first keeps keys near-singleton; the df-rank
+# table broadcast), exact verify on the candidate set only. The
+# standard exact-join economics at corpus scale.
+# ---------------------------------------------------------------------------
+
+PFJ_NUM, PFJ_DEN = 6, 10  # jaccard threshold t = 0.6
+
+
+def _q121_oracle() -> str:
+    return f"""
+    WITH tk0 AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), tk AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS ts
+      FROM tk0 WHERE len(toks) >= 3
+    ), df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfreq
+      FROM (SELECT doc_id, unnest(ts) AS tok FROM tk) GROUP BY tok
+    ), ranked AS (
+      SELECT t.doc_id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.dfreq, t.tok) AS r,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS l
+      FROM (SELECT doc_id, unnest(ts) AS tok FROM tk) t
+      JOIN df d ON d.tok = t.tok
+    ), pref AS (
+      SELECT doc_id, tok FROM ranked
+      WHERE r <= l - ({PFJ_NUM} * l + {PFJ_DEN} - 1) // {PFJ_DEN} + 1
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM pref x JOIN pref y ON x.tok = y.tok AND x.doc_id < y.doc_id
+    ), sets AS (
+      SELECT doc_id, ts, len(ts) AS n FROM tk WHERE len(ts) > 0
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.ts, b.ts)) AS inter,
+             a.n + b.n - len(list_intersect(a.ts, b.ts)) AS uni,
+             ROUND(len(list_intersect(a.ts, b.ts))
+                   / CAST(a.n + b.n - len(list_intersect(a.ts, b.ts)) AS DOUBLE),
+                   4) AS jaccard
+      FROM cand c
+      JOIN sets a ON a.doc_id = c.doc_a
+      JOIN sets b ON b.doc_id = c.doc_b
+    ) WHERE {PFJ_DEN} * inter >= {PFJ_NUM} * uni
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q121_prefix_filter_join", oracle=_q121_oracle())
+def q121_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.operators.text import jaccard
+    from kinesyslog_spark.queries.dedup import _par
+    from kinesyslog_spark.tables import hot_tokens, persist_now
+
+    from kinesyslog_spark.operators.text import word_shingles
+
+    tk = persist_now(
+        hot_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", word_shingles(F.col("toks"), 3).alias("ts"))
+    )
+    toks = tk.select("doc_id", F.explode("ts").alias("tok"))
+    df = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    wr = W.partitionBy("doc_id").orderBy("dfreq", "tok")
+    ranked = (
+        toks.join(df, "tok")
+        .withColumn("r", F.row_number().over(wr))
+        .withColumn("l", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    # Integer FLOOR division on both engines (DuckDB `//`): a bare
+    # int/int is real division there, and CAST(double AS BIGINT) ROUNDS
+    # in DuckDB while .cast("long") truncates in Spark — the one-ulp
+    # trap that would shorten one side's prefix and silently lose recall.
+    plen = (
+        F.col("l")
+        - F.floor((PFJ_NUM * F.col("l") + PFJ_DEN - 1) / PFJ_DEN).cast("long")
+        + 1
+    )
+    pref = ranked.filter(F.col("r") <= plen).select("doc_id", "tok")
+    x = pref.select(F.col("tok").alias("tok"), F.col("doc_id").alias("doc_a"))
+    y = pref.select(F.col("tok").alias("tok"), F.col("doc_id").alias("doc_b"))
+    cand = (
+        x.repartition(_par(x), "tok")
+        .join(y, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = tk.filter(F.size("ts") > 0).select(
+        "doc_id", "ts", F.size("ts").alias("n")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"),
+        F.col("n").alias("na"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    uni = F.col("na") + F.col("nb") - inter
+    return (
+        cand.repartition(_par(cand))
+        .join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"),
+            F.round(jaccard(F.col("ts_a"), F.col("ts_b")), 4).alias("jaccard"),
+        )
+        .filter(PFJ_DEN * F.col("inter") >= PFJ_NUM * F.col("uni"))
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

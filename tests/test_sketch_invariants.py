@@ -75,3 +75,30 @@ def test_sketches_are_mergeable(spark):
         return {r.pos for r in toks.select(pos.alias("pos")).distinct().collect()}
 
     assert bloom_positions(halves[0]) | bloom_positions(halves[1]) == bloom_positions(df)
+
+
+def test_prefix_filter_join_is_exact(duck, sf_dir):
+    """q121's whole claim: prefix filtering loses NOTHING vs the
+    all-pairs brute force (and adds nothing the verify doesn't kill)."""
+    from kinesyslog_spark.queries.resolution import (
+        PFJ_DEN,
+        PFJ_NUM,
+        _q121_oracle,
+    )
+
+    got = set(map(tuple, duck.execute(
+        f"SELECT doc_a, doc_b FROM ({_q121_oracle()})").fetchall()))
+    truth = set(map(tuple, duck.execute(f"""
+        WITH tk0 AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents
+        ), tk AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS ts
+          FROM tk0 WHERE len(toks) >= 3
+        ), s AS (SELECT doc_id, ts, len(ts) AS n FROM tk WHERE len(ts) > 0)
+        SELECT a.doc_id, b.doc_id FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE {PFJ_DEN} * len(list_intersect(a.ts, b.ts))
+              >= {PFJ_NUM} * (a.n + b.n - len(list_intersect(a.ts, b.ts)))
+    """).fetchall()))
+    assert got == truth
