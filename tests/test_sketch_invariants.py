@@ -102,3 +102,59 @@ def test_prefix_filter_join_is_exact(duck, sf_dir):
               >= {PFJ_NUM} * (a.n + b.n - len(list_intersect(a.ts, b.ts)))
     """).fetchall()))
     assert got == truth
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_doc_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=3, max_size=8,
+)
+_corpus121 = st.lists(_doc_words, min_size=2, max_size=6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=_corpus121)
+def test_prefix_filter_join_property(spark, tmp_path_factory, docs):
+    """q121 == all-pairs brute force on arbitrary small corpora (the
+    fixed-corpus equality test generalized): prefix filtering must not
+    depend on any corpus property beyond the threshold algebra."""
+    import os
+
+    from kinesyslog_spark.queries import QUERIES
+    from kinesyslog_spark.queries.resolution import PFJ_DEN, PFJ_NUM
+    from kinesyslog_spark.tables import release_hot
+
+    tmp = tmp_path_factory.mktemp("pfj")
+    path = os.path.join(str(tmp), "documents.parquet")
+    rows = [
+        (i, " ".join(d), "en", "src0", len(" ".join(d)))
+        for i, d in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    try:
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in QUERIES["q121_prefix_filter_join"](spark, str(tmp)).collect()
+        }
+    finally:
+        release_hot(spark, str(tmp))
+
+    def shingles(words):
+        return {
+            " ".join(words[i:i + 3]) for i in range(len(words) - 2)
+        }
+
+    sets = {i: shingles(d) for i, d in enumerate(docs) if len(d) >= 3}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                if PFJ_DEN * inter >= PFJ_NUM * uni:
+                    want.add((a, b))
+    assert got == want
