@@ -560,3 +560,129 @@ def q121_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q122 — EXACT containment join (asymmetric set similarity):
+# C(A,B) = |A∩B| / |A| >= t finds documents CONTAINED in others —
+# quotes, excerpts, and supersede-style duplication that symmetric
+# Jaccard blurs (a small doc inside a big one has low jaccard but
+# containment ~1). Prefix filtering adapts to containment: if
+# C(A,B) >= t then A's first l - ceil(t*l) + 1 rarest shingles MUST
+# intersect B (otherwise A∩B fits inside A-minus-prefix, which has
+# fewer than t*l elements) — so candidates come from joining A's
+# prefix shingles against the FULL posting list, which rare-first
+# ordering keeps near-singleton. Same shingle sets and floor-division
+# discipline as q121; verify is the exact integer cross-multiplication
+# 10*|A∩B| >= 9*|A|.
+#
+# Scale: prefix side is O(plen) rows/doc; the posting side is the
+# exploded corpus, but the join key is a RARE shingle by construction
+# — the standard containment-join economics (Melnik/Garcia-Molina
+# style). Output is ordered pairs (contained, container).
+# ---------------------------------------------------------------------------
+
+CNT_NUM, CNT_DEN = 9, 10  # containment threshold t = 0.9
+
+
+def _q122_oracle() -> str:
+    return f"""
+    WITH tk0 AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), tk AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS ts
+      FROM tk0 WHERE len(toks) >= 3
+    ), df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfreq
+      FROM (SELECT doc_id, unnest(ts) AS tok FROM tk) GROUP BY tok
+    ), ranked AS (
+      SELECT t.doc_id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.dfreq, t.tok) AS r,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS l
+      FROM (SELECT doc_id, unnest(ts) AS tok FROM tk) t
+      JOIN df d ON d.tok = t.tok
+    ), pref AS (
+      SELECT doc_id, tok FROM ranked
+      WHERE r <= l - ({CNT_NUM} * l + {CNT_DEN} - 1) // {CNT_DEN} + 1
+    ), post AS (
+      SELECT doc_id, unnest(ts) AS tok FROM tk
+    ), cand AS (
+      SELECT DISTINCT p.doc_id AS doc_a, q.doc_id AS doc_b
+      FROM pref p JOIN post q ON p.tok = q.tok AND p.doc_id <> q.doc_id
+    ), sets AS (
+      SELECT doc_id, ts, len(ts) AS n FROM tk WHERE len(ts) > 0
+    )
+    SELECT doc_a, doc_b, containment FROM (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.ts, b.ts)) AS inter, a.n AS na,
+             ROUND(len(list_intersect(a.ts, b.ts)) / CAST(a.n AS DOUBLE), 4)
+               AS containment
+      FROM cand c
+      JOIN sets a ON a.doc_id = c.doc_a
+      JOIN sets b ON b.doc_id = c.doc_b
+    ) WHERE {CNT_DEN} * inter >= {CNT_NUM} * na
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q122_containment_join", oracle=_q122_oracle())
+def q122_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.operators.text import word_shingles
+    from kinesyslog_spark.queries.dedup import _par
+    from kinesyslog_spark.tables import hot_tokens, persist_now
+
+    tk = persist_now(
+        hot_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", word_shingles(F.col("toks"), 3).alias("ts"))
+    )
+    toks = tk.select("doc_id", F.explode("ts").alias("tok"))
+    df = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    wr = W.partitionBy("doc_id").orderBy("dfreq", "tok")
+    ranked = (
+        toks.join(df, "tok")
+        .withColumn("r", F.row_number().over(wr))
+        .withColumn("l", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    plen = (
+        F.col("l")
+        - F.floor((CNT_NUM * F.col("l") + CNT_DEN - 1) / CNT_DEN).cast("long")
+        + 1
+    )
+    pref = ranked.filter(F.col("r") <= plen).select(
+        F.col("doc_id").alias("doc_a"), "tok"
+    )
+    post = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    cand = (
+        pref.repartition(_par(pref), "tok")
+        .join(post, "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = tk.filter(F.size("ts") > 0).select(
+        "doc_id", "ts", F.size("ts").alias("n")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"),
+        F.col("n").alias("na"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"),
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    return (
+        cand.repartition(_par(cand))
+        .join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b", inter.alias("inter"), F.col("na"),
+            F.round(inter.cast("double") / F.col("na"), 4).alias("containment"),
+        )
+        .filter(CNT_DEN * F.col("inter") >= CNT_NUM * F.col("na"))
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )

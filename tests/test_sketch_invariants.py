@@ -158,3 +158,28 @@ def test_prefix_filter_join_property(spark, tmp_path_factory, docs):
                 if PFJ_DEN * inter >= PFJ_NUM * uni:
                     want.add((a, b))
     assert got == want
+
+
+def test_containment_join_is_exact(duck, sf_dir):
+    """q122: containment prefix filtering loses nothing vs brute force."""
+    from kinesyslog_spark.queries.resolution import (
+        CNT_DEN,
+        CNT_NUM,
+        _q122_oracle,
+    )
+
+    got = set(map(tuple, duck.execute(
+        f"SELECT doc_a, doc_b FROM ({_q122_oracle()})").fetchall()))
+    truth = set(map(tuple, duck.execute(f"""
+        WITH tk0 AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents
+        ), tk AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS ts
+          FROM tk0 WHERE len(toks) >= 3
+        ), s AS (SELECT doc_id, ts, len(ts) AS n FROM tk WHERE len(ts) > 0)
+        SELECT a.doc_id, b.doc_id FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        WHERE {CNT_DEN} * len(list_intersect(a.ts, b.ts)) >= {CNT_NUM} * a.n
+    """).fetchall()))
+    assert got == truth
