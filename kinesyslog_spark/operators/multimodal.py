@@ -138,11 +138,15 @@ def parse_video_header(payload: bytes) -> dict | None:
                     break
                 if ctype == b"mvhd" and j + 8 + 20 <= len(buf):
                     ver = buf[j + 8]
-                    if ver == 1 and j + 8 + 28 <= len(buf):
-                        ts, dur = struct.unpack(
-                            ">IQ", buf[j + 28:j + 40]
-                        )
-                    else:
+                    ts = dur = None
+                    if ver == 1:
+                        # v1 layout: 8-byte times; a truncated v1 box
+                        # must NOT fall back to the v0 field offsets.
+                        if j + 40 <= len(buf):
+                            ts, dur = struct.unpack(
+                                ">IQ", buf[j + 28:j + 40]
+                            )
+                    elif j + 28 <= len(buf):
                         ts, dur = struct.unpack(
                             ">II", buf[j + 20:j + 28]
                         )

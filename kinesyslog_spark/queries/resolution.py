@@ -372,7 +372,7 @@ def _q117_oracle() -> str:
 
 @query("q117_edit_distance_pairs", oracle=_q117_oracle())
 def q117_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesyslog_spark.queries.dedup import _par, ngram_candidates
+    from kinesyslog_spark.queries.dedup import LEN_BAND, _par, ngram_candidates
     from kinesyslog_spark.tables import hot_table
 
     cand, _base = ngram_candidates(spark, sf_dir)
@@ -401,6 +401,10 @@ def q117_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.repartition(_par(cand))
         .join(a, "doc_a").join(b, "doc_b")
+        # Length-band refinement: bucket adjacency in the blocking admits
+        # |na-nb| up to 2*LEN_BAND-1, but the oracle (and q28) keep only
+        # pairs within LEN_BAND — apply the same refinement here.
+        .filter(F.abs(F.col("na") - F.col("nb")) <= LEN_BAND)
         .select(
             "doc_a", "doc_b",
             lev.cast("long").alias("lev"),

@@ -20,9 +20,10 @@ Scale posture (100 TB / continuous):
   so the broadcast is constant-size forever; the stream is never
   shuffled on a model key (see queries/dsir.py scale notes).
 - Scoring is per-batch-bounded map work + one per-batch doc_id
-  aggregate; sink appends are idempotent per epoch via the checkpoint
-  (foreachBatch exactly-once-per-epoch contract, same as
-  streaming/relay.py).
+  aggregate; the sink IS idempotent per epoch because each micro-batch
+  overwrites its own `epoch_id=N` partition directory — a retried
+  epoch replaces its partial output rather than appending duplicates
+  (foreachBatch alone only guarantees at-least-once).
 
 Reference parity: none (no corpus surface in the reference); streaming
 counterpart of q103. Parity-tested against the batch twin in
@@ -85,9 +86,14 @@ def streaming_dsir(
     append to `out_dir` as parquet."""
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
-        score_batch(batch, lam, text_col, id_col).write.mode("append").parquet(
-            out_dir
-        )
+        # Idempotent per epoch: each micro-batch owns its epoch_id
+        # subdirectory and OVERWRITES it, so a retried epoch replaces
+        # its own partial output instead of appending duplicates.
+        # Readers see epoch_id as a discovered partition column under
+        # out_dir.
+        score_batch(batch, lam, text_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/epoch_id={epoch_id}")
 
     return (
         docs.writeStream.foreachBatch(fold)

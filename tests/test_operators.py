@@ -228,6 +228,21 @@ def test_parse_video_header_mp4_and_matroska():
 
     assert parse_video_header(b"\x1a\x45\xdf\xa3rest")["codec"] == "matroska"
     assert parse_video_header(b"\x00" * 40) is None
+
+    # mvhd v1 with full 8-byte fields: timescale 1000, duration 4500
+    v1_payload = (
+        b"\x01\x00\x00\x00" + b"\x00" * 16
+        + struct.pack(">IQ", 1000, 4500) + b"\x00" * 80
+    )
+    v1 = struct.pack(">I", 8 + len(v1_payload)) + b"mvhd" + v1_payload
+    moov1 = struct.pack(">I", 8 + len(v1)) + b"moov" + v1
+    assert parse_video_header(ftyp + moov1)["duration_s"] == 4.5
+    # TRUNCATED v1 mvhd (36-39 bytes available): must neither raise
+    # struct.error nor fall back to the v0 field offsets — duration None
+    for cut in (36, 37, 38, 39):
+        trunc = (ftyp + moov1)[: len(ftyp) + 8 + cut]
+        meta_t = parse_video_header(trunc)
+        assert meta_t == {"codec": "mp4", "brand": "isom", "duration_s": None}
     import pytest
 
     with pytest.raises(NotImplementedError):
