@@ -41,6 +41,7 @@ HEADLINE = [
     "q26_minhash_lsh",
     "q30_language_id",
     "q35_ann_ivf_topk",
+    "q123_substring_dedup",
 ]
 
 
@@ -75,6 +76,7 @@ def main() -> None:
     runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     bench_all = bool(os.environ.get("BENCH_ALL"))
     times: dict[str, float] = {}
+    fresh_times: dict[str, float] = {}
     prev_module: str | None = None
     for name in names:
         fn = QUERIES[name]
@@ -94,11 +96,17 @@ def main() -> None:
             n = fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 3)
+        fresh_times[name] = round(samples[0], 3)
         detail = "/".join(f"{s:.3f}" for s in samples)
         print(f"# {name}: median {times[name]:.3f}s of [{detail}] ({n} rows)",
               file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    # Fresh total: the FIRST sample of each query — run 1 pays the
+    # session-memoized hot-table/signature builds that the median (warm)
+    # number amortizes away. Both are honest; they answer different
+    # questions (steady-state service vs one-shot batch).
+    fresh_total = round(sum(fresh_times.values()), 3)
 
     # Extra signal (headline mode only): wall time for the whole battery
     # submitted CONCURRENTLY in one session — the multi-tenant picture.
@@ -126,6 +134,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "fresh": fresh_total,
+        "queries_fresh": fresh_times,
         "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

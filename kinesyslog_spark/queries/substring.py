@@ -1,0 +1,158 @@
+"""Q123 — EXACT variable-length substring deduplication (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better", ACL 2022:
+the ExactSubstr operator).
+
+Unlike q80 (fixed 5-gram *coverage ratio*, an approximation), q123
+returns the actual maximal duplicated token spans per document — the
+char/token ranges an ExactSubstr pass would cut — for every duplicated
+substring of >= SUBSTR_K tokens anywhere in the corpus (including a
+second occurrence inside the SAME document, matching the paper's
+suffix-array semantics where any other occurrence counts).
+
+Why this is EXACT without a distributed suffix array
+----------------------------------------------------
+Window-union theorem: a token position p of document d lies inside some
+duplicated substring of length >= k tokens IFF p is covered by a k-gram
+window [i, i+k) whose gram occurs >= 2 times in the corpus.
+  (=>) a duplicated span S of length >= k containing p contains a
+       k-window over p, and that window's gram recurs wherever S does;
+  (<=) a duplicated k-gram at i IS a duplicated substring of length k
+       covering every p in [i, i+k).
+So the union of duplicated-k-gram windows equals the union of all
+duplicated spans of length >= k, and merging overlapping/adjacent
+windows per document yields exactly the maximal duplicated regions the
+suffix-array algorithm reports. Sorted-suffix machinery is not needed:
+the theorem turns ExactSubstr into groupBy + join + one
+gaps-and-islands window — all Catalyst-native.
+
+Spark shape (scale posture at 100 TB):
+- tokenize + k-gram emit are map-only (`transform`/`slice`/`md5`
+  JVM expressions, zero Python);
+- duplicated-gram detection is ONE aggregate on 32-hex-char md5 keys —
+  partial (map-side) aggregation collapses each partition's repeats
+  before the exchange, so the shuffle carries near-distinct grams;
+- positions join the duplicated-gram set on the same md5 key (in clean
+  corpora dup grams are a small fraction — AQE turns this into a
+  broadcast join when the filtered side fits; at dirtier scales it is
+  a plain hash join on uniform 16-byte content hashes, no skew);
+- span merge is one doc_id window (equal-width intervals sorted by
+  start make `lag(end)` the running max, so one LAG + one running SUM
+  suffice), bounded per-doc state.
+No all-pairs, no materialized suffix array, no driver-side data.
+md5 keying makes shuffle width constant regardless of k; both engines
+hash the identical UTF-8 gram string, so the oracle is bit-exact.
+
+Reference parity: none (no corpus surface in kinesyslog); this is the
+LLM-pipeline north-star operator (VERDICT r3 next-round #1).
+Brute-force pin: tests/test_substring.py compares against an
+independent O(n^2) suffix-compare scan on small corpora (hypothesis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.tables import hot_table
+
+SUBSTR_K = 8  # minimum duplicated span length, in tokens
+
+
+def duplicated_spans(docs: DataFrame, k: int = SUBSTR_K,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Maximal duplicated token spans (>= k tokens) per document.
+
+    Returns (doc_id, span_start, span_end, span_tokens): token-index
+    ranges [span_start, span_end) into the canonical token stream
+    (operators/text.tokens), widest-first merged. Exact per the
+    window-union theorem in the module docstring.
+    """
+    from kinesyslog_spark.operators.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
+    ).filter(F.size("ts") >= k)
+    gpos = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(ts) - {k}),"
+                f" i -> md5(array_join(slice(ts, i + 1, {k}), ' ')))"
+            )
+        ).alias("s", "g"),
+    )
+    dup = gpos.groupBy("g").count().filter(F.col("count") >= 2).select("g")
+    hit = gpos.join(dup, "g").select(
+        "doc_id", "s", (F.col("s") + k).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    brk = hit.withColumn(
+        "nw",
+        F.when(F.col("s") > F.lag("e").over(w), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "gid",
+        F.sum("nw").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        brk.groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def _q123_oracle() -> str:
+    k = SUBSTR_K
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      FROM documents
+    ), gpos AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts) - {k} + 2),
+                    i -> md5(array_to_string(ts[i:i+{k}-1], ' ')))) AS g,
+             unnest(range(1, len(ts) - {k} + 2)) AS i
+      FROM toks WHERE len(ts) >= {k}
+    ), dup AS (
+      SELECT g FROM gpos GROUP BY g HAVING COUNT(*) >= 2
+    ), hit AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+             CAST(i - 1 + {k} AS BIGINT) AS e
+      FROM gpos JOIN dup USING (g)
+    ), brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > lag(e) OVER (PARTITION BY doc_id ORDER BY s)
+                  THEN 1 ELSE 0 END AS nw
+      FROM hit
+    ), isl AS (
+      SELECT doc_id, s, e,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS gid
+      FROM brk
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(s) AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, gid
+    ORDER BY doc_id, span_start
+    """
+
+
+@query("q123_substring_dedup", oracle=_q123_oracle())
+def q123_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = hot_table(spark, sf_dir, "documents")
+    return (
+        duplicated_spans(docs)
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )

@@ -457,3 +457,14 @@ def test_q115_cms_cells_broadcast(spark, sf_dir):
     assert f.broadcast_any_count >= 1, "cell table must broadcast"
     assert f.python_eval_count == 0
     assert f.sort_aggregate_count == 0, "cell build must hash-aggregate"
+
+
+def test_q123_substring_dedup_plan(spark, sf_dir):
+    # ExactSubstr: gram-count aggregate must be hash (map-side combined),
+    # everything JVM-side, no cartesian; the dup-gram join may be
+    # broadcast (AQE, small dup set) or shuffled hash — never nested-loop.
+    f = facts(QUERIES["q123_substring_dedup"](spark, sf_dir))
+    assert f.python_eval_count == 0, "substring dedup must stay JVM-side"
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert "HashAggregate" in f.text
