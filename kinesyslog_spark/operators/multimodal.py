@@ -10,12 +10,16 @@ MEDIA METADATA decode is real — pure header parsing, zero deps:
 JPEG/PNG/GIF width-height-codec (`parse_image_header`), WAV/RIFF
 channels-rate-bits-duration (`parse_audio_header`), and ISO-BMFF (MP4)
 brand + mvhd duration / Matroska sniff (`parse_video_header`).
-Pixel/sample-level codecs (PIL / libav / ffmpeg) are NOT in this
-container, so pixel decode, thumbnailing, and frame extraction stay
-clearly-marked stubs and the oracle-checked pipeline runs
-`fake_decode_meta` — a deterministic pure function of the payload
-bytes that a SQL oracle can reproduce. Everything Spark-side (schema,
-batching, partition behavior) is real.
+
+PNG PIXELS are also real: `operators/png.py` decodes PNG pixel data
+with stdlib zlib + unfiltering, so `resize_batches` thumbnails PNG
+payloads from actual pixels and queries/imagehash.py perceptually
+hashes them. JPEG/GIF pixel codecs and audio/video sample decode (PIL /
+libav / ffmpeg) are NOT in this container; those paths stay
+clearly-marked stubs and the stub pipelines run `fake_decode_meta` — a
+deterministic pure function of the payload bytes that a SQL oracle can
+reproduce. Everything Spark-side (schema, batching, partition
+behavior) is real either way.
 """
 
 from __future__ import annotations
@@ -275,22 +279,53 @@ FRAME_SCHEMA = "doc_id long, frame_idx long, frame_md5 string"
 def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body for the resize/thumbnail step: (doc_id, payload)
     -> one row per image with the downsampled dims and a digest of the
-    thumbnail bytes. The codec is stubbed (thumb = first THUMB_BYTES of
-    the payload; dims = fake_decode_meta dims clamped to 64) but the
-    batch shape — 1 row in, 1 row out, bounded memory per Arrow batch —
-    is exactly what a PIL `Image.thumbnail` implementation drops into."""
+    thumbnail bytes.
+
+    PNG payloads take the REAL pixel path (operators/png.py: zero-dep
+    decode -> integer luma -> aspect-preserving box downscale into
+    64x64; thumb_md5 digests the actual downscaled gray pixels).
+    Everything else keeps the deterministic stub (thumb = first
+    THUMB_BYTES of the payload; dims = fake_decode_meta dims clamped to
+    64) behind the documented JPEG/GIF codec seam. Either way the batch
+    shape — 1 row in, 1 row out, bounded memory per Arrow batch — is
+    exactly what a PIL `Image.thumbnail` implementation drops into."""
     import hashlib
+
+    from kinesyslog_spark.operators.png import (
+        box_downscale,
+        decode_png,
+        thumbnail_dims,
+        to_gray,
+    )
 
     for pdf in batches:
         rows = []
         for p, d in zip(pdf["payload"], pdf["doc_id"]):
-            meta = fake_decode_meta(p, d)
-            thumb = bytes(p)[:THUMB_BYTES]
+            raw = bytes(p)
+            if raw[:8] == _PNG_SIG:
+                try:
+                    w, h, ch, px = decode_png(raw)
+                    gray = to_gray(px, ch)
+                    ow, oh = thumbnail_dims(w, h, 64)
+                    thumb = (
+                        gray if (ow, oh) == (w, h)
+                        else box_downscale(gray, w, h, ow, oh)
+                    )
+                    rows.append({
+                        "doc_id": d,
+                        "out_w": ow,
+                        "out_h": oh,
+                        "thumb_md5": hashlib.md5(thumb).hexdigest(),
+                    })
+                    continue
+                except (ValueError, NotImplementedError):
+                    pass  # malformed/unsupported PNG: fall through to stub
+            meta = fake_decode_meta(raw, d)
             rows.append({
                 "doc_id": d,
                 "out_w": min(meta["width"], 64),
                 "out_h": min(meta["height"], 64),
-                "thumb_md5": hashlib.md5(thumb).hexdigest(),
+                "thumb_md5": hashlib.md5(raw[:THUMB_BYTES]).hexdigest(),
             })
         yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "thumb_md5"])
 

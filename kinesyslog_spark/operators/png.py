@@ -1,0 +1,292 @@
+"""Zero-dependency PNG pixel codec + integer perceptual hash.
+
+This closes (for PNG) the multimodal pixel seam documented in
+operators/multimodal.py: PNG needs only stdlib `zlib` (inflate) plus
+per-scanline unfiltering, so REAL pixel decode is feasible without any
+image library. JPEG/GIF pixel decode still requires entropy/LZW codecs
+and stays behind the documented `NotImplementedError` seam.
+
+Pieces (all deterministic, all exact integer arithmetic):
+- `decode_png`  — signature/chunk walk, zlib inflate, filters 0-4
+  (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6 at bit depth 8,
+  non-interlaced (Adam7 raises: a narrow, documented gap).
+- `encode_png`  — minimal grayscale-8 writer (filter 0 rows). Only
+  the DECODED pixels are contract: zlib's compressed bytes may vary
+  across zlib builds, so nothing downstream ever hashes the encoded
+  stream, only pixels (decode(encode(x)) == x is the pinned property).
+- `to_gray`     — integer luma (77*R + 150*G + 29*B) >> 8 (weights
+  sum to 256; the JPEG/BT.601 fixed-point convention).
+- `box_downscale` — aspect-preserving integer box filter (block mean
+  with floor division; block edges at x*w//ow, the standard exact
+  partition).
+- `phash_blocks` — perceptual hash over a 32x32 grayscale raster:
+  fixed-point 2-D DCT-II using the HARDCODED table PHASH_DCT_T
+  (floor(cos((2x+1)u*pi/64) * 1024 + 0.5), embedded as literals so no
+  platform's libm can perturb a boundary value), keep the top-left 8x8
+  coefficient block, threshold each coefficient against the exact
+  integer median (33rd smallest of the 63 non-DC values; DC forced 0).
+  Scale factors cancel in the comparison, so no descaling/rounding
+  step exists anywhere — every intermediate is an int64-safe integer
+  (|coeff| <= 255*1024*1024^2*32^2 impossible; actual bound
+  255*32*1024 * 32*1024 ~ 2.7e11 < 2^53, and Python ints are exact
+  regardless). The hash is returned as 8 row-blocks of 8 bits
+  (block j = DCT row u=j, bit v at weight 1<<(7-v)) — exactly the
+  hamming-block LSH layout q27 uses for SimHash, so `hamming <= 7`
+  pairs are guaranteed to share at least one equal block (pigeonhole).
+
+Reference parity: none (kinesyslog has no media surface); this is the
+multimodal north-star path (VERDICT r3 next-round #2).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Channels per PNG color type at bit depth 8 (3 = palette -> 1 index).
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Fixed-point DCT-II basis: PHASH_DCT_T[u][x] =
+# floor(cos((2x+1)*u*pi/64) * 1024 + 0.5), u in 0..7, x in 0..31.
+# Hardcoded (not computed at import) so the table is identical on every
+# platform and can be embedded verbatim in the DuckDB oracle SQL.
+PHASH_DCT_T = (
+    (1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024,
+     1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024,
+     1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024,
+     1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024),
+    (1023, 1013, 993, 964, 926, 878, 822, 759,
+     688, 610, 526, 438, 345, 249, 150, 50,
+     -50, -150, -249, -345, -438, -526, -610, -688,
+     -759, -822, -878, -926, -964, -993, -1013, -1023),
+    (1019, 980, 903, 792, 650, 483, 297, 100,
+     -100, -297, -483, -650, -792, -903, -980, -1019,
+     -1019, -980, -903, -792, -650, -483, -297, -100,
+     100, 297, 483, 650, 792, 903, 980, 1019),
+    (1013, 926, 759, 526, 249, -50, -345, -610,
+     -822, -964, -1023, -993, -878, -688, -438, -150,
+     150, 438, 688, 878, 993, 1023, 964, 822,
+     610, 345, 50, -249, -526, -759, -926, -1013),
+    (1004, 851, 569, 200, -200, -569, -851, -1004,
+     -1004, -851, -569, -200, 200, 569, 851, 1004,
+     1004, 851, 569, 200, -200, -569, -851, -1004,
+     -1004, -851, -569, -200, 200, 569, 851, 1004),
+    (993, 759, 345, -150, -610, -926, -1023, -878,
+     -526, -50, 438, 822, 1013, 964, 688, 249,
+     -249, -688, -964, -1013, -822, -438, 50, 526,
+     878, 1023, 926, 610, 150, -345, -759, -993),
+    (980, 650, 100, -483, -903, -1019, -792, -297,
+     297, 792, 1019, 903, 483, -100, -650, -980,
+     -980, -650, -100, 483, 903, 1019, 792, 297,
+     -297, -792, -1019, -903, -483, 100, 650, 980),
+    (964, 526, -150, -759, -1023, -822, -249, 438,
+     926, 993, 610, -50, -688, -1013, -878, -345,
+     345, 878, 1013, 688, 50, -610, -993, -926,
+     -438, 249, 822, 1023, 759, 150, -526, -964),
+)
+
+
+def dct_table_sql_values() -> str:
+    """The table above as a SQL VALUES body `(u, x, tv), ...` for
+    embedding in DuckDB oracle CTEs — guaranteed identical numbers."""
+    return ", ".join(
+        f"({u}, {x}, {PHASH_DCT_T[u][x]})"
+        for u in range(8) for x in range(32)
+    )
+
+
+def encode_png(gray: bytes, width: int, height: int) -> bytes:
+    """Minimal grayscale-8 PNG writer (color type 0, filter 0 rows)."""
+    if len(gray) != width * height:
+        raise ValueError("gray buffer does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + gray[y * width:(y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG pixel decode: (width, height, channels, pixels).
+
+    Pixels are row-major interleaved channel bytes (palette images are
+    expanded to RGB through PLTE). Raises ValueError on malformed input
+    and NotImplementedError for the unsupported corners (bit depth != 8,
+    Adam7 interlace) — callers at corpus scale catch both and null the
+    row rather than fail the task (see queries/imagehash.py).
+    """
+    buf = bytes(payload)
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i = 8
+    width = height = None
+    bitdepth = colortype = interlace = None
+    idat = bytearray()
+    plte = b""
+    while i + 8 <= len(buf):
+        (clen,) = struct.unpack(">I", buf[i:i + 4])
+        ctype = buf[i + 4:i + 8]
+        data = buf[i + 8:i + 8 + clen]
+        if len(data) != clen:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    if width is None:
+        raise ValueError("missing IHDR")
+    if bitdepth != 8:
+        raise NotImplementedError(f"bit depth {bitdepth} (only 8)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace")
+    if colortype not in _CHANNELS:
+        raise ValueError(f"bad color type {colortype}")
+    ch = _CHANNELS[colortype]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("pixel data length mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                ul = prev[x - ch] if x >= ch else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    if colortype == 3:  # expand palette indices to RGB
+        if not plte:
+            raise ValueError("palette image without PLTE")
+        rgb = bytearray(width * height * 3)
+        for p, idx in enumerate(out):
+            rgb[p * 3:p * 3 + 3] = plte[idx * 3:idx * 3 + 3]
+        return width, height, 3, bytes(rgb)
+    return width, height, ch, bytes(out)
+
+
+def to_gray(pixels: bytes, channels: int) -> bytes:
+    """Integer BT.601 luma; alpha ignored; gray passthrough."""
+    if channels == 1:
+        return pixels
+    if channels == 2:  # gray + alpha
+        return pixels[::2]
+    out = bytearray(len(pixels) // channels)
+    for p in range(len(out)):
+        o = p * channels
+        out[p] = (
+            77 * pixels[o] + 150 * pixels[o + 1] + 29 * pixels[o + 2]
+        ) >> 8
+    return bytes(out)
+
+
+def box_downscale(gray: bytes, w: int, h: int, ow: int, oh: int) -> bytes:
+    """Exact integer box filter: output cell (oy, ox) is the floor-mean
+    of the input block [oy*h//oh, (oy+1)*h//oh) x [ox*w//ow, ...)."""
+    out = bytearray(ow * oh)
+    for oy in range(oh):
+        y0, y1 = oy * h // oh, (oy + 1) * h // oh
+        y1 = max(y1, y0 + 1)
+        for ox in range(ow):
+            x0, x1 = ox * w // ow, (ox + 1) * w // ow
+            x1 = max(x1, x0 + 1)
+            s = 0
+            for y in range(y0, y1):
+                row = y * w
+                for x in range(x0, x1):
+                    s += gray[row + x]
+            out[oy * ow + ox] = s // ((y1 - y0) * (x1 - x0))
+    return bytes(out)
+
+
+def thumbnail_dims(w: int, h: int, box: int = 64) -> tuple[int, int]:
+    """Aspect-preserving fit inside box x box (never upscales)."""
+    if w <= box and h <= box:
+        return w, h
+    m = max(w, h)
+    return max(1, w * box // m), max(1, h * box // m)
+
+
+def phash_blocks(gray32: bytes) -> list[int]:
+    """Perceptual hash of a 32x32 grayscale raster as 8 8-bit blocks.
+
+    Pure-integer DCT-II (see module docstring); block j packs DCT row
+    u=j with bit v at weight 1 << (7-v); the DC bit (u=v=0) is 0 and DC
+    is excluded from the median.
+    """
+    if len(gray32) != 1024:
+        raise ValueError("phash expects a 32x32 gray raster")
+    T = PHASH_DCT_T
+    # rowdct[y][u] = sum_x g[y][x] * T[u][x]
+    rowdct = [
+        [
+            sum(gray32[y * 32 + x] * T[u][x] for x in range(32))
+            for u in range(8)
+        ]
+        for y in range(32)
+    ]
+    # coeff[u][v] = sum_y rowdct[y][u] * T[v][y]
+    coeff = [
+        [
+            sum(rowdct[y][u] * T[v][y] for y in range(32))
+            for v in range(8)
+        ]
+        for u in range(8)
+    ]
+    vals = sorted(
+        coeff[u][v] for u in range(8) for v in range(8) if (u, v) != (0, 0)
+    )
+    med = vals[31]  # 32nd smallest of 63 = quantile_disc(0.5)
+    blocks = []
+    for u in range(8):
+        bl = 0
+        for v in range(8):
+            if (u, v) != (0, 0) and coeff[u][v] > med:
+                bl |= 1 << (7 - v)
+        blocks.append(bl)
+    return blocks

@@ -468,3 +468,14 @@ def test_q123_substring_dedup_plan(spark, sf_dir):
     assert "CartesianProduct" not in f.text
     assert "BroadcastNestedLoopJoin" not in f.text
     assert "HashAggregate" in f.text
+
+
+def test_q124_image_phash_plan(spark, sf_dir):
+    # pHash near-dup: exactly the two intended Python stages (PNG
+    # render + decode/hash mapInPandas); the LSH bucket expansion and
+    # hamming verify stay JVM-side; no cartesian/nested-loop join.
+    f = facts(QUERIES["q124_image_phash_neardup"](spark, sf_dir))
+    assert f.python_eval_count == 0, "no row-at-a-time Python"
+    assert f.text.count("MapInPandas") >= 2, "render + phash are mapInPandas"
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text

@@ -1,0 +1,211 @@
+"""operators/png.py codec pins: decode is exercised against an
+INDEPENDENT forward-filter encoder written here (all five PNG filter
+types, all supported color types), round-trip properties run under
+hypothesis, and the pHash layer is checked for its structural
+guarantees (bit layout, DC exclusion, locality)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kinesyslog_spark.operators.png import (
+    box_downscale,
+    decode_png,
+    encode_png,
+    phash_blocks,
+    thumbnail_dims,
+    to_gray,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_ref(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def reference_encode(pixels: bytes, w: int, h: int, colortype: int,
+                     filter_type: int, plte: bytes = b"") -> bytes:
+    """Independent encoder: forward-applies the given filter to every
+    scanline (the inverse of what decode_png must undo)."""
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = pixels[y * stride:(y + 1) * stride]
+        raw.append(filter_type)
+        for x in range(stride):
+            left = line[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if filter_type == 0:
+                f = line[x]
+            elif filter_type == 1:
+                f = (line[x] - left) & 0xFF
+            elif filter_type == 2:
+                f = (line[x] - up) & 0xFF
+            elif filter_type == 3:
+                f = (line[x] - ((left + up) >> 1)) & 0xFF
+            else:
+                f = (line[x] - _paeth_ref(left, up, ul)) & 0xFF
+            raw.append(f)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if colortype == 3:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+def _pat(n: int) -> bytes:
+    return bytes((i * 37 + (i * i) % 251) % 256 for i in range(n))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("colortype,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_decode_all_filters_and_colortypes(ftype, colortype, ch):
+    w, h = 7, 5
+    pixels = _pat(w * h * ch)
+    payload = reference_encode(pixels, w, h, colortype, ftype)
+    dw, dh, dch, px = decode_png(payload)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert px == pixels
+
+
+def test_decode_palette_expands_to_rgb():
+    w, h = 4, 3
+    idx = bytes([0, 1, 2, 3] * 3)
+    plte = bytes(range(12))  # 4 RGB entries
+    payload = reference_encode(idx, w, h, 3, 1, plte=plte)
+    dw, dh, dch, px = decode_png(payload)
+    assert (dw, dh, dch) == (w, h, 3)
+    assert px == b"".join(plte[i * 3:i * 3 + 3] for i in idx)
+
+
+def test_decode_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # bit depth 16 -> NotImplementedError
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    buf = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError):
+        decode_png(buf + _chunk(b"IEND", b""))
+    # Adam7 interlace -> NotImplementedError
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    buf = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError):
+        decode_png(buf + _chunk(b"IEND", b""))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40), h=st.integers(1, 40),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_roundtrip_random_gray(w, h, seed):
+    import random
+
+    rnd = random.Random(seed)
+    gray = bytes(rnd.randrange(256) for _ in range(w * h))
+    dw, dh, ch, px = decode_png(encode_png(gray, w, h))
+    assert (dw, dh, ch) == (w, h, 1)
+    assert px == gray
+
+
+def test_to_gray_luma():
+    # (77*R + 150*G + 29*B) >> 8
+    assert to_gray(bytes([255, 0, 0]), 3) == bytes([(77 * 255) >> 8])
+    assert to_gray(bytes([0, 255, 0, 7]), 4) == bytes([(150 * 255) >> 8])
+    assert to_gray(bytes([10, 20]), 2) == bytes([10])  # gray+alpha
+    assert to_gray(b"\x42", 1) == b"\x42"
+
+
+def test_box_downscale_exact():
+    # 4x2 -> 2x1: each cell is the floor-mean of a 2x2 block
+    g = bytes([10, 20, 30, 40,
+               50, 60, 70, 80])
+    assert box_downscale(g, 4, 2, 2, 1) == bytes([35, 55])
+    # identity
+    assert box_downscale(g, 4, 2, 4, 2) == g
+    # upscale-ish (degenerate blocks clamp to >=1 pixel)
+    assert len(box_downscale(g, 4, 2, 8, 4)) == 32
+
+
+def test_thumbnail_dims():
+    assert thumbnail_dims(32, 32) == (32, 32)       # never upscales
+    assert thumbnail_dims(128, 64) == (64, 32)
+    assert thumbnail_dims(64, 128) == (32, 64)
+    assert thumbnail_dims(1000, 10) == (64, 1)  # extreme aspect clamps to 1
+
+
+def test_phash_structure():
+    flat = bytes(1024)
+    b0 = phash_blocks(flat)
+    assert len(b0) == 8 and all(0 <= b <= 255 for b in b0)
+    # flat raster: all non-DC coeffs are 0 == median -> every bit 0
+    assert b0 == [0] * 8
+    with pytest.raises(ValueError):
+        phash_blocks(bytes(100))
+
+
+def test_phash_locality():
+    """Small pixel edits move the hash a little; unrelated rasters are
+    far — the property the near-dup join rides on."""
+    import random
+
+    rnd = random.Random(7)
+    base = bytes(rnd.randrange(256) for _ in range(1024))
+    near = bytearray(base)
+    for _ in range(5):  # perturb 5 of 1024 cells
+        near[rnd.randrange(1024)] = rnd.randrange(256)
+    far = bytes(rnd.randrange(256) for _ in range(1024))
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    hb, hn, hf = phash_blocks(base), phash_blocks(bytes(near)), phash_blocks(far)
+    assert ham(hb, hn) <= 8
+    assert ham(hb, hf) > 8
+
+
+def test_resize_batches_png_real_pixels():
+    """The q61 operator's PNG branch digests REAL downscaled pixels."""
+    import hashlib
+
+    import pandas as pd
+
+    from kinesyslog_spark.operators.multimodal import resize_batches
+
+    gray = _pat(128 * 96)
+    payload = encode_png(gray, 128, 96)
+    [out] = list(resize_batches(iter([
+        pd.DataFrame({"doc_id": [1], "payload": [payload]})
+    ])))
+    row = out.iloc[0]
+    assert (row.out_w, row.out_h) == (64, 48)
+    expect = hashlib.md5(box_downscale(gray, 128, 96, 64, 48)).hexdigest()
+    assert row.thumb_md5 == expect
+
+
+def test_q124_registry(spark, sf_dir):
+    from kinesyslog_spark.queries import QUERIES
+
+    rows = QUERIES["q124_image_phash_neardup"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 7
