@@ -63,3 +63,42 @@ def get_spark(app_name: str = "kinesyslog_spark", cpus: str | int | None = None,
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# --- streaming state store -------------------------------------------------
+#
+# The default (HDFS-backed) state store keeps every key in executor heap —
+# fine for the replay tests, a bottleneck at 100 TB where a stateful op's
+# working set (W5 chunk groups, W9 LSH buckets, W14 heavy-hitter partials,
+# W17 SCD2 current rows, W19 debounce keys) exceeds memory. RocksDB spills
+# state to local SSD with bounded block-cache memory, and changelog
+# checkpointing uploads per-batch deltas instead of full snapshots — the
+# production configuration for large-state streaming. rocksdbjni ships in
+# the Spark distribution, so this is a conf flip, not a dependency.
+
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+}
+
+
+def enable_rocksdb_state(spark: SparkSession) -> None:
+    """Switch stateful streaming queries started AFTER this call to the
+    RocksDB state store (the conf is read at query start; running
+    queries keep their provider — never flip providers across restarts
+    of the same checkpoint)."""
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+
+
+def disable_rocksdb_state(spark: SparkSession) -> None:
+    """Revert to the default HDFS-backed provider for new queries."""
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )

@@ -1,0 +1,102 @@
+"""RocksDB state store: the W9 stateful near-dup flow runs green on the
+RocksDB provider (the 100 TB configuration — state on local SSD with
+changelog checkpointing, not executor heap), verified both by results
+and by the provider's own metrics in the query progress."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from kinesyslog_spark.session import (
+    ROCKSDB_STATE_CONF,
+    disable_rocksdb_state,
+    enable_rocksdb_state,
+)
+from kinesyslog_spark.streaming.dedup import streaming_neardup
+
+WORDS = ("spark join window vector table scan merge part batch stream "
+         "hash filter order group sort value query row data line").split()
+
+
+def _text(perturb: int | None = None) -> str:
+    toks = list(WORDS) * 2
+    if perturb is not None:
+        toks[perturb] = f"zz{perturb}"
+    return " ".join(toks)
+
+
+def _write_json(path, rows):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, path)
+
+
+def test_w9_neardup_on_rocksdb_state(spark, tmp_path):
+    in_dir = str(tmp_path / "docs")
+    os.makedirs(in_dir)
+    _write_json(os.path.join(in_dir, "b1.json"), [
+        {"doc_id": 1, "text": _text()},
+    ])
+    docs = spark.readStream.schema("doc_id long, text string").json(in_dir)
+    enable_rocksdb_state(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_STATE_CONF[
+                "spark.sql.streaming.stateStore.providerClass"
+            ]
+        )
+        q = (
+            streaming_neardup(docs)
+            .writeStream.format("memory")
+            .queryName("rocksdb_neardup_sink")
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline and not q.lastProgress:
+                time.sleep(0.5)
+            _write_json(os.path.join(in_dir, "b2.json"), [
+                {"doc_id": 3, "text": _text(perturb=5)},
+            ])
+
+            def rows():
+                return {
+                    (r["doc_id"], r["dup_of"])
+                    for r in spark.sql(
+                        "SELECT * FROM rocksdb_neardup_sink"
+                    ).collect()
+                }
+
+            while time.time() < deadline and (3, 1) not in rows():
+                time.sleep(0.5)
+            assert (3, 1) in rows(), "cross-batch near-dup missed on RocksDB"
+
+            # the state operator must actually be running on RocksDB:
+            # its customMetrics namespace only exists on that provider
+            prog = q.lastProgress
+            ops = prog["stateOperators"]
+            assert ops, f"no state operators in progress: {prog}"
+            metrics = ops[0].get("customMetrics", {})
+            assert any(k.startswith("rocksdb") for k in metrics), (
+                f"expected rocksdb* metrics, got {sorted(metrics)}"
+            )
+        finally:
+            q.stop()
+    finally:
+        disable_rocksdb_state(spark)
+    # reverted for subsequent tests in the shared session
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        != ROCKSDB_STATE_CONF[
+            "spark.sql.streaming.stateStore.providerClass"
+        ]
+    )
