@@ -160,3 +160,94 @@ def test_salted_join_equivalence_and_spread(spark):
         .count()
     )
     assert spread == 8, "hot key must occupy every salt bucket"
+
+
+def _skewed_frames(spark, n_rows=60_000, n_keys=300):
+    """Big side with ~50% of rows on ONE hot key (150x the average),
+    small side one row per key."""
+    big = spark.range(n_rows).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.col("id") % n_keys).alias("k"),
+        F.col("id").alias("rid"),
+    )
+    small = spark.range(n_keys).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    return big, small
+
+
+def test_salted_join_identical_results_and_balanced_shuffle(spark):
+    """The deliberately hot key (150x skew) makes one naive shuffle
+    partition the straggler; salting spreads it across the salt space
+    with IDENTICAL join output — the 100 TB mitigation, demonstrated."""
+    from kinesyslog_spark.operators.skew import salt_column, salted_join
+
+    big, small = _skewed_frames(spark)
+    naive = big.join(small, "k")
+    salted = salted_join(big, small, on=["k"], big_salt_cols=["rid"],
+                         n_salt=16)
+
+    # identical results (count + order-insensitive checksum)
+    agg = lambda df: df.agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.sum(F.col("rid") * F.col("v")).alias("chk"),
+    ).collect()[0]
+    rn, rs = agg(naive), agg(salted)
+    assert (rn.n, rn.chk) == (rs.n, rs.chk)
+
+    # straggler math: per-(join-key) load vs per-(join-key, salt) load.
+    # The naive shuffle hashes on k alone -> the hot key's whole 30k rows
+    # land in one task; salting splits them ~uniformly over 16 subkeys.
+    naive_max = (
+        big.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+    )
+    salted_loads = (
+        big.withColumn("_s", salt_column(["rid"], 16))
+        .groupBy("k", "_s").count()
+        .agg(F.max("count").alias("mx")).collect()[0].mx
+    )
+    assert naive_max >= 30_000  # the planted hot key
+    assert salted_loads < naive_max / 8, (
+        f"salt failed to spread the hot key: {salted_loads} vs {naive_max}"
+    )
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """With broadcast disabled (both sides 'big'), AQE's skew-join
+    handling must split the hot partition at runtime — the executed
+    plan carries the skew=true marker and results stay correct."""
+    big, small = _skewed_frames(spark)
+    # inflate the small side so Spark can't broadcast its way out, and
+    # lower AQE's skew thresholds so test-sized data trips them
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pad = F.concat_ws("", F.array_repeat(F.lit("x"), 64)).alias("pad")
+        joined = (
+            big.select("k", "rid", pad)
+            .join(small.select("k", "v", pad), "k")
+        )
+        # execute THIS frame (count() would build a separate plan whose
+        # AQE result we couldn't inspect), then read its final plan
+        n = len(joined.collect())
+        assert n == big.count()  # every big row matches exactly one key
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, (
+            "AQE did not split the skewed join:\n" + final[:2000]
+        )
+        assert "skewed" in final  # the AQEShuffleRead split marker
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
