@@ -255,6 +255,73 @@ def read_spool(spark, spool_dir: str) -> DataFrame:
     return raw.select("content").mapInPandas(decode, schema=ENVELOPE_SCHEMA)
 
 
+def s3_read_spool(
+    spark,
+    bucket: str,
+    prefix: str,
+    client_factory=None,
+    list_page_size: int | None = None,
+) -> DataFrame:
+    """S5's object-store path through an S3 API client instead of the
+    Hadoop filesystem: list keys on the driver, fetch + decode on the
+    executors.
+
+    `client_factory` is a zero-arg callable returning a boto3-style
+    client (`list_objects_v2` with ContinuationToken pagination,
+    `get_object(...)["Body"].read()`); it defaults to
+    `boto3.client("s3")` (import-gated — boto3 is absent in this
+    container, so tests inject a fake). The factory, not a client, is
+    what ships to executors: each Python worker builds its own
+    connection, the standard pattern for non-picklable clients. The
+    listing is driver-side but O(keys) METADATA only — the blobs
+    themselves are fetched in parallel by `mapInPandas` over the
+    key table, one task per key batch.
+
+    Reference parity: utils/kinesis-s3-dump.py:41-49 (bucket listing +
+    per-object multi-member gzip decode); same decode loop as
+    `read_spool` (`iter_record_parts`).
+    """
+    if client_factory is None:
+        def client_factory():  # pragma: no cover - needs boto3
+            import boto3
+
+            return boto3.client("s3")
+
+    client = client_factory()
+    keys: list[str] = []
+    token = None
+    while True:
+        kw = {"Bucket": bucket, "Prefix": prefix}
+        if list_page_size is not None:
+            kw["MaxKeys"] = list_page_size
+        if token:
+            kw["ContinuationToken"] = token
+        resp = client.list_objects_v2(**kw)
+        keys.extend(o["Key"] for o in resp.get("Contents", []))
+        if not resp.get("IsTruncated"):
+            break
+        token = resp.get("NextContinuationToken")
+
+    par = max(1, min(len(keys), spark.sparkContext.defaultParallelism))
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string").repartition(par)
+
+    def fetch(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = client_factory()  # one client per Python worker
+        cols = [
+            "owner", "logGroup", "logStream",
+            "subscriptionFilters", "messageType", "logEvents",
+        ]
+        for pdf in pdfs:
+            rows = []
+            for k in pdf["key"]:
+                blob = c.get_object(Bucket=bucket, Key=k)["Body"].read()
+                for rec in iter_record_parts(blob):
+                    rows.append({col: rec[col] for col in cols})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return kdf.mapInPandas(fetch, schema=ENVELOPE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # K2 — greedy upload batch packing (spool.py:157-178), for the uploader
 # ---------------------------------------------------------------------------
