@@ -156,3 +156,102 @@ def q123_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q125 — APPLY the ExactSubstr spans: cut every duplicated span from the
+# token stream and return the cleaned document (Lee et al.'s actual
+# dedup step — q123 finds the ranges, q125 performs the removal; the
+# paper cuts every occurrence, which in practice leaves the surrounding
+# unique text to carry the content).
+#
+# Spark shape: q123's spans are re-grouped to one array per doc and the
+# cut happens entirely in array expressions — filter over a position
+# sequence with a nested-lambda span test, no token explosion, no
+# per-position join. Docs without spans pass through whole (left join).
+# The cleaned text is returned as token count + md5 (the driver's
+# compare needs a bounded deterministic column, not a 2 KB string).
+# ---------------------------------------------------------------------------
+
+
+def _q125_oracle() -> str:
+    return f"""
+    WITH spans AS (
+      SELECT * FROM ({_q123_oracle()})
+    ), tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      FROM documents
+    ), spl AS (
+      SELECT doc_id,
+             list(struct_pack(s := span_start, e := span_end)) AS sp
+      FROM spans GROUP BY doc_id
+    ), j AS (
+      SELECT tk.doc_id, tk.ts,
+             COALESCE(spl.sp,
+                      CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sp
+      FROM tk LEFT JOIN spl ON spl.doc_id = tk.doc_id
+    ), k AS (
+      SELECT doc_id, ts,
+             list_transform(
+               list_filter(range(0, len(ts)),
+                 i -> len(list_filter(sp,
+                        p -> i >= p.s AND i < p.e)) = 0),
+               i -> ts[i + 1]) AS kept
+      FROM j
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(ts) - len(kept) AS BIGINT) AS dup_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS kept_md5
+    FROM k ORDER BY doc_id
+    """
+
+
+@query("q125_substring_dedup_apply", oracle=_q125_oracle())
+def q125_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.operators.text import tokens
+
+    docs = hot_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    spl = (
+        duplicated_spans(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("sp")
+        )
+    )
+    joined = toks.join(spl, "doc_id", "left").withColumn(
+        "sp",
+        F.coalesce(
+            F.col("sp"),
+            F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)"),
+        ),
+    )
+    kept = F.expr(
+        "transform("
+        "  filter(sequence(0, size(ts) - 1),"
+        "         i -> NOT exists(sp, p -> i >= p.s AND i < p.e)),"
+        "  i -> element_at(ts, i + 1))"
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.size("ts").cast("long").alias("n_tokens"),
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("kept")).cast("long")
+            .alias("dup_tokens"),
+            F.size("kept").cast("long").alias("kept_tokens"),
+            F.md5(F.array_join("kept", " ")).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

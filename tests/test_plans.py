@@ -479,3 +479,12 @@ def test_q124_image_phash_plan(spark, sf_dir):
     assert f.text.count("MapInPandas") >= 2, "render + phash are mapInPandas"
     assert "CartesianProduct" not in f.text
     assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_q125_apply_plan(spark, sf_dir):
+    # span application is pure array expressions: JVM-side, no token
+    # explosion join, no cartesian
+    f = facts(QUERIES["q125_substring_dedup_apply"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text

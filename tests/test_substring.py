@@ -106,3 +106,18 @@ def test_q123_registry_shape(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
             assert s2 > e1
+
+
+def test_q125_consistent_with_q123(spark, sf_dir):
+    spans = QUERIES["q123_substring_dedup"](spark, sf_dir).collect()
+    dup_by_doc: dict[int, int] = {}
+    for r in spans:
+        dup_by_doc[r.doc_id] = dup_by_doc.get(r.doc_id, 0) + r.span_tokens
+    rows = QUERIES["q125_substring_dedup_apply"](spark, sf_dir).collect()
+    assert rows
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    for r in rows:
+        assert r.dup_tokens == dup_by_doc.get(r.doc_id, 0)
+        assert r.kept_tokens + r.dup_tokens == r.n_tokens
+        if r.kept_tokens == 0:
+            assert r.kept_md5 == empty_md5
