@@ -488,3 +488,13 @@ def test_q125_apply_plan(spark, sf_dir):
     assert f.python_eval_count == 0
     assert "CartesianProduct" not in f.text
     assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_q126_audio_features_plan(spark, sf_dir):
+    # render + featurize are the two intended mapInPandas stages;
+    # map-only otherwise (exchanges: the input spread + final sort)
+    f = facts(QUERIES["q126_audio_features"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.text.count("MapInPandas") >= 2
+    assert "CartesianProduct" not in f.text
+    assert f.exchange_count <= 2

@@ -1,0 +1,106 @@
+"""operators/wav.py PCM codec pins: decode against independently
+hand-built RIFF bytes, hypothesis roundtrips, exact feature values on
+known waveforms, and the q126 registry surface."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kinesyslog_spark.operators.wav import (
+    audio_features,
+    decode_wav_samples,
+    encode_wav,
+)
+
+
+def _riff(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = b"WAVE"
+    for cid, data in chunks:
+        body += cid + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"  # word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_handbuilt_stereo16():
+    # independent construction: 2ch 16-bit, 3 frames, interleaved LE
+    frames = struct.pack("<6h", 100, -100, 200, -200, 300, -300)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    payload = _riff([(b"fmt ", fmt), (b"data", frames)])
+    rate, bits, chans = decode_wav_samples(payload)
+    assert (rate, bits) == (44100, 16)
+    assert chans == [[100, 200, 300], [-100, -200, -300]]
+
+
+def test_decode_8bit_centering():
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    payload = _riff([(b"fmt ", fmt), (b"data", bytes([128, 255, 0, 130]))])
+    rate, bits, chans = decode_wav_samples(payload)
+    assert (rate, bits) == (8000, 8)
+    assert chans == [[0, 127, -128, 2]]
+
+
+def test_decode_rejects_non_pcm_and_malformed():
+    fmt_float = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(_riff([(b"fmt ", fmt_float), (b"data", b"")]))
+    with pytest.raises(ValueError):
+        decode_wav_samples(b"not riff at all")
+    with pytest.raises(ValueError):
+        decode_wav_samples(_riff([(b"data", b"\x00\x00")]))  # no fmt
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 50),
+    ch=st.integers(1, 3),
+    bits=st.sampled_from([8, 16]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_random(n, ch, bits, seed):
+    import random
+
+    rnd = random.Random(seed)
+    lo, hi = (0, 255) if bits == 8 else (-32768, 32767)
+    chans = [[rnd.randint(lo, hi) for _ in range(n)] for _ in range(ch)]
+    rate, dbits, got = decode_wav_samples(encode_wav(chans, 16000, bits))
+    assert (rate, dbits) == (16000, bits)
+    expect = ([[v - 128 for v in c] for c in chans] if bits == 8
+              else chans)
+    assert got == expect
+
+
+def test_features_known_square_wave():
+    # +500/-500 alternating, 8 samples: zc = 7, peak = 500,
+    # sum_sq = 8 * 250000, rms = 500 exactly
+    mono = [500, -500] * 4
+    f = audio_features(encode_wav([mono], 8000))
+    assert f["n_samples"] == 8 and f["peak"] == 500
+    assert f["sum_sq"] == 8 * 250_000
+    assert f["rms"] == 500.0
+    assert f["zero_crossings"] == 7
+
+
+def test_features_zero_samples_carry_sign():
+    # 5, 0, -5: one crossing (zero carries the previous +); 0-lead
+    # samples establish no sign
+    f = audio_features(encode_wav([[0, 5, 0, -5, 0, 5]], 8000))
+    assert f["zero_crossings"] == 2
+    assert f["peak"] == 5
+    assert f["rms"] == round(math.sqrt((25 * 3) / 6), 4)
+
+
+def test_q126_registry(spark, sf_dir):
+    from kinesyslog_spark.queries import QUERIES
+
+    rows = QUERIES["q126_audio_features"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_samples > 0 and r.peak > 0
+        assert r.rms > 0 and r.sum_sq > 0
+        assert 0 <= r.zero_crossings < r.n_samples
