@@ -281,16 +281,18 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     -> one row per image with the downsampled dims and a digest of the
     thumbnail bytes.
 
-    PNG payloads take the REAL pixel path (operators/png.py: zero-dep
-    decode -> integer luma -> aspect-preserving box downscale into
-    64x64; thumb_md5 digests the actual downscaled gray pixels).
-    Everything else keeps the deterministic stub (thumb = first
-    THUMB_BYTES of the payload; dims = fake_decode_meta dims clamped to
-    64) behind the documented JPEG/GIF codec seam. Either way the batch
-    shape — 1 row in, 1 row out, bounded memory per Arrow batch — is
-    exactly what a PIL `Image.thumbnail` implementation drops into."""
+    PNG and GIF payloads take the REAL pixel path (operators/png.py /
+    operators/gif.py: zero-dep decode -> integer luma ->
+    aspect-preserving box downscale into 64x64; thumb_md5 digests the
+    actual downscaled gray pixels). Everything else keeps the
+    deterministic stub (thumb = first THUMB_BYTES of the payload; dims
+    = fake_decode_meta dims clamped to 64) behind the documented JPEG
+    codec seam. Either way the batch shape — 1 row in, 1 row out,
+    bounded memory per Arrow batch — is exactly what a PIL
+    `Image.thumbnail` implementation drops into."""
     import hashlib
 
+    from kinesyslog_spark.operators.gif import decode_gif
     from kinesyslog_spark.operators.png import (
         box_downscale,
         decode_png,
@@ -302,9 +304,14 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for p, d in zip(pdf["payload"], pdf["doc_id"]):
             raw = bytes(p)
-            if raw[:8] == _PNG_SIG:
+            decoder = (
+                decode_png if raw[:8] == _PNG_SIG
+                else decode_gif if raw[:6] in (b"GIF87a", b"GIF89a")
+                else None
+            )
+            if decoder is not None:
                 try:
-                    w, h, ch, px = decode_png(raw)
+                    w, h, ch, px = decoder(raw)
                     gray = to_gray(px, ch)
                     ow, oh = thumbnail_dims(w, h, 64)
                     thumb = (
@@ -319,7 +326,7 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     })
                     continue
                 except (ValueError, NotImplementedError):
-                    pass  # malformed/unsupported PNG: fall through to stub
+                    pass  # malformed/unsupported: fall through to stub
             meta = fake_decode_meta(raw, d)
             rows.append({
                 "doc_id": d,
