@@ -8,11 +8,14 @@ adds NO new semantics, only composition + storage):
 2. DEDUP   — q40's MinHash-LSH connected components; each near-dup
    cluster keeps its best-q31-quality member (q107's survivor rule,
    tie-break min doc_id).
-3. WEIGHT  — q103's DSIR importance weight attached per document
+3. CUT     — q125's ExactSubstr application: duplicated >= k-token
+   spans removed inside the survivors (`clean_text` column; Lee et
+   al.'s NearDup + ExactSubstr recipe, both halves).
+4. WEIGHT  — q103's DSIR importance weight attached per document
    (downstream mixture sampling reads it off the artifact).
-4. SHARD   — q84's curriculum order (token-count proxy, unique
+5. SHARD   — q84's curriculum order (token-count proxy, unique
    tie-break) dealt into N contiguous shards via NTILE.
-5. WRITE   — shard-partitioned parquet via the dynamic-overwrite sink
+6. WRITE   — shard-partitioned parquet via the dynamic-overwrite sink
    (sinks/partitioned.py), sorted by doc_id within shards.
 
 Scale notes: every stage is the already-plan-guarded distributed form
@@ -35,6 +38,7 @@ from pyspark.sql.window import Window
 from kinesyslog_spark.queries.cluster import q40_dedup_clusters
 from kinesyslog_spark.queries.dsir import q103_dsir_weights
 from kinesyslog_spark.queries.llm import q31_quality_score
+from kinesyslog_spark.queries.substring import cut_spans
 from kinesyslog_spark.queries.verdict import q71_filter_pipeline
 from kinesyslog_spark.sinks.partitioned import write_partitioned
 from kinesyslog_spark.tables import hot_table, hot_tokens
@@ -73,13 +77,29 @@ def run_pipeline(
         .join(drops, "doc_id", "left_anti")
     )
 
-    # 3. DSIR importance weight (q103) on the artifact
+    # 3. ExactSubstr cut (q125's operator): remove duplicated >= k-token
+    # spans INSIDE the surviving documents — Lee et al.'s full recipe is
+    # NearDup across docs (stage 2) + ExactSubstr within what remains.
+    # clean_text carries the cut token stream; text stays for provenance.
+    cut = cut_spans(docs).select(
+        "doc_id",
+        F.array_join("kept", " ").alias("clean_text"),
+        (F.col("n_tokens") - F.size("kept")).cast("long")
+        .alias("dup_tokens_cut"),
+    )
+    kept = kept.join(cut, "doc_id", "left").withColumn(
+        "clean_text", F.coalesce("clean_text", F.col("text"))
+    ).withColumn(
+        "dup_tokens_cut", F.coalesce("dup_tokens_cut", F.lit(0))
+    )
+
+    # 4. DSIR importance weight (q103) on the artifact
     weights = q103_dsir_weights(spark, sf_dir).select("doc_id", "dsir_weight")
     kept = kept.join(weights, "doc_id", "left").withColumn(
         "dsir_weight", F.coalesce("dsir_weight", F.lit(0.0))
     )
 
-    # 4. curriculum shard assignment (q84's order)
+    # 5. curriculum shard assignment (q84's order)
     toks = hot_tokens(spark, sf_dir).select("doc_id", F.size("toks").alias("n_tokens"))
     sharded = (
         kept.join(toks, "doc_id", "left")
@@ -90,16 +110,20 @@ def run_pipeline(
         )
     )
 
-    # 5. shard-partitioned artifact
+    # 6. shard-partitioned artifact
     write_partitioned(sharded, out_dir, ["shard"], sort_within=["doc_id"])
 
     n_kept = kept.count()
     n_dropped_dup = drops.count()
+    n_tokens_cut = int(
+        sharded.agg(F.sum("dup_tokens_cut")).collect()[0][0] or 0
+    )
     return {
         "n_total": n_total,
         "n_filtered_out": n_total - verdict.filter(F.col("keep") == 1).count(),
         "n_dropped_dup": n_dropped_dup,
         "n_kept": n_kept,
+        "n_tokens_cut": n_tokens_cut,
         "n_shards": n_shards,
         "out_dir": out_dir,
     }

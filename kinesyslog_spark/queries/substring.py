@@ -208,14 +208,20 @@ def _q125_oracle() -> str:
     """
 
 
-@query("q125_substring_dedup_apply", oracle=_q125_oracle())
-def q125_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cut_spans(docs: DataFrame, k: int = SUBSTR_K,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """q123's spans APPLIED: (doc_id, n_tokens, kept array<string>) with
+    every duplicated >= k-token range removed from the token stream.
+    Pure array expressions — no token explosion, no per-position join;
+    docs without spans pass through whole."""
     from kinesyslog_spark.operators.text import tokens
 
-    docs = hot_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
+    )
     spl = (
-        duplicated_spans(docs)
+        duplicated_spans(docs, k=k, id_col=id_col, text_col=text_col)
         .groupBy("doc_id")
         .agg(
             F.collect_list(
@@ -239,12 +245,18 @@ def q125_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         i -> NOT exists(sp, p -> i >= p.s AND i < p.e)),"
         "  i -> element_at(ts, i + 1))"
     )
+    return joined.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        kept.alias("kept"),
+    )
+
+
+@query("q125_substring_dedup_apply", oracle=_q125_oracle())
+def q125_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = hot_table(spark, sf_dir, "documents")
     return (
-        joined.select(
-            "doc_id",
-            F.size("ts").cast("long").alias("n_tokens"),
-            kept.alias("kept"),
-        )
+        cut_spans(docs)
         .select(
             "doc_id",
             "n_tokens",

@@ -85,3 +85,27 @@ def test_explain_cli(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "# executed-plan:" in out
     assert main(["explain", "nope", "--sf-dir", sf_dir]) == 2
+
+
+def test_pipeline_exactsubstr_cut_stage(spark, sf_dir, tmp_path):
+    """The artifact carries clean_text with q125's spans removed and the
+    cut totals agree with the q125 operator on the kept set."""
+    out = str(tmp_path / "corpus_cut")
+    stats = run_pipeline(spark, sf_dir, out, n_shards=2)
+    table = read_partitioned(spark, out)
+    rows = table.select("doc_id", "text", "clean_text",
+                        "dup_tokens_cut").collect()
+    assert rows and stats["n_tokens_cut"] >= 0
+    q125 = {
+        r.doc_id: (r.dup_tokens, r.kept_tokens)
+        for r in QUERIES["q125_substring_dedup_apply"](spark, sf_dir).collect()
+    }
+    total_cut = 0
+    for r in rows:
+        dup, kept_n = q125[r.doc_id]
+        assert r.dup_tokens_cut == dup
+        assert len(r.clean_text.split()) == (kept_n if kept_n else 0) or (
+            r.clean_text == "" and kept_n == 0
+        )
+        total_cut += r.dup_tokens_cut
+    assert stats["n_tokens_cut"] == total_cut
