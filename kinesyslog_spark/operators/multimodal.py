@@ -281,18 +281,19 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     -> one row per image with the downsampled dims and a digest of the
     thumbnail bytes.
 
-    PNG and GIF payloads take the REAL pixel path (operators/png.py /
-    operators/gif.py: zero-dep decode -> integer luma ->
-    aspect-preserving box downscale into 64x64; thumb_md5 digests the
-    actual downscaled gray pixels). Everything else keeps the
-    deterministic stub (thumb = first THUMB_BYTES of the payload; dims
-    = fake_decode_meta dims clamped to 64) behind the documented JPEG
-    codec seam. Either way the batch shape — 1 row in, 1 row out,
-    bounded memory per Arrow batch — is exactly what a PIL
-    `Image.thumbnail` implementation drops into."""
+    PNG, GIF, and baseline-JPEG payloads take the REAL pixel path
+    (operators/png.py / gif.py / jpeg.py: zero-dep decode -> integer
+    luma -> aspect-preserving box downscale into 64x64; thumb_md5
+    digests the actual downscaled gray pixels). Everything else keeps
+    the deterministic stub (thumb = first THUMB_BYTES of the payload;
+    dims = fake_decode_meta dims clamped to 64) behind the remaining
+    codec seam (progressive JPEG, exotic formats). Either way the batch
+    shape — 1 row in, 1 row out, bounded memory per Arrow batch — is
+    exactly what a PIL `Image.thumbnail` implementation drops into."""
     import hashlib
 
     from kinesyslog_spark.operators.gif import decode_gif
+    from kinesyslog_spark.operators.jpeg import decode_jpeg
     from kinesyslog_spark.operators.png import (
         box_downscale,
         decode_png,
@@ -307,6 +308,7 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             decoder = (
                 decode_png if raw[:8] == _PNG_SIG
                 else decode_gif if raw[:6] in (b"GIF87a", b"GIF89a")
+                else decode_jpeg if raw[:2] == b"\xff\xd8"
                 else None
             )
             if decoder is not None:
