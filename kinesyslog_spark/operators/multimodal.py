@@ -118,10 +118,23 @@ def parse_audio_header(payload: bytes) -> dict | None:
 def parse_video_header(payload: bytes) -> dict | None:
     """(codec/container brand, duration_s) from raw video bytes —
     ISO-BMFF (MP4) box walk reading ftyp major_brand and moov/mvhd
-    timescale+duration; Matroska sniffed by EBML magic. Zero deps."""
+    timescale+duration; RIFF/AVI via the avih header (real frame
+    counts); Matroska sniffed by EBML magic. Zero deps."""
     buf = bytes(payload)
     if buf[:4] == b"\x1a\x45\xdf\xa3":  # EBML → Matroska/WebM
         return {"codec": "matroska", "brand": None, "duration_s": None}
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        from kinesyslog_spark.operators.avi import parse_avi
+
+        try:
+            meta = parse_avi(buf)
+        except ValueError:
+            return None
+        return {
+            "codec": meta["codec"] or "avi",
+            "brand": "avi",
+            "duration_s": meta["duration_s"],
+        }
     if len(buf) < 12 or buf[4:8] != b"ftyp":
         return None
     brand = buf[8:12].decode("latin-1")
@@ -339,18 +352,41 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "thumb_md5"])
 
 
+MJPEG_SAMPLE_FRAMES = 4  # frames sampled per video on the real path
+
+
 def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body for video frame sampling: (doc_id, payload) ->
-    N rows per video (the 1-to-N fan-out shape). The stub samples
-    k = n_bytes % 4 + 1 evenly-spaced FRAME_SLICE-byte windows standing
-    in for decoded frames; a pyav implementation replaces the slicing
-    with `container.decode(video=0)` at the same sample positions."""
+    N rows per video (the 1-to-N fan-out shape).
+
+    MJPEG AVI payloads take the REAL path (operators/avi.py +
+    operators/jpeg.py): up to MJPEG_SAMPLE_FRAMES evenly spaced frames
+    are container-extracted and pixel-decoded; frame_md5 digests the
+    DECODED pixels (any codec bug changes the digest). Other payloads
+    keep the stub (k = n_bytes % 4 + 1 evenly-spaced FRAME_SLICE-byte
+    windows); a pyav implementation replaces that slicing for
+    inter-frame codecs at the same sample positions."""
     import hashlib
+
+    from kinesyslog_spark.operators.avi import extract_frames
 
     for pdf in batches:
         rows = []
         for p, d in zip(pdf["payload"], pdf["doc_id"]):
             raw = bytes(p)
+            if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                try:
+                    for j, (_idx, _w, _h, px) in enumerate(
+                        extract_frames(raw, MJPEG_SAMPLE_FRAMES)
+                    ):
+                        rows.append({
+                            "doc_id": d,
+                            "frame_idx": j,
+                            "frame_md5": hashlib.md5(px).hexdigest(),
+                        })
+                    continue
+                except (ValueError, NotImplementedError):
+                    pass  # malformed/non-MJPEG: fall through to stub
             n = len(raw)
             k = n % 4 + 1
             step = max(n // k, 1)
