@@ -71,3 +71,4 @@ from kinesyslog_spark.queries import stats_ext  # noqa: E402,F401
 from kinesyslog_spark.queries import substring  # noqa: E402,F401
 from kinesyslog_spark.queries import imagehash  # noqa: E402,F401
 from kinesyslog_spark.queries import audio  # noqa: E402,F401
+from kinesyslog_spark.queries import curation  # noqa: E402,F401

@@ -1,0 +1,276 @@
+"""Corpus-curation statistics: Gopher repetition signals (q127),
+cross-source vocabulary overlap (q128), and the token frequency
+spectrum with Good-Turing re-estimates (q129).
+
+q127 — per-document duplicate-n-gram fractions, the Gopher
+("Scaling Language Models", Rae et al. 2021, §A1.1) repetition
+filters: a document whose most-common 2-gram covers too much of the
+text, or whose 3-gram stream is mostly duplicates, is boilerplate or
+spam and gets dropped before training. All three signals are exact
+rationals over integer gram counts (identical division both engines).
+
+q128 — pairwise vocabulary Jaccard between corpus sources: the
+overlap matrix a curation pipeline builds to spot mirrored / scraped-
+twice sources before mixture weighting. Distinct (source, word) pairs
+joined on word, so the expansion per word is bounded by #sources², and
+set sizes join back from a #sources-row broadcast.
+
+q129 — frequency-of-frequencies N_r ("how many tokens occur exactly
+r times") plus the Good-Turing smoothed count r* = (r+1)·N_{r+1}/N_r —
+the spectrum that drives unseen-mass estimates and tokenizer vocab
+sizing. Every column is an exact integer or an exact rational of
+integers.
+
+Scale notes: q127 shuffles once on (doc_id, n, gram) then once on
+doc_id — both keys are high-cardinality and unskewed. q128's word-join
+fans out at most #sources rows per side per word (a per-word cap, not
+a corpus cap); at 100 TB with thousands of sources you'd pre-aggregate
+`(word, source_bitmap)` instead, which is the same single shuffle.
+q129 is two cascaded map-side-combinable aggregations whose second
+input (distinct frequencies) is tiny by Zipf's law.
+
+Reference parity: north-star extensions (no reference analog — the
+reference is a syslog relay, kinesyslog/message.py, with no corpus
+analytics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.tables import hot_table, hot_tokens
+
+# DuckDB-side canonical tokenizer (identical stream to operators.text.tokens).
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """All word n-grams of a token array as space-joined strings.
+
+    JVM-side: sequence + slice + concat_ws — no Python eval. Callers
+    must guarantee size(toks) >= n (F.sequence(0, negative) would
+    generate a DESCENDING sequence, not an empty one)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q127 — Gopher repetition signals (duplicate n-gram fractions per doc)
+# ---------------------------------------------------------------------------
+
+_Q127_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_TOK} AS ws FROM documents
+  WHERE len({_TOK}) >= 3
+), g AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i+1])) AS gram
+  FROM w
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+  FROM w
+), c AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3
+), d AS (
+  SELECT doc_id, n,
+         CAST(SUM(c) AS BIGINT) AS tot,
+         CAST(MAX(c) AS BIGINT) AS mx,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM c GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(MAX(CASE WHEN n = 2 THEN tot END) AS BIGINT) AS n_grams2,
+       ROUND(MAX(CASE WHEN n = 2 THEN mx END)
+             / CAST(MAX(CASE WHEN n = 2 THEN tot END) AS DOUBLE), 4)
+         AS top2_share,
+       ROUND(MAX(CASE WHEN n = 2 THEN dup END)
+             / CAST(MAX(CASE WHEN n = 2 THEN tot END) AS DOUBLE), 4)
+         AS dup2_frac,
+       ROUND(MAX(CASE WHEN n = 3 THEN dup END)
+             / CAST(MAX(CASE WHEN n = 3 THEN tot END) AS DOUBLE), 4)
+         AS dup3_frac
+FROM d GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("q127_gopher_repetition", oracle=_Q127_ORACLE)
+def q127_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-gram stats: share of the most common 2-gram,
+    and the fraction of 2-/3-gram positions whose gram occurs more
+    than once in the same document. One (doc_id, n, gram) shuffle,
+    one doc_id shuffle, conditional-agg pivot — no joins."""
+    toks = hot_tokens(spark, sf_dir).filter(F.size("toks") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(2).alias("n"), _grams(F.col("toks"), 2).alias("gs")),
+                F.struct(F.lit(3).alias("n"), _grams(F.col("toks"), 3).alias("gs")),
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.n").alias("n"), F.explode("e.gs").alias("gram"))
+    c = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    d = c.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("tot"),
+        F.max("c").alias("mx"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+    )
+
+    def _only(n: int, col: str) -> Column:
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            _only(2, "tot").alias("n_grams2"),
+            F.round(_only(2, "mx") / _only(2, "tot").cast("double"), 4).alias(
+                "top2_share"
+            ),
+            F.round(_only(2, "dup") / _only(2, "tot").cast("double"), 4).alias(
+                "dup2_frac"
+            ),
+            F.round(_only(3, "dup") / _only(3, "tot").cast("double"), 4).alias(
+                "dup3_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q128 — cross-source vocabulary overlap (pairwise Jaccard matrix)
+# ---------------------------------------------------------------------------
+
+_Q128_ORACLE = f"""
+WITH v AS (
+  SELECT DISTINCT source, unnest({_TOK}) AS w FROM documents
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+       ROUND(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
+@query("q128_source_overlap", oracle=_Q128_ORACLE)
+def q128_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard for every source pair. distinct(source, word)
+    → self-join on word (≤ #sources² rows per word) → pair counts;
+    per-source set sizes broadcast back (a #sources-row table)."""
+    docs = hot_table(spark, sf_dir, "documents")
+    from kinesyslog_spark.operators.text import tokens
+
+    v = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    ).distinct()
+    sizes = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.alias("a")
+    b = v.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_a")),
+            F.col("source") == F.col("src_a"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_b")),
+            F.col("source") == F.col("src_b"),
+        )
+        .drop("source")
+        .select(
+            "src_a", "src_b", "n_inter", "n_a", "n_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q129 — token frequency spectrum + Good-Turing smoothed counts
+# ---------------------------------------------------------------------------
+
+_Q129_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_TOK}) AS w FROM documents
+), tf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+), spec AS (
+  SELECT c AS freq, CAST(COUNT(*) AS BIGINT) AS n_types FROM tf GROUP BY c
+), tot AS (
+  SELECT CAST(SUM(freq * n_types) AS BIGINT) AS corpus FROM spec
+)
+SELECT s.freq, s.n_types,
+       CAST(s.freq * s.n_types AS BIGINT) AS mass,
+       ROUND(s.freq * s.n_types / CAST(t.corpus AS DOUBLE), 4) AS corpus_share,
+       ROUND((s.freq + 1) * nx.n_types / CAST(s.n_types AS DOUBLE), 4) AS gt_rstar
+FROM spec s
+CROSS JOIN tot t
+LEFT JOIN spec nx ON nx.freq = s.freq + 1
+ORDER BY s.freq
+"""
+
+
+@query("q129_freq_spectrum", oracle=_Q129_ORACLE)
+def q129_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N_r spectrum over the canonical token stream, with corpus-share
+    and Good-Turing r* = (r+1)·N_{r+1}/N_r (null at spectrum gaps /
+    the top frequency). Two cascaded map-side-combinable aggs; the
+    spectrum self-join and the total are over the tiny N_r table."""
+    toks = hot_tokens(spark, sf_dir)
+    tf = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    spec = tf.groupBy(F.col("c").alias("freq")).agg(
+        F.count("*").alias("n_types")
+    )
+    tot = F.sum(F.col("freq") * F.col("n_types")).over(Window.partitionBy())
+    nxt = spec.select(
+        (F.col("freq") - 1).alias("freq"), F.col("n_types").alias("n_next")
+    )
+    return (
+        spec.join(F.broadcast(nxt), "freq", "left")
+        .withColumn("corpus", tot)
+        .select(
+            "freq",
+            "n_types",
+            (F.col("freq") * F.col("n_types")).alias("mass"),
+            F.round(
+                (F.col("freq") * F.col("n_types")) / F.col("corpus").cast("double"),
+                4,
+            ).alias("corpus_share"),
+            F.round(
+                (F.col("freq") + 1) * F.col("n_next") / F.col("n_types").cast("double"),
+                4,
+            ).alias("gt_rstar"),
+        )
+        .orderBy("freq")
+    )

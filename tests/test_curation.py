@@ -1,0 +1,113 @@
+"""Value pins for the curation family (q127/q128/q129) against an
+independent pure-Python model computed on the real sf0.001 corpus —
+the cross-implementation pattern the oracle contract alone can't give
+(builder writes both the Spark and the DuckDB side)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from kinesyslog_spark.queries import QUERIES
+
+_TOK = re.compile(r"[a-z0-9]+")
+
+
+def _r4(x: float) -> float:
+    """HALF_UP 4-dp quantization (Spark/DuckDB ROUND; Python round is
+    banker's and differs at exact boundaries like 2/64 = 0.03125)."""
+    import math
+
+    return math.floor(x * 10000 + 0.5) / 10000
+
+
+def _corpus(spark, sf_dir):
+    from kinesyslog_spark.tables import load_table
+
+    return [
+        (r["doc_id"], r["source"], _TOK.findall(r["text"].lower()))
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+
+
+def _grams(ws, n):
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def test_q127_matches_python_model(spark, sf_dir):
+    docs = _corpus(spark, sf_dir)
+    expect = {}
+    for doc_id, _src, ws in docs:
+        if len(ws) < 3:
+            continue
+        c2, c3 = Counter(_grams(ws, 2)), Counter(_grams(ws, 3))
+        t2, t3 = sum(c2.values()), sum(c3.values())
+        expect[doc_id] = (
+            t2,
+            _r4(max(c2.values()) / t2),
+            _r4(sum(v for v in c2.values() if v > 1) / t2),
+            _r4(sum(v for v in c3.values() if v > 1) / t3),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_grams2"],
+            round(r["top2_share"], 4),
+            round(r["dup2_frac"], 4),
+            round(r["dup3_frac"], 4),
+        )
+        for r in QUERIES["q127_gopher_repetition"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_q128_matches_python_model(spark, sf_dir):
+    docs = _corpus(spark, sf_dir)
+    vocab: dict[str, set] = {}
+    for _doc_id, src, ws in docs:
+        vocab.setdefault(src, set()).update(ws)
+    expect = {}
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            expect[(a, b)] = (
+                inter,
+                len(vocab[a]),
+                len(vocab[b]),
+                _r4(inter / len(vocab[a] | vocab[b])),
+            )
+    got = {
+        (r["src_a"], r["src_b"]): (
+            r["n_inter"],
+            r["n_a"],
+            r["n_b"],
+            round(r["jaccard"], 4),
+        )
+        for r in QUERIES["q128_source_overlap"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_q129_matches_python_model(spark, sf_dir):
+    docs = _corpus(spark, sf_dir)
+    tf = Counter()
+    for _doc_id, _src, ws in docs:
+        tf.update(ws)
+    spec = Counter(tf.values())
+    corpus = sum(tf.values())
+    expect = {}
+    for freq, n_types in spec.items():
+        nxt = spec.get(freq + 1)
+        expect[freq] = (
+            n_types,
+            freq * n_types,
+            _r4(freq * n_types / corpus),
+            _r4((freq + 1) * nxt / n_types) if nxt else None,
+        )
+    got = {}
+    for r in QUERIES["q129_freq_spectrum"](spark, sf_dir).collect():
+        gt = round(r["gt_rstar"], 4) if r["gt_rstar"] is not None else None
+        got[r["freq"]] = (r["n_types"], r["mass"], round(r["corpus_share"], 4), gt)
+    assert got == expect

@@ -498,3 +498,36 @@ def test_q126_audio_features_plan(spark, sf_dir):
     assert f.text.count("MapInPandas") >= 2
     assert "CartesianProduct" not in f.text
     assert f.exchange_count <= 2
+
+
+def test_q127_gopher_repetition_plan(spark, sf_dir):
+    # Gopher repetition: gram counting must hash-aggregate (map-side
+    # combine on (doc_id, n, gram)), all JVM-side, no joins at all.
+    f = facts(QUERIES["q127_gopher_repetition"](spark, sf_dir))
+    assert f.python_eval_count == 0, "gram stats must stay JVM-side"
+    assert "HashAggregate" in f.text
+    assert f.shuffle_join_count == 0 and f.broadcast_join_count == 0, (
+        "q127 is pure aggregation — a join means the pivot regressed"
+    )
+    assert "CartesianProduct" not in f.text
+
+
+def test_q128_source_overlap_plan(spark, sf_dir):
+    # Vocabulary Jaccard: the word self-join may shuffle (both sides are
+    # corpus-sized); the two set-size joins must broadcast (#sources rows);
+    # never a cartesian/nested-loop.
+    f = facts(QUERIES["q128_source_overlap"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.broadcast_join_count >= 2, "size lookups must broadcast"
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_q129_freq_spectrum_plan(spark, sf_dir):
+    # N_r spectrum: two cascaded hash aggregates; the spectrum self-join
+    # (tiny N_r table) must broadcast; JVM-side throughout.
+    f = facts(QUERIES["q129_freq_spectrum"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "HashAggregate" in f.text
+    assert f.broadcast_join_count >= 1, "N_{r+1} lookup must broadcast"
+    assert "CartesianProduct" not in f.text
