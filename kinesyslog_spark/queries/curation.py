@@ -1,6 +1,8 @@
 """Corpus-curation statistics: Gopher repetition signals (q127),
-cross-source vocabulary overlap (q128), and the token frequency
-spectrum with Good-Turing re-estimates (q129).
+cross-source vocabulary overlap (q128), the token frequency spectrum
+with Good-Turing re-estimates (q129), per-source distribution
+divergence (q130), the Zipf-law fit (q131), and token dispersion /
+burstiness (q132).
 
 q127 — per-document duplicate-n-gram fractions, the Gopher
 ("Scaling Language Models", Rae et al. 2021, §A1.1) repetition
@@ -273,4 +275,276 @@ def q129_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gt_rstar"),
         )
         .orderBy("freq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q130 — per-source distribution divergence (TV / chi-square / KL)
+# ---------------------------------------------------------------------------
+#
+# The domain-mixture diagnostic: how far each source's unigram
+# distribution sits from the corpus distribution. Total variation is
+# computed from EXACT cross-multiplied integer terms (|c_s*N_c -
+# c_c*N_s| summed as DECIMAL(38,0) — no float accumulation at all);
+# chi-square and KL quantize each per-word term to a 6-dp decimal
+# before the sum (the q95 pattern: both engines add the SAME decimals,
+# so summation order can't diverge). KL is in base-10 bans, only over
+# words the source actually uses (0·log0 = 0). The (source × vocab)
+# grid is |V|·|S| rows — fine while #sources is modest; at thousands
+# of sources you'd keep the sparse (source, word) table and fold the
+# missing-word mass analytically from the per-source totals.
+
+_Q130_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOK}) AS w FROM documents
+), sc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), st AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY source
+), cc AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS c_all FROM sc GROUP BY w
+), nc AS (
+  SELECT CAST(SUM(c_all) AS BIGINT) AS n_all FROM cc
+), grid AS (
+  SELECT st.source, st.ns, cc.w, cc.c_all, nc.n_all,
+         COALESCE(sc.c, 0) AS c
+  FROM st CROSS JOIN cc CROSS JOIN nc
+  LEFT JOIN sc ON sc.source = st.source AND sc.w = cc.w
+), terms AS (
+  SELECT source, ns,
+         CAST(ABS(c * n_all - c_all * ns) AS DECIMAL(38,0)) AS tv_num,
+         CAST(ROUND(
+           POWER(c / CAST(ns AS DOUBLE) - c_all / CAST(n_all AS DOUBLE), 2)
+             / (c_all / CAST(n_all AS DOUBLE)), 6) AS DECIMAL(18,6)) AS chi2_t,
+         CAST(ROUND(CASE WHEN c = 0 THEN 0.0 ELSE
+           c / CAST(ns AS DOUBLE)
+             * log10((c / CAST(ns AS DOUBLE)) / (c_all / CAST(n_all AS DOUBLE)))
+           END, 6) AS DECIMAL(18,6)) AS kl_t,
+         ns * (SELECT n_all FROM nc) AS denom
+  FROM grid
+)
+SELECT source, ns AS n_tokens,
+       FLOOR(CAST(SUM(tv_num) AS DOUBLE) / (2.0 * MAX(denom)) * 10000 + 0.5)
+         / 10000 AS tv_dist,
+       FLOOR(CAST(SUM(chi2_t) AS DOUBLE) * 10000 + 0.5) / 10000 AS chi2,
+       FLOOR(CAST(SUM(kl_t) AS DOUBLE) * 10000 + 0.5) / 10000 AS kl_ban
+FROM terms GROUP BY source, ns ORDER BY source
+"""
+
+
+@query("q130_source_divergence", oracle=_Q130_ORACLE)
+def q130_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = hot_table(spark, sf_dir, "documents")
+    from kinesyslog_spark.operators.text import tokens
+
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    sc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    cc = sc.groupBy("w").agg(F.sum("c").alias("c_all"))
+    nc = cc.agg(F.sum("c_all").alias("n_all"))
+    grid = (
+        st.crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(nc))
+        .join(sc, ["source", "w"], "left")
+        .fillna({"c": 0})
+    )
+    p_s = F.col("c") / F.col("ns").cast("double")
+    p_c = F.col("c_all") / F.col("n_all").cast("double")
+    terms = grid.select(
+        "source", "ns",
+        F.abs(
+            F.col("c").cast("decimal(38,0)") * F.col("n_all")
+            - F.col("c_all").cast("decimal(38,0)") * F.col("ns")
+        ).alias("tv_num"),
+        F.round(F.pow(p_s - p_c, F.lit(2)) / p_c, 6)
+        .cast("decimal(18,6)").alias("chi2_t"),
+        F.round(
+            F.when(F.col("c") == 0, F.lit(0.0)).otherwise(
+                p_s * F.log10(p_s / p_c)
+            ),
+            6,
+        ).cast("decimal(18,6)").alias("kl_t"),
+        (F.col("ns").cast("decimal(38,0)") * F.col("n_all")).alias("denom"),
+    )
+    q4 = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        terms.groupBy("source", F.col("ns").alias("n_tokens"))
+        .agg(
+            q4(
+                F.sum("tv_num").cast("double") / (2.0 * F.max("denom").cast("double"))
+            ).alias("tv_dist"),
+            q4(F.sum("chi2_t").cast("double")).alias("chi2"),
+            q4(F.sum("kl_t").cast("double")).alias("kl_ban"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q131 — Zipf law fit (log-log OLS over the token rank/frequency curve)
+# ---------------------------------------------------------------------------
+#
+# alpha (the Zipf exponent) from an OLS of log10(freq) on log10(rank),
+# ranks tie-broken deterministically (freq DESC, token ASC), capped at
+# ZIPF_TOP ranks. Each log10 is quantized to a 6-dp decimal BEFORE the
+# moment sums (q95's determinism pattern), so the five OLS moments are
+# exact decimals on both engines and the final slope/r2 divide
+# identical doubles.
+
+ZIPF_TOP = 1000
+
+_Q131_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_TOK}) AS w FROM documents
+), tf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+), rk AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r FROM tf
+), pts AS (
+  SELECT CAST(ROUND(log10(CAST(r AS DOUBLE)), 6) AS DECIMAL(12,6)) AS lx,
+         CAST(ROUND(log10(CAST(c AS DOUBLE)), 6) AS DECIMAL(12,6)) AS ly
+  FROM rk WHERE r <= {ZIPF_TOP}
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy
+  FROM pts
+)
+SELECT n AS n_ranks,
+       FLOOR(-(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * 10000 + 0.5) / 10000
+         AS zipf_alpha,
+       FLOOR((CAST(sy AS DOUBLE) / n
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / n)) * 10000 + 0.5) / 10000
+         AS intercept,
+       FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS r2
+FROM m
+"""
+
+
+@query("q131_zipf_fit", oracle=_Q131_ORACLE)
+def q131_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = hot_tokens(spark, sf_dir)
+    tf = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    rk = tf.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+        .alias("r"),
+    ).filter(F.col("r") <= ZIPF_TOP)
+    pts = rk.select(
+        F.round(F.log10(F.col("r").cast("double")), 6)
+        .cast("decimal(12,6)").alias("lx"),
+        F.round(F.log10(F.col("c").cast("double")), 6)
+        .cast("decimal(12,6)").alias("ly"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / dxx
+    q4 = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return m.select(
+        F.col("n").alias("n_ranks"),
+        q4(-slope).alias("zipf_alpha"),
+        q4(
+            F.col("sy").cast("double") / F.col("n")
+            - slope * (F.col("sx").cast("double") / F.col("n"))
+        ).alias("intercept"),
+        q4(num * num / (dxx * dyy)).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q132 — token dispersion: document frequency vs collection frequency,
+# variance-to-mean burstiness
+# ---------------------------------------------------------------------------
+#
+# For the top-K collection-frequency tokens: in how many documents the
+# token appears (df), its total count (cf), and the variance-to-mean
+# ratio of its per-document count (zeros included) — VMR > 1 = bursty
+# (topical), VMR ≈ 1 = Poisson scatter (function word). The burstiness
+# test behind stopword lists and keyword extraction. All moments are
+# exact integers: VMR = (D·Σx² − cf²) / (D·cf) divides identical
+# operands on both engines. Shape: one (doc, token) count shuffle, one
+# token-moment shuffle, a top-K window over the token table, and a
+# 1-row doc-count broadcast.
+
+DISP_TOP = 20
+
+_Q132_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id, unnest({_TOK}) AS w FROM documents
+), dc AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS x FROM dt GROUP BY 1, 2
+), tm AS (
+  SELECT w,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(x) AS BIGINT) AS cf,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM dc GROUP BY w
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents
+), top AS (
+  SELECT w, df, cf, sxx, ROW_NUMBER() OVER (ORDER BY cf DESC, w ASC) AS r
+  FROM tm
+)
+SELECT w AS token, cf, df,
+       ROUND(df / CAST(nd.d AS DOUBLE), 4) AS doc_frac,
+       ROUND(CAST(nd.d * sxx - cf * cf AS DOUBLE) / (nd.d * cf), 4) AS vmr
+FROM top CROSS JOIN nd
+WHERE r <= {DISP_TOP}
+ORDER BY cf DESC, token ASC
+"""
+
+
+@query("q132_token_dispersion", oracle=_Q132_ORACLE)
+def q132_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = hot_tokens(spark, sf_dir)
+    dc = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("x"))
+    )
+    tm = dc.groupBy("w").agg(
+        F.count("*").alias("df"),
+        F.sum("x").alias("cf"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = hot_table(spark, sf_dir, "documents").agg(F.count("*").alias("d"))
+    top = tm.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("cf").desc(), F.col("w").asc()))
+        .alias("r"),
+    ).filter(F.col("r") <= DISP_TOP)
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("w").alias("token"),
+            "cf",
+            "df",
+            F.round(F.col("df") / F.col("d").cast("double"), 4).alias("doc_frac"),
+            F.round(
+                (F.col("d") * F.col("sxx") - F.col("cf") * F.col("cf")).cast("double")
+                / (F.col("d") * F.col("cf")),
+                4,
+            ).alias("vmr"),
+        )
+        .orderBy(F.col("cf").desc(), F.col("token").asc())
     )

@@ -111,3 +111,97 @@ def test_q129_matches_python_model(spark, sf_dir):
         gt = round(r["gt_rstar"], 4) if r["gt_rstar"] is not None else None
         got[r["freq"]] = (r["n_types"], r["mass"], round(r["corpus_share"], 4), gt)
     assert got == expect
+
+
+def test_q130_matches_python_model(spark, sf_dir):
+    import math
+
+    docs = _corpus(spark, sf_dir)
+    sc: dict[str, Counter] = {}
+    for _doc_id, src, ws in docs:
+        sc.setdefault(src, Counter()).update(ws)
+    cc = Counter()
+    for c in sc.values():
+        cc.update(c)
+    n_all = sum(cc.values())
+    expect = {}
+    for src, c in sc.items():
+        ns = sum(c.values())
+        tv_num = sum(abs(c.get(w, 0) * n_all - cw * ns) for w, cw in cc.items())
+        chi2 = kl = 0.0
+        for w, cw in cc.items():
+            ps, pc = c.get(w, 0) / ns, cw / n_all
+            chi2 += math.floor((ps - pc) ** 2 / pc * 1e6 + 0.5) / 1e6
+            if ps > 0:
+                kl += math.floor(ps * math.log10(ps / pc) * 1e6 + 0.5) / 1e6
+        expect[src] = (
+            ns,
+            _r4(tv_num / (2.0 * ns * n_all)),
+            _r4(chi2),
+            _r4(kl),
+        )
+    got = {
+        r["source"]: (
+            r["n_tokens"],
+            round(r["tv_dist"], 4),
+            round(r["chi2"], 4),
+            round(r["kl_ban"], 4),
+        )
+        for r in QUERIES["q130_source_divergence"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for src in expect:
+        e, g = expect[src], got[src]
+        assert e[0] == g[0], src
+        for i in (1, 2, 3):  # 6-dp term quantization: allow one 4-dp ulp
+            assert abs(e[i] - g[i]) <= 1e-4, (src, i, e, g)
+
+
+def test_q131_matches_python_model(spark, sf_dir):
+    import math
+
+    docs = _corpus(spark, sf_dir)
+    tf = Counter()
+    for _doc_id, _src, ws in docs:
+        tf.update(ws)
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (
+            math.floor(math.log10(r + 1) * 1e6 + 0.5) / 1e6,
+            math.floor(math.log10(c) * 1e6 + 0.5) / 1e6,
+        )
+        for r, (_w, c) in enumerate(ranked[:1000])
+    ]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = QUERIES["q131_zipf_fit"](spark, sf_dir).collect()[0]
+    assert row["n_ranks"] == n
+    assert abs(row["zipf_alpha"] - (-slope)) < 1e-3
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_q132_matches_python_model(spark, sf_dir):
+    docs = _corpus(spark, sf_dir)
+    per_doc: dict[str, Counter] = {}
+    cf, df = Counter(), Counter()
+    for _doc_id, _src, ws in docs:
+        c = Counter(ws)
+        cf.update(c)
+        df.update(c.keys())
+        for w, x in c.items():
+            per_doc.setdefault(w, Counter())[_doc_id] = x
+    d = len(docs)
+    top = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expect = {}
+    for w, c in top:
+        sxx = sum(x * x for x in per_doc[w].values())
+        expect[w] = (c, df[w], _r4(df[w] / d), _r4((d * sxx - c * c) / (d * c)))
+    got = {
+        r["token"]: (r["cf"], r["df"], round(r["doc_frac"], 4), round(r["vmr"], 4))
+        for r in QUERIES["q132_token_dispersion"](spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -531,3 +531,46 @@ def test_q129_freq_spectrum_plan(spark, sf_dir):
     assert "HashAggregate" in f.text
     assert f.broadcast_join_count >= 1, "N_{r+1} lookup must broadcast"
     assert "CartesianProduct" not in f.text
+
+
+def test_q130_source_divergence_plan(spark, sf_dir):
+    # grid build: corpus vocab + 1-row total broadcast onto the
+    # per-source table; the sparse-count join may shuffle; all JVM-side.
+    f = facts(QUERIES["q130_source_divergence"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.broadcast_any_count >= 2, "vocab + total must broadcast"
+    assert "BroadcastNestedLoopJoin" in f.text or f.broadcast_join_count >= 1
+    assert "HashAggregate" in f.text
+
+
+def test_q131_zipf_fit_plan(spark, sf_dir):
+    # tf hash-agg; the rank<=K global window must compile to
+    # TakeOrderedAndProject (per-partition top-K, no full-sort shuffle);
+    # one 1-row moment reduce; JVM-side.
+    f = facts(QUERIES["q131_zipf_fit"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "HashAggregate" in f.text
+    assert "CartesianProduct" not in f.text
+    t = (
+        QUERIES["q131_zipf_fit"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in t, (
+        "global rank filter lost the top-K rewrite — full vocab would "
+        "land on one window partition at scale"
+    )
+
+
+def test_q132_token_dispersion_plan(spark, sf_dir):
+    # (doc, token) + token-moment hash-aggs; doc-count is a 1-row
+    # broadcast; the top-K window must compile to TakeOrderedAndProject.
+    f = facts(QUERIES["q132_token_dispersion"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "HashAggregate" in f.text
+    assert f.broadcast_any_count >= 1
+    assert "CartesianProduct" not in f.text
+    t = (
+        QUERIES["q132_token_dispersion"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in t
