@@ -72,3 +72,4 @@ from kinesyslog_spark.queries import substring  # noqa: E402,F401
 from kinesyslog_spark.queries import imagehash  # noqa: E402,F401
 from kinesyslog_spark.queries import audio  # noqa: E402,F401
 from kinesyslog_spark.queries import curation  # noqa: E402,F401
+from kinesyslog_spark.queries import estimators  # noqa: E402,F401

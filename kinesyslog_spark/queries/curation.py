@@ -548,3 +548,66 @@ def q132_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cf").desc(), F.col("token").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Q133 — tokenizer fertility per source (composes the trained BPE)
+# ---------------------------------------------------------------------------
+#
+# Fertility (BPE tokens per whitespace word) and compression per
+# source: the tokenizer-adequacy diagnostic — a source whose fertility
+# is an outlier is in a script/domain the tokenizer was not trained
+# for and will eat a disproportionate token budget. Both the plan and
+# the oracle COMPOSE q109's encoder (queries/tokenizer.py) and add one
+# source join + one per-source aggregate; fertility is an exact
+# rational of the summed integer counts.
+
+
+def _q133_oracle() -> str:
+    from kinesyslog_spark.queries import ORACLE
+
+    return f"""
+    WITH enc AS (
+      SELECT doc_id, n_words, n_tokens FROM ({ORACLE["q109_bpe_encode"]})
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(enc.n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(SUM(enc.n_tokens) / CAST(SUM(enc.n_words) AS DOUBLE), 4)
+             AS fertility
+    FROM enc JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+def _register_q133_oracle() -> None:
+    from kinesyslog_spark.queries import ORACLE
+
+    ORACLE["q133_bpe_fertility"] = _q133_oracle()
+
+
+@query("q133_bpe_fertility")
+def q133_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.queries import QUERIES
+
+    enc = QUERIES["q109_bpe_encode"](spark, sf_dir).select(
+        "doc_id", "n_words", "n_tokens"
+    )
+    src = hot_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        enc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens") / F.sum("n_words").cast("double"), 4
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+_register_q133_oracle()

@@ -1,0 +1,252 @@
+"""Cardinality and quantile estimators with exactly-checkable error:
+HyperLogLog (q134) and an equi-width histogram quantile sketch (q135).
+
+Both follow the sketch-family contract (queries/bloom.py): the sketch
+is DETERMINISTIC (md5_int60 hashes / pure arithmetic bucketing), the
+estimate AND the exact ground truth are both output columns, and the
+error is an exactly-checked number, not a probability claim — so the
+DuckDB oracle replays every value bit-for-bit and any estimator bug
+changes the output.
+
+q134 — HyperLogLog over distinct l_partkey (Flajolet et al. 2007,
+m = 64 registers): register index = low 6 bits of the 60-bit md5
+hash, rank = leading-zero count of the remaining 54 bits + 1 computed
+EXACTLY via bit_length (length(bin(w))), and the harmonic mean kept in
+integers — sum(1 << (55 - M_j)) fits a BIGINT (<= 64·2^55), so the
+only float op is the final alpha·m²·2^55/Z division of identical
+operands. Registers merge by MAX: the sketch is a 64-row table,
+unionable across shards — the distributed count-distinct design.
+
+q135 — 128-bucket equi-width histogram over l_extendedprice: a one-
+pass mergeable sketch (bucket counts add cellwise); p50/p90/p99 read
+off by in-bucket linear interpolation and compared against the exact
+rank-interpolated quantiles. Exact ground truth needs a global order
+(row_number over x — single-partition by nature); it exists here to
+CHECK the sketch, the sketch itself is one map-side-combined
+aggregate. All arithmetic is identical-operand double math.
+
+Reference parity: north-star extensions (no reference analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesyslog_spark.operators.text import md5_int60
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.queries.relational import _t
+
+HLL_M = 64          # registers (p = 6)
+HLL_ALPHA = 0.709   # Flajolet alpha_64
+N_BUCKETS = 128
+Q_PROBS = (0.5, 0.9, 0.99)
+
+# ---------------------------------------------------------------------------
+# Q134 — HyperLogLog cardinality of l_partkey
+# ---------------------------------------------------------------------------
+
+_Q134_ORACLE = f"""
+WITH h AS (
+  SELECT CAST('0x' || substring(md5('hll:' || l_partkey), 1, 15) AS BIGINT) AS hv
+  FROM lineitem
+), jr AS (
+  SELECT hv % {HLL_M} AS j,
+         CASE WHEN hv >> 6 = 0 THEN 55
+              ELSE 54 - length(bin(hv >> 6)) + 1 END AS r
+  FROM h
+), regs AS (
+  SELECT g.j, COALESCE(MAX(jr.r), 0) AS m_j
+  FROM (SELECT unnest(range(0, {HLL_M})) AS j) g
+  LEFT JOIN jr ON jr.j = g.j
+  GROUP BY g.j
+), z AS (
+  SELECT CAST(SUM(1::BIGINT << CAST(55 - m_j AS INTEGER)) AS BIGINT) AS zs
+  FROM regs
+), ex AS (
+  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact FROM lineitem
+)
+SELECT CAST({HLL_M} AS BIGINT) AS m, ex.n_exact,
+       CAST(FLOOR({HLL_ALPHA} * {HLL_M} * {HLL_M}
+                  * (1::BIGINT << 55) / CAST(zs AS DOUBLE)) AS BIGINT)
+         AS est_raw,
+       ROUND(ABS({HLL_ALPHA} * {HLL_M} * {HLL_M} * (1::BIGINT << 55)
+                 / CAST(zs AS DOUBLE) - ex.n_exact)
+             / ex.n_exact, 4) AS err_frac
+FROM z CROSS JOIN ex
+"""
+
+
+@query("q134_hll_cardinality", oracle=_Q134_ORACLE)
+def q134_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    h = li.select(
+        md5_int60(F.col("l_partkey").cast("string"), prefix="hll:").alias("hv")
+    )
+    jr = h.select(
+        (F.col("hv") % HLL_M).alias("j"),
+        F.when(F.expr("shiftright(hv, 6)") == 0, F.lit(55))
+        .otherwise(55 - F.length(F.expr("bin(shiftright(hv, 6))")))
+        .alias("r"),
+    )
+    grid = spark.range(HLL_M).select(F.col("id").alias("j"))
+    regs = (
+        grid.join(jr.groupBy("j").agg(F.max("r").alias("r")), "j", "left")
+        .select("j", F.coalesce("r", F.lit(0)).alias("m_j"))
+    )
+    z = regs.agg(
+        F.sum(F.expr("shiftleft(1L, cast(55 - m_j as int))")).alias("zs")
+    )
+    ex = li.agg(F.count_distinct("l_partkey").alias("n_exact"))
+    est = (
+        F.lit(HLL_ALPHA) * HLL_M * HLL_M * F.expr("shiftleft(1L, 55)")
+        / F.col("zs").cast("double")
+    )
+    return (
+        z.crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(HLL_M).cast("long").alias("m"),
+            "n_exact",
+            F.floor(est).cast("long").alias("est_raw"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("err_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q135 — equi-width histogram quantile sketch over l_extendedprice
+# ---------------------------------------------------------------------------
+
+_PROBS_SQL = ", ".join(f"CAST({p} AS DOUBLE)" for p in Q_PROBS)
+
+_Q135_ORACLE = f"""
+WITH v AS (
+  SELECT l_extendedprice AS x FROM lineitem
+), mm AS (
+  SELECT MIN(x) AS lo, MAX(x) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM v
+), b AS (
+  SELECT LEAST(CAST(FLOOR((x - mm.lo) / (mm.hi - mm.lo) * {N_BUCKETS})
+               AS BIGINT), {N_BUCKETS - 1}) AS bkt
+  FROM v CROSS JOIN mm
+), hist AS (
+  SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bkt
+), cum AS (
+  SELECT bkt, c,
+         SUM(c) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS cum,
+         COALESCE(SUM(c) OVER (ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM hist
+), probs AS (
+  SELECT unnest([{_PROBS_SQL}]) AS p
+), pick AS (
+  SELECT p.p, MIN(cum.bkt) AS bkt
+  FROM probs p JOIN cum ON cum.cum >= p.p * (SELECT n FROM mm)
+  GROUP BY p.p
+), est AS (
+  SELECT pk.p,
+         mm.lo + (mm.hi - mm.lo)
+           * (pk.bkt + (pk.p * mm.n - c2.cum_prev) / c2.c) / {N_BUCKETS} AS est_q
+  FROM pick pk JOIN cum c2 ON c2.bkt = pk.bkt CROSS JOIN mm
+), rn AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v
+), exact AS (
+  SELECT p.p,
+         lo1.x + (p.p * (mm.n - 1) - FLOOR(p.p * (mm.n - 1))) * (hi1.x - lo1.x)
+           AS exact_q
+  FROM probs p CROSS JOIN mm
+  JOIN rn lo1 ON lo1.rn = CAST(FLOOR(p.p * (mm.n - 1)) AS BIGINT) + 1
+  JOIN rn hi1 ON hi1.rn = LEAST(CAST(FLOOR(p.p * (mm.n - 1)) AS BIGINT) + 2, mm.n)
+)
+SELECT e.p, ROUND(e.est_q, 4) AS est_q, ROUND(x.exact_q, 4) AS exact_q,
+       ROUND(ABS(e.est_q - x.exact_q) / x.exact_q, 4) AS err_frac
+FROM est e JOIN exact x ON e.p = x.p
+ORDER BY e.p
+"""
+
+
+@query("q135_histogram_quantiles", oracle=_Q135_ORACLE)
+def q135_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    mm = v.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
+    )
+    b = v.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * N_BUCKETS),
+            F.lit(N_BUCKETS - 1).cast("long"),
+        ).alias("bkt")
+    )
+    hist = b.groupBy("bkt").agg(F.count("*").alias("c"))
+    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bkt", "c",
+        F.sum("c").over(w).alias("cum"),
+        F.coalesce(F.sum("c").over(wp), F.lit(0)).alias("cum_prev"),
+    )
+    probs = spark.createDataFrame([(p,) for p in Q_PROBS], "p double")
+    pick = (
+        probs.crossJoin(F.broadcast(mm.select("n")))
+        .join(F.broadcast(cum), F.col("cum") >= F.col("p") * F.col("n"))
+        .groupBy("p", "n")
+        .agg(F.min("bkt").alias("bkt"))
+    )
+    est = (
+        pick.join(
+            F.broadcast(cum.select("bkt", "c", "cum_prev")), "bkt"
+        )
+        .crossJoin(F.broadcast(mm.select("lo", "hi")))
+        .select(
+            "p",
+            (
+                F.col("lo")
+                + (F.col("hi") - F.col("lo"))
+                * (
+                    F.col("bkt")
+                    + (F.col("p") * F.col("n") - F.col("cum_prev")) / F.col("c")
+                )
+                / N_BUCKETS
+            ).alias("est_q"),
+        )
+    )
+    rn = v.select("x", F.row_number().over(Window.orderBy("x")).alias("rn"))
+    kcol = F.floor(F.col("p") * (F.col("n") - 1))
+    pk = probs.crossJoin(F.broadcast(mm.select("n"))).select(
+        "p", "n",
+        (kcol + 1).alias("rlo"),
+        F.least(kcol + 2, F.col("n")).alias("rhi"),
+        (F.col("p") * (F.col("n") - 1) - kcol).alias("g"),
+    )
+    lo_side = rn.join(
+        F.broadcast(pk.select("p", "rlo", "g")), F.col("rn") == F.col("rlo")
+    ).select("p", "g", F.col("x").alias("xlo"))
+    hi_side = rn.join(
+        F.broadcast(pk.select(F.col("p").alias("p2"), "rhi")),
+        F.col("rn") == F.col("rhi"),
+    ).select(F.col("p2"), F.col("x").alias("xhi"))
+    exact = (
+        lo_side.join(F.broadcast(hi_side), F.col("p") == F.col("p2"))
+        .select(
+            "p",
+            (F.col("xlo") + F.col("g") * (F.col("xhi") - F.col("xlo"))).alias(
+                "exact_q"
+            ),
+        )
+    )
+    return (
+        est.join(exact, "p")
+        .select(
+            "p",
+            F.round("est_q", 4).alias("est_q"),
+            F.round("exact_q", 4).alias("exact_q"),
+            F.round(
+                F.abs(F.col("est_q") - F.col("exact_q")) / F.col("exact_q"), 4
+            ).alias("err_frac"),
+        )
+        .orderBy("p")
+    )

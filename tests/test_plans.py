@@ -574,3 +574,23 @@ def test_q132_token_dispersion_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in t
+
+
+def test_q134_hll_plan(spark, sf_dir):
+    # one map-side-combined register aggregate over the scan; the
+    # 64-row grid join and the 1-row exact-count join broadcast;
+    # JVM-side throughout (md5/bin/shift are built-ins).
+    f = facts(QUERIES["q134_hll_cardinality"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "HashAggregate" in f.text
+    assert f.broadcast_any_count >= 1
+
+
+def test_q135_histogram_plan(spark, sf_dir):
+    # the SKETCH path is one hash-agg over the scan with the 1-row
+    # min/max broadcast; the probs x cum inequality join is over the
+    # 128-row histogram (nested-loop there is fine); no python.
+    f = facts(QUERIES["q135_histogram_quantiles"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "HashAggregate" in f.text
+    assert f.broadcast_any_count >= 2
