@@ -250,3 +250,110 @@ def q135_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q136 — label-centroid cosine similarity matrix (cluster separation)
+# ---------------------------------------------------------------------------
+#
+# Pairwise cosine between per-label centroid vectors — the cluster-
+# separation report a curation pipeline reads before trusting label-
+# based mixing or SemDeDup-style pruning. Components are quantized to
+# scaled integers (floor(x·1e6), the queries/semantic.py convention)
+# BEFORE the per-(label, dim) sum, so centroid sums are exact BIGINTs
+# and the n's cancel out of the cosine — the only float math is the
+# final dot/(|a||b|) of identical integer operands. At web scale the
+# Σ(sa·sb) products outgrow BIGINT — switch the two dot aggregates to
+# DECIMAL(38,0); the shape (one (label, dim) shuffle, a dim-aligned
+# self-join over #labels·dim rows, a #labels-row norm broadcast) is
+# unchanged.
+
+_CQ = 1_000_000  # component quantization scale
+
+_Q136_ORACLE = f"""
+WITH comp AS (
+  SELECT label, i.i AS dim,
+         CAST(SUM(CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * {_CQ}) AS BIGINT))
+              AS BIGINT) AS s
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY label, i.i
+), nrm AS (
+  SELECT label, CAST(SUM(s * s) AS BIGINT) AS n2 FROM comp GROUP BY label
+), cnt AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+  FROM comp a JOIN comp b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
+       ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4)
+         AS cos_sim
+FROM dots
+JOIN nrm na ON na.label = label_a
+JOIN nrm nb ON nb.label = label_b
+JOIN cnt ca ON ca.label = label_a
+JOIN cnt cb ON cb.label = label_b
+ORDER BY label_a, label_b
+"""
+
+
+@query("q136_label_centroid_sim", oracle=_Q136_ORACLE)
+def q136_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("col") * _CQ).cast("long").alias("q"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"))
+    )
+    nrm = comp.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("n2")
+    )
+    cnt = emb.groupBy("label").agg(F.count("*").alias("n"))
+    a = comp.alias("a")
+    b = comp.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("dot"))
+    )
+    return (
+        dots.join(
+            F.broadcast(nrm.select(F.col("label").alias("label_a"),
+                                   F.col("n2").alias("n2a"))), "label_a")
+        .join(
+            F.broadcast(nrm.select(F.col("label").alias("label_b"),
+                                   F.col("n2").alias("n2b"))), "label_b")
+        .join(
+            F.broadcast(cnt.select(F.col("label").alias("label_a"),
+                                   F.col("n").alias("n_a"))), "label_a")
+        .join(
+            F.broadcast(cnt.select(F.col("label").alias("label_b"),
+                                   F.col("n").alias("n_b"))), "label_b")
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("n2a").cast("double"))
+                   * F.sqrt(F.col("n2b").cast("double"))),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -594,3 +594,13 @@ def test_q135_histogram_plan(spark, sf_dir):
     assert f.python_eval_count == 0
     assert "HashAggregate" in f.text
     assert f.broadcast_any_count >= 2
+
+
+def test_q136_centroid_sim_plan(spark, sf_dir):
+    # one (label, dim) hash-agg shuffle; the dim-aligned self-join is
+    # over #labels x dim rows; norms/counts broadcast back; JVM-side.
+    f = facts(QUERIES["q136_label_centroid_sim"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "HashAggregate" in f.text
+    assert f.broadcast_any_count >= 2
+    assert "CartesianProduct" not in f.text
