@@ -1,0 +1,121 @@
+"""W22 — continuous cardinality estimation (streaming HyperLogLog).
+
+The streaming form of q134: each micro-batch folds its keys into the
+64-register HLL sketch and the running distinct-count estimate is
+readable after every epoch. The state is the 64-row register table
+itself, persisted as parquet and MAX-merged per batch — and because
+MAX-merge is IDEMPOTENT (max(a, max(a, b)) = max(a, b)), a retried
+micro-batch re-merging the same keys cannot corrupt the sketch:
+at-least-once delivery gives exactly-once *state* for free. That is
+the property that makes HLL the canonical streaming-distinct design —
+no per-key state, no dedup buffer, O(m) bytes forever.
+
+Scale posture (100 TB / continuous):
+- State is exactly HLL_M rows regardless of stream volume; the
+  per-batch work is one map-side-combined (register, rank) aggregate
+  over the batch plus a 64-row merge. Nothing grows.
+- Sharded ingest merges the same way (tests pin register-set MAX-merge
+  == whole-corpus sketch in tests/test_estimators.py).
+
+Reference parity: none; streaming counterpart of q134
+(queries/estimators.py). Replay-tested in tests/test_streaming_hll.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kinesyslog_spark.operators.text import md5_int60
+from kinesyslog_spark.queries.estimators import HLL_ALPHA, HLL_M
+
+
+def batch_registers(batch: DataFrame, key_col: str) -> DataFrame:
+    """(j, m_j) register rows for one batch of keys — the q134 hash
+    (md5_int60 'hll:' prefix), register = low 6 bits, rank = exact
+    bit_length leading-zero count. Only registers the batch touched
+    are emitted; merge fills the rest."""
+    h = batch.select(
+        md5_int60(F.col(key_col).cast("string"), prefix="hll:").alias("hv")
+    )
+    return (
+        h.select(
+            (F.col("hv") % HLL_M).alias("j"),
+            F.when(F.expr("shiftright(hv, 6)") == 0, F.lit(55))
+            .otherwise(55 - F.length(F.expr("bin(shiftright(hv, 6))")))
+            .alias("r"),
+        )
+        .groupBy("j")
+        .agg(F.max("r").alias("m_j"))
+    )
+
+
+def merge_registers(a: DataFrame, b: DataFrame) -> DataFrame:
+    """MAX-merge two register tables (idempotent, commutative,
+    associative — the sketch's semilattice)."""
+    return (
+        a.unionByName(b)
+        .groupBy("j")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+
+
+def estimate(spark: SparkSession, regs: DataFrame) -> float:
+    """Raw HLL estimate from a (possibly sparse) register table."""
+    grid = spark.range(HLL_M).select(F.col("id").alias("j"))
+    full = (
+        grid.join(regs, "j", "left")
+        .select(F.coalesce("m_j", F.lit(0)).alias("m_j"))
+    )
+    zs = full.agg(
+        F.sum(F.expr("shiftleft(1L, cast(55 - m_j as int))")).alias("zs")
+    ).collect()[0]["zs"]
+    return HLL_ALPHA * HLL_M * HLL_M * (1 << 55) / zs
+
+
+def streaming_hll(
+    docs: DataFrame,
+    key_col: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: str = "1 second",
+) -> StreamingQuery:
+    """Fold a key stream into the register state continuously; after
+    each epoch the running estimate appends under out_dir/epoch_id=N
+    and the merged registers replace state_dir (write-then-rename so a
+    mid-write crash leaves the previous state readable)."""
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        new = batch_registers(batch, key_col)
+        if os.path.isdir(state_dir):
+            merged = merge_registers(spark.read.parquet(state_dir), new)
+        else:
+            merged = new
+        rows = merged.collect()  # HLL_M rows max — driver-size by design
+        out = spark.createDataFrame(rows, "j long, m_j int")
+        tmp = state_dir + ".next"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        prev = state_dir + ".prev"
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, prev)
+        os.rename(tmp, state_dir)
+        if os.path.isdir(prev):
+            import shutil
+
+            shutil.rmtree(prev)
+        est = estimate(spark, out)
+        spark.createDataFrame(
+            [(int(epoch_id), float(est))], "epoch long, est_raw double"
+        ).write.mode("overwrite").parquet(f"{out_dir}/epoch_id={epoch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger)
+        .start()
+    )

@@ -1,0 +1,100 @@
+"""W22: continuous HLL (streaming/hll.py) — batch-twin parity, the
+idempotent-retry property, and a two-epoch replay drive."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from kinesyslog_spark.queries.estimators import HLL_M
+from kinesyslog_spark.streaming.hll import (
+    batch_registers,
+    estimate,
+    merge_registers,
+    streaming_hll,
+)
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k long")
+
+
+def test_incremental_merge_equals_batch_twin(spark):
+    """Folding two batches register-wise == hashing the union at once."""
+    k1, k2 = list(range(0, 300)), list(range(200, 500))
+    merged = merge_registers(
+        batch_registers(_keys_df(spark, k1), "k"),
+        batch_registers(_keys_df(spark, k2), "k"),
+    )
+    whole = batch_registers(_keys_df(spark, k1 + k2), "k")
+    assert {
+        (r["j"], r["m_j"]) for r in merged.collect()
+    } == {(r["j"], r["m_j"]) for r in whole.collect()}
+    assert abs(estimate(spark, merged) - estimate(spark, whole)) == 0.0
+
+
+def test_retry_is_idempotent(spark):
+    """Re-merging the same batch (an at-least-once retry) cannot move
+    the sketch — MAX-merge is idempotent."""
+    regs = batch_registers(_keys_df(spark, list(range(100))), "k")
+    twice = merge_registers(regs, regs)
+    assert {
+        (r["j"], r["m_j"]) for r in twice.collect()
+    } == {(r["j"], r["m_j"]) for r in regs.collect()}
+
+
+def test_estimate_within_hll_bound(spark):
+    n = 2000
+    regs = batch_registers(_keys_df(spark, list(range(n))), "k")
+    est = estimate(spark, regs)
+    assert abs(est - n) / n <= 4 * 1.04 / HLL_M ** 0.5
+
+
+def _write_json(path, rows):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, path)
+
+
+def test_streaming_replay(spark, tmp_path):
+    in_dir = str(tmp_path / "keys")
+    out_dir = str(tmp_path / "est")
+    state_dir = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    _write_json(os.path.join(in_dir, "b1.json"), [{"k": i} for i in range(400)])
+
+    docs = spark.readStream.schema("k long").json(in_dir)
+    q = streaming_hll(docs, "k", state_dir, out_dir, ckpt)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.lastProgress:
+            time.sleep(0.5)
+        _write_json(
+            os.path.join(in_dir, "b2.json"), [{"k": i} for i in range(300, 800)]
+        )
+
+        def epochs():
+            try:
+                return spark.read.parquet(out_dir).collect()
+            except Exception:
+                return []
+
+        while time.time() < deadline and len(epochs()) < 2:
+            time.sleep(0.5)
+        got = epochs()
+        assert len(got) >= 2
+    finally:
+        q.stop()
+
+    # final state == batch twin over all 800 distinct keys
+    twin = batch_registers(_keys_df(spark, list(range(800))), "k")
+    state = spark.read.parquet(state_dir)
+    assert {
+        (r["j"], r["m_j"]) for r in state.collect()
+    } == {(r["j"], r["m_j"]) for r in twin.collect()}
+    final_est = max(got, key=lambda r: r["epoch"])["est_raw"]
+    assert abs(final_est - estimate(spark, twin)) < 1e-9
