@@ -130,6 +130,17 @@ def _parser() -> argparse.ArgumentParser:
     zo.add_argument("--bits", type=int, default=16)
     zo.add_argument("--cpus", default=None)
 
+    cr = sub.add_parser(
+        "corpus-report",
+        help="materialize the corpus-curation report (repetition, "
+             "overlap, spectrum, divergence, zipf, dispersion, "
+             "fertility, sketches) as parquet tables + JSON summary",
+    )
+    cr.add_argument("out_dir", help="report artifact root")
+    cr.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    cr.add_argument("--cpus", default=None)
+
     ex = sub.add_parser(
         "explain",
         help="print the formatted physical plan (and executed-plan node "
@@ -384,6 +395,17 @@ def pipeline_cmd(args) -> int:
     return 0
 
 
+def corpus_report_cmd(args) -> int:
+    import json
+
+    from kinesyslog_spark.report import corpus_report
+    from kinesyslog_spark.session import get_spark
+
+    spark = get_spark("kinesyslog-spark-report", cpus=args.cpus)
+    print(json.dumps(corpus_report(spark, args.sf_dir, args.out_dir)), flush=True)
+    return 0
+
+
 def explain_cmd(args) -> int:
     from kinesyslog_spark.plans.checks import executed_facts, formatted_plan
     from kinesyslog_spark.queries import QUERIES
@@ -420,6 +442,8 @@ def main(argv: list[str] | None = None) -> int:
         return pipeline_cmd(args)
     if args.command == "zorder":
         return zorder_cmd(args)
+    if args.command == "corpus-report":
+        return corpus_report_cmd(args)
     if args.command == "explain":
         return explain_cmd(args)
     return 2

@@ -1,0 +1,75 @@
+"""Corpus health report: materialize the curation family (q127-q136)
+as one parquet artifact tree + a JSON headline summary.
+
+The operational wrapper a data-engineering team runs nightly over a
+corpus snapshot: per-doc repetition flags, source overlap/divergence,
+the frequency spectrum, Zipf fit, dispersion, fertility, cardinality
+and quantile sketches — each table lands under `<out_dir>/<name>/` and
+the scalar indicators (zipf alpha, worst source drift, most-overlapping
+source pair, HLL estimate error) come back as a dict for alerting.
+
+Every table here is an already-oracle-checked registered query — the
+report only composes and materializes them, so its correctness is the
+registry's. Writes go through one shared SparkSession; each table is
+an independent job (no cross-table barrier), so a long table doesn't
+stall the others' scheduling at cluster scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+# (registered query, artifact name) — registry order is report order.
+REPORT_TABLES = (
+    ("q127_gopher_repetition", "repetition"),
+    ("q128_source_overlap", "source_overlap"),
+    ("q129_freq_spectrum", "freq_spectrum"),
+    ("q130_source_divergence", "source_divergence"),
+    ("q131_zipf_fit", "zipf_fit"),
+    ("q132_token_dispersion", "token_dispersion"),
+    ("q133_bpe_fertility", "bpe_fertility"),
+    ("q134_hll_cardinality", "hll_cardinality"),
+    ("q135_histogram_quantiles", "quantiles"),
+)
+
+
+def corpus_report(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, Any]:
+    """Run every report table, write `<out_dir>/<name>/`, return the
+    headline indicator dict."""
+    from kinesyslog_spark.queries import QUERIES
+
+    counts: dict[str, int] = {}
+    for qname, art in REPORT_TABLES:
+        df = QUERIES[qname](spark, sf_dir)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{art}")
+        counts[art] = spark.read.parquet(f"{out_dir}/{art}").count()
+
+    zipf = spark.read.parquet(f"{out_dir}/zipf_fit").collect()[0]
+    div = spark.read.parquet(f"{out_dir}/source_divergence").collect()
+    worst = max(div, key=lambda r: r["tv_dist"])
+    ov = spark.read.parquet(f"{out_dir}/source_overlap").collect()
+    top_pair = max(ov, key=lambda r: r["jaccard"])
+    hll = spark.read.parquet(f"{out_dir}/hll_cardinality").collect()[0]
+    rep = spark.read.parquet(f"{out_dir}/repetition")
+    from pyspark.sql import functions as F
+
+    flagged = rep.filter(
+        (F.col("top2_share") > 0.2) | (F.col("dup3_frac") > 0.5)
+    ).count()
+
+    return {
+        "tables": counts,
+        "zipf_alpha": zipf["zipf_alpha"],
+        "zipf_r2": zipf["r2"],
+        "worst_drift_source": worst["source"],
+        "worst_drift_tv": worst["tv_dist"],
+        "top_overlap_pair": [top_pair["src_a"], top_pair["src_b"]],
+        "top_overlap_jaccard": top_pair["jaccard"],
+        "hll_est": hll["est_raw"],
+        "hll_exact": hll["n_exact"],
+        "repetition_flagged_docs": flagged,
+    }

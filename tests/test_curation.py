@@ -205,3 +205,18 @@ def test_q132_matches_python_model(spark, sf_dir):
         for r in QUERIES["q132_token_dispersion"](spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_corpus_report_artifact(spark, sf_dir, tmp_path):
+    from kinesyslog_spark.report import REPORT_TABLES, corpus_report
+
+    out = str(tmp_path / "report")
+    summary = corpus_report(spark, sf_dir, out)
+    assert set(summary["tables"]) == {a for _, a in REPORT_TABLES}
+    assert all(n > 0 for n in summary["tables"].values())
+    assert 0.0 < summary["zipf_alpha"] < 3.0
+    assert 0.0 <= summary["worst_drift_tv"] <= 1.0
+    assert summary["hll_exact"] > 0
+    # artifact readable back as parquet
+    df = spark.read.parquet(out + "/source_overlap")
+    assert df.count() == summary["tables"]["source_overlap"]
