@@ -220,3 +220,34 @@ def test_corpus_report_artifact(spark, sf_dir, tmp_path):
     # artifact readable back as parquet
     df = spark.read.parquet(out + "/source_overlap")
     assert df.count() == summary["tables"]["source_overlap"]
+
+
+def test_grams_property_matches_python(spark):
+    """_grams (sequence+slice+concat_ws, the JVM gram builder every
+    curation stat rides on) == the python sliding window for random
+    token arrays, n in {2, 3}."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kinesyslog_spark.queries.curation import _grams
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "d0", "e"]
+    rows = []
+    for i in range(60):
+        ln = rng.randint(3, 12)
+        rows.append((i, [rng.choice(vocab) for _ in range(ln)]))
+    df = spark.createDataFrame(rows, "i long, toks array<string>")
+    out = {
+        r["i"]: (r["g2"], r["g3"])
+        for r in df.select(
+            "i",
+            _grams(F.col("toks"), 2).alias("g2"),
+            _grams(F.col("toks"), 3).alias("g3"),
+        ).collect()
+    }
+    for i, toks in rows:
+        want2 = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        want3 = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        assert out[i] == (want2, want3), i
