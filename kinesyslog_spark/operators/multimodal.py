@@ -11,15 +11,16 @@ JPEG/PNG/GIF width-height-codec (`parse_image_header`), WAV/RIFF
 channels-rate-bits-duration (`parse_audio_header`), and ISO-BMFF (MP4)
 brand + mvhd duration / Matroska sniff (`parse_video_header`).
 
-PNG PIXELS are also real: `operators/png.py` decodes PNG pixel data
-with stdlib zlib + unfiltering, so `resize_batches` thumbnails PNG
-payloads from actual pixels and queries/imagehash.py perceptually
-hashes them. JPEG/GIF pixel codecs and audio/video sample decode (PIL /
-libav / ffmpeg) are NOT in this container; those paths stay
-clearly-marked stubs and the stub pipelines run `fake_decode_meta` — a
-deterministic pure function of the payload bytes that a SQL oracle can
-reproduce. Everything Spark-side (schema, batching, partition
-behavior) is real either way.
+PIXELS and SAMPLES are real for the stdlib-feasible codecs: PNG
+(zlib + unfilter, operators/png.py), GIF (LZW, gif.py), baseline JPEG
+(Huffman + IDCT, jpeg.py), BMP (bmp.py), WAV PCM + mono IMA ADPCM
+(wav.py), and MJPEG-in-AVI frame extraction (avi.py). What remains
+behind the clearly-marked seam: progressive/arithmetic JPEG,
+inter-frame video codecs (H.264 etc.), float/mu-law/stereo-ADPCM
+audio — those paths raise NotImplementedError or run
+`fake_decode_meta`, a deterministic pure function of the payload bytes
+that a SQL oracle can reproduce. Everything Spark-side (schema,
+batching, partition behavior) is real either way.
 """
 
 from __future__ import annotations
@@ -57,6 +58,11 @@ def parse_image_header(payload: bytes) -> dict | None:
     if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 10:
         w, h = struct.unpack("<HH", buf[6:10])
         return {"codec": "gif", "width": w, "height": h}
+    # BMP (BITMAPINFOHEADER width/height; |height| — top-down is negative).
+    if buf[:2] == b"BM":
+        from kinesyslog_spark.operators.bmp import parse_bmp_header
+
+        return parse_bmp_header(buf)
     # JPEG: walk marker segments from SOI to the first SOF.
     if buf[:2] == b"\xff\xd8":
         i = 2
@@ -294,8 +300,8 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     -> one row per image with the downsampled dims and a digest of the
     thumbnail bytes.
 
-    PNG, GIF, and baseline-JPEG payloads take the REAL pixel path
-    (operators/png.py / gif.py / jpeg.py: zero-dep decode -> integer
+    PNG, GIF, baseline-JPEG, and BMP payloads take the REAL pixel path
+    (operators/png.py / gif.py / jpeg.py / bmp.py: zero-dep decode -> integer
     luma -> aspect-preserving box downscale into 64x64; thumb_md5
     digests the actual downscaled gray pixels). Everything else keeps
     the deterministic stub (thumb = first THUMB_BYTES of the payload;
@@ -305,6 +311,7 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     exactly what a PIL `Image.thumbnail` implementation drops into."""
     import hashlib
 
+    from kinesyslog_spark.operators.bmp import decode_bmp
     from kinesyslog_spark.operators.gif import decode_gif
     from kinesyslog_spark.operators.jpeg import decode_jpeg
     from kinesyslog_spark.operators.png import (
@@ -322,6 +329,7 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 decode_png if raw[:8] == _PNG_SIG
                 else decode_gif if raw[:6] in (b"GIF87a", b"GIF89a")
                 else decode_jpeg if raw[:2] == b"\xff\xd8"
+                else decode_bmp if raw[:2] == b"BM"
                 else None
             )
             if decoder is not None:

@@ -1,0 +1,86 @@
+"""IMA-ADPCM codec (operators/wav.py): golden-vector decode pin,
+encode/decode roundtrip error bound, container dispatch, and seam
+behavior (stereo raises)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+
+from kinesyslog_spark.operators.wav import (
+    decode_ima_adpcm,
+    decode_wav_samples,
+    encode_ima_adpcm,
+)
+
+
+def test_golden_vector_decode():
+    """One hand-walkable block: predictor 0, index 0 (step 7), nibbles
+    [2, 4, 8, 0]. Per the spec: diff = step>>3 (+step>>2 if b0)
+    (+step>>1 if b1) (+step if b2), sign = b3, index += table[nib]."""
+    # nibble 2 -> diff = 0 + 3(step>>1) wait: step=7: base 7>>3=0, b1 set: +7>>1=3 -> +3
+    # pack nibbles [2, 4] -> byte 0x42, [8, 0] -> byte 0x08
+    blk = struct.pack("<hBB", 0, 0, 0) + bytes([0x42, 0x08])
+    got = decode_ima_adpcm(blk, len(blk))
+    # walk: start p=0, i=0 (step 7)
+    # nib 2: diff=0+3=3 -> p=3;  i=0+(-1)->0           (step 7)
+    # nib 4: diff=0+7=7 -> p=10; i=0+2=2               (step 9)
+    # nib 8: diff=9>>3=1, sign -> p=9; i=2-1=1         (step 8)
+    # nib 0: diff=8>>3=1 -> p=10; i=1-1=0
+    assert got == [0, 3, 10, 9, 10]
+
+
+def _sine(n, amp=12000, period=50):
+    return [int(amp * math.sin(2 * math.pi * i / period)) for i in range(n)]
+
+
+def test_roundtrip_error_bounded():
+    samples = _sine(2000)
+    payload = encode_ima_adpcm(samples, 8000)
+    rate, bits, chans = decode_wav_samples(payload)
+    assert (rate, bits, len(chans)) == (8000, 16, 1)
+    got = chans[0][: len(samples)]
+    assert got[0] == samples[0]  # block header carries the exact sample
+    # after the step-size adaptation transient (~first 100 samples from
+    # index 0) the tracker stays within a few steps of the signal
+    max_err = max(abs(a - b) for a, b in zip(got[100:], samples[100:]))
+    assert max_err <= 1000
+    # and the reconstruction correlates strongly
+    num = sum(a * b for a, b in zip(got, samples))
+    den = math.sqrt(sum(a * a for a in got) * sum(b * b for b in samples))
+    assert num / den > 0.99
+
+
+def test_multi_block_stream():
+    samples = _sine(1300, period=37)  # > 2 blocks at 505 frames/block
+    payload = encode_ima_adpcm(samples, 16000)
+    _, _, chans = decode_wav_samples(payload)
+    assert len(chans[0]) >= len(samples)
+    err = max(
+        abs(a - b)
+        for a, b in zip(chans[0][100: len(samples)], samples[100:])
+    )
+    assert err <= 1000  # post-adaptation tracking bound
+
+
+def test_stereo_and_corrupt_raise():
+    payload = bytearray(encode_ima_adpcm(_sine(100), 8000))
+    struct.pack_into("<H", payload, 22, 2)  # channels = 2
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(bytes(payload))
+    blk = struct.pack("<hBB", 0, 99, 0) + b"\x00\x00"  # index 99 > 88
+    with pytest.raises(ValueError):
+        decode_ima_adpcm(blk, len(blk))
+
+
+def test_audio_features_flow_through_adpcm():
+    from kinesyslog_spark.operators.wav import audio_features
+
+    payload = encode_ima_adpcm(_sine(600), 8000)
+    feats = audio_features(payload)
+    assert feats["sample_rate"] == 8000
+    assert feats["n_samples"] >= 600
+    assert feats["peak"] > 8000  # sine amplitude mostly preserved
+    assert feats["zero_crossings"] > 10
