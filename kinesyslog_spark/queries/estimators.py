@@ -122,10 +122,14 @@ def q134_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROBS_SQL = ", ".join(f"CAST({p} AS DOUBLE)" for p in Q_PROBS)
 
+# CTEs referenced more than once are MATERIALIZED (the q83/q109
+# lesson), and the two rank lookups join `rn` on PLAIN materialized
+# columns — joining on an expression of a cross-joined scalar made
+# DuckDB nested-loop the 600k-row rn table against itself at sf0.1.
 _Q135_ORACLE = f"""
 WITH v AS (
   SELECT l_extendedprice AS x FROM lineitem
-), mm AS (
+), mm AS MATERIALIZED (
   SELECT MIN(x) AS lo, MAX(x) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM v
 ), b AS (
   SELECT LEAST(CAST(FLOOR((x - mm.lo) / (mm.hi - mm.lo) * {N_BUCKETS})
@@ -133,7 +137,7 @@ WITH v AS (
   FROM v CROSS JOIN mm
 ), hist AS (
   SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bkt
-), cum AS (
+), cum AS MATERIALIZED (
   SELECT bkt, c,
          SUM(c) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS cum,
          COALESCE(SUM(c) OVER (ORDER BY bkt
@@ -150,15 +154,19 @@ WITH v AS (
          mm.lo + (mm.hi - mm.lo)
            * (pk.bkt + (pk.p * mm.n - c2.cum_prev) / c2.c) / {N_BUCKETS} AS est_q
   FROM pick pk JOIN cum c2 ON c2.bkt = pk.bkt CROSS JOIN mm
-), rn AS (
+), rn AS MATERIALIZED (
   SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v
-), exact AS (
+), pk2 AS MATERIALIZED (
   SELECT p.p,
-         lo1.x + (p.p * (mm.n - 1) - FLOOR(p.p * (mm.n - 1))) * (hi1.x - lo1.x)
-           AS exact_q
+         CAST(FLOOR(p.p * (mm.n - 1)) AS BIGINT) + 1 AS rlo,
+         LEAST(CAST(FLOOR(p.p * (mm.n - 1)) AS BIGINT) + 2, mm.n) AS rhi,
+         p.p * (mm.n - 1) - FLOOR(p.p * (mm.n - 1)) AS g
   FROM probs p CROSS JOIN mm
-  JOIN rn lo1 ON lo1.rn = CAST(FLOOR(p.p * (mm.n - 1)) AS BIGINT) + 1
-  JOIN rn hi1 ON hi1.rn = LEAST(CAST(FLOOR(p.p * (mm.n - 1)) AS BIGINT) + 2, mm.n)
+), exact AS (
+  SELECT pk2.p, lo1.x + pk2.g * (hi1.x - lo1.x) AS exact_q
+  FROM pk2
+  JOIN rn lo1 ON lo1.rn = pk2.rlo
+  JOIN rn hi1 ON hi1.rn = pk2.rhi
 )
 SELECT e.p, ROUND(e.est_q, 4) AS est_q, ROUND(x.exact_q, 4) AS exact_q,
        ROUND(ABS(e.est_q - x.exact_q) / x.exact_q, 4) AS err_frac
