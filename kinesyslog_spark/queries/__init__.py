@@ -73,3 +73,4 @@ from kinesyslog_spark.queries import imagehash  # noqa: E402,F401
 from kinesyslog_spark.queries import audio  # noqa: E402,F401
 from kinesyslog_spark.queries import curation  # noqa: E402,F401
 from kinesyslog_spark.queries import estimators  # noqa: E402,F401
+from kinesyslog_spark.queries import logmine  # noqa: E402,F401

@@ -604,3 +604,19 @@ def test_q136_centroid_sim_plan(spark, sf_dir):
     assert "HashAggregate" in f.text
     assert f.broadcast_any_count >= 2
     assert "CartesianProduct" not in f.text
+
+
+def test_q137_log_templates_plan(spark, sf_dir):
+    # synth + parse + mask are all map-side Catalyst expressions; one
+    # hash-aggregate shuffle on the (low-cardinality) template key; the
+    # final sort; zero python, zero joins.
+    f = facts(QUERIES["q137_log_templates"](spark, sf_dir))
+    assert f.python_eval_count == 0, "template mining must stay JVM-side"
+    assert "HashAggregate" in f.text, (
+        "stats agg must hash (a string MIN in the buffer demotes it)"
+    )
+    t = (
+        QUERIES["q137_log_templates"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in t, "example pick must map-side top-1"
