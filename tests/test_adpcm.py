@@ -84,3 +84,34 @@ def test_audio_features_flow_through_adpcm():
     assert feats["n_samples"] >= 600
     assert feats["peak"] > 8000  # sine amplitude mostly preserved
     assert feats["zero_crossings"] > 10
+
+
+def test_hypothesis_decode_total_on_random_blocks():
+    """decode_ima_adpcm never crashes on arbitrary well-framed blocks
+    (any nibble stream is valid IMA data) and output length is exact:
+    1 header sample + 2 per data byte per block."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        nblocks=st.integers(1, 3),
+        body=st.integers(1, 16),
+        data=st.data(),
+    )
+    def run(nblocks, body, data):
+        align = 4 + body
+        blob = bytearray()
+        for _ in range(nblocks):
+            pred = data.draw(st.integers(-32768, 32767))
+            idx = data.draw(st.integers(0, 88))
+            blob += struct.pack("<hBB", pred, idx, 0)
+            blob += bytes(
+                data.draw(st.lists(st.integers(0, 255), min_size=body,
+                                   max_size=body))
+            )
+        out = decode_ima_adpcm(bytes(blob), align)
+        assert len(out) == nblocks * (1 + 2 * body)
+        assert all(-32768 <= v <= 32767 for v in out)
+
+    run()

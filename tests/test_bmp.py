@@ -104,3 +104,27 @@ def test_resize_path_uses_real_pixels():
         bytes(box_downscale(to_gray(rgb, 3), w, h, ow, oh))
     ).hexdigest()
     assert row["thumb_md5"] == want
+
+
+def test_hypothesis_roundtrip_random_images():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        data=st.data(),
+    )
+    def run(w, h, data):
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        ww, hh, ch, px = decode_bmp(encode_bmp(w, h, rgb))
+        assert (ww, hh, ch, px) == (w, h, 3, rgb)
+
+    run()
