@@ -84,3 +84,84 @@ def q137_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.join(example, "template")
         .orderBy(F.col("n_msgs").desc(), "template")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q138 — per-template hourly anomaly (q137 ∘ q82)
+# ---------------------------------------------------------------------------
+#
+# The alerting query template mining exists FOR: baseline each
+# template's hourly message rate and flag hours whose count z-scores
+# past the threshold — "this template is suddenly 3x its normal rate".
+# Composition of q137's masking with q82's exact-integer-moment
+# z-score; hours come from ts_ms by integer floor-division (the
+# cross-engine floor rule: DuckDB `//`, Spark F.floor), so the entire
+# pipeline up to the final z division is exact integers.
+
+Z_THR = 2.0
+
+_Q138_ORACLE = f"""
+WITH syslog_lines AS ({_SYNTH_SQL}),
+parsed AS ({parse_syslog_sql("syslog_lines")}),
+hourly AS (
+  SELECT regexp_replace(message, {_MASK}, 'g') AS template,
+         CAST(ts_ms // 3600000 AS BIGINT) AS hour_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM parsed GROUP BY 1, 2
+), stats AS (
+  SELECT template,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(n) AS BIGINT) AS tot,
+         CAST(SUM(n * n) AS BIGINT) AS tot2
+  FROM hourly GROUP BY template
+)
+SELECT h.template, h.hour_idx * 3600000 AS hour_ms, h.n,
+       FLOOR((h.n - s.tot / CAST(s.m AS DOUBLE))
+             / sqrt((s.tot2 - s.tot * (s.tot / CAST(s.m AS DOUBLE)))
+                    / (s.m - 1)) * 10000 + 0.5) / 10000 AS z_q4
+FROM hourly h JOIN stats s ON h.template = s.template
+WHERE s.m > 1
+  AND s.tot2 * (s.m - 1) > s.tot * s.tot - s.tot2
+  AND ABS((h.n - s.tot / CAST(s.m AS DOUBLE))
+          / sqrt((s.tot2 - s.tot * (s.tot / CAST(s.m AS DOUBLE)))
+                 / (s.m - 1))) >= {Z_THR}
+ORDER BY h.template, hour_ms
+"""
+
+
+@query("q138_template_anomaly", oracle=_Q138_ORACLE)
+def q138_template_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _synth_syslog(spark, sf_dir)
+    parsed = parse_syslog(lines)
+    hourly = (
+        parsed.select(
+            F.regexp_replace("message", "[0-9]+", "#").alias("template"),
+            F.floor(F.col("ts_ms") / 3600000).cast("long").alias("hour_idx"),
+        )
+        .groupBy("template", "hour_idx")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = hourly.groupBy("template").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("tot2"),
+    )
+    mean = F.col("tot") / F.col("m").cast("double")
+    var = (F.col("tot2") - F.col("tot") * mean) / (F.col("m") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "template")
+        .filter(
+            (F.col("m") > 1)
+            & (F.col("tot2") * (F.col("m") - 1)
+               > F.col("tot") * F.col("tot") - F.col("tot2"))
+            & (F.abs(z) >= Z_THR)
+        )
+        .select(
+            "template",
+            (F.col("hour_idx") * 3600000).alias("hour_ms"),
+            "n",
+            (F.floor(z * 10000 + F.lit(0.5)) / 10000).alias("z_q4"),
+        )
+        .orderBy("template", "hour_ms")
+    )

@@ -620,3 +620,13 @@ def test_q137_log_templates_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in t, "example pick must map-side top-1"
+
+
+def test_q138_template_anomaly_plan(spark, sf_dir):
+    # (template, hour) hash-agg, template-stats hash-agg, stats
+    # broadcast back; z-scoring map-side; zero python, no cartesian.
+    f = facts(QUERIES["q138_template_anomaly"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "HashAggregate" in f.text
+    assert f.broadcast_join_count >= 1, "template stats must broadcast"
+    assert "CartesianProduct" not in f.text
