@@ -74,3 +74,5 @@ from kinesyslog_spark.queries import audio  # noqa: E402,F401
 from kinesyslog_spark.queries import curation  # noqa: E402,F401
 from kinesyslog_spark.queries import estimators  # noqa: E402,F401
 from kinesyslog_spark.queries import logmine  # noqa: E402,F401
+from kinesyslog_spark.queries import privacy  # noqa: E402,F401
+from kinesyslog_spark.queries import graph_ext  # noqa: E402,F401

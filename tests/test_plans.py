@@ -630,3 +630,28 @@ def test_q138_template_anomaly_plan(spark, sf_dir):
     assert "HashAggregate" in f.text
     assert f.broadcast_join_count >= 1, "template stats must broadcast"
     assert "CartesianProduct" not in f.text
+
+
+def test_q139_k_anonymity_plan(spark, sf_dir):
+    # One hash-agg builds the QI classes; risky classes + risky-customer
+    # keys broadcast into the orders probe — the fact table is streamed
+    # through broadcast hash joins, never shuffled on a join key.
+    f = facts(QUERIES["q139_k_anonymity"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
+    assert f.broadcast_join_count >= 2, (
+        "risky classes and risky-customer keys must broadcast"
+    )
+    assert "HashAggregate" in f.text
+
+
+def test_q140_triangle_count_plan(spark, sf_dir):
+    # Degree map broadcasts into the orientation; wedge + closing joins
+    # are equi-joins on u / (y, z) — no cartesian, no python, and no
+    # global single-partition window (orientation is a lexicographic
+    # comparison, not a materialized ROW_NUMBER rank).
+    f = facts(QUERIES["q140_triangle_count"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
+    assert f.broadcast_join_count >= 2, "degree map must broadcast"
+    assert "Window" not in f.text, "orientation must not materialize a rank"
