@@ -141,6 +141,20 @@ def _parser() -> argparse.ArgumentParser:
                     default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     cr.add_argument("--cpus", default=None)
 
+    pg = sub.add_parser(
+        "purge",
+        help="delete keys from a partitioned parquet table, rewriting "
+             "only the partitions that contain them (right-to-erasure; "
+             "see operators/purge.py)",
+    )
+    pg.add_argument("path", help="partitioned parquet table root")
+    pg.add_argument("--key-col", required=True, help="column holding the keys")
+    pg.add_argument("--keys", required=True,
+                    help="comma-separated key values (ints auto-detected)")
+    pg.add_argument("--part-cols", required=True,
+                    help="comma-separated partition columns of the layout")
+    pg.add_argument("--cpus", default=None)
+
     ex = sub.add_parser(
         "explain",
         help="print the formatted physical plan (and executed-plan node "
@@ -426,6 +440,23 @@ def explain_cmd(args) -> int:
     return 0
 
 
+def purge_cmd(args) -> int:
+    import json
+
+    from kinesyslog_spark.operators.purge import purge_keys
+    from kinesyslog_spark.session import get_spark
+
+    spark = get_spark("kinesyslog-spark-purge", cpus=args.cpus)
+    raw = [k for k in args.keys.split(",") if k]
+    keys = [int(k) if k.lstrip("-").isdigit() else k for k in raw]
+    stats = purge_keys(
+        spark, args.path, args.key_col, keys,
+        [c for c in args.part_cols.split(",") if c],
+    )
+    print(json.dumps(stats), flush=True)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _parser().parse_args(argv)
     if args.command == "listen":
@@ -444,6 +475,8 @@ def main(argv: list[str] | None = None) -> int:
         return zorder_cmd(args)
     if args.command == "corpus-report":
         return corpus_report_cmd(args)
+    if args.command == "purge":
+        return purge_cmd(args)
     if args.command == "explain":
         return explain_cmd(args)
     return 2
