@@ -120,3 +120,47 @@ def test_frame_sample_batches_real_path():
     assert real.iloc[0].frame_md5 == expect0
     # the stub path still emits rows for non-video payloads
     assert (out.doc_id == 2).sum() >= 1
+
+
+def test_dib_avi_roundtrip_and_scene_cuts():
+    from kinesyslog_spark.operators.avi import (
+        decode_dib,
+        encode_dib_avi,
+        scene_cut_l1,
+    )
+
+    W, H = 18, 16  # W*3 = 54 -> 2 pad bytes per row
+    def grad(g):
+        return bytes(b for y in range(H) for _ in range(W) for b in ((g + y) % 256,) * 3)
+
+    frames = [grad(10), grad(11), grad(120), grad(121)]
+    avi = encode_dib_avi(W, H, frames)
+    meta = parse_avi(avi)
+    assert (meta["codec"], meta["width"], meta["height"], meta["bpp"]) == (
+        "dib", W, H, 24,
+    )
+    assert meta["n_frames"] == 4
+    for i, fr in enumerate(meta["frames"]):
+        assert decode_dib(fr, W, H, 24) == frames[i]
+    # extract_frames takes the DIB path (no NotImplementedError)
+    got = extract_frames(avi, 2)
+    assert [g[0] for g in got] == [0, 2]
+    # histogram L1: delta 1 -> 2*W*1; delta 109 -> capped 2*W*H
+    assert scene_cut_l1(avi) == [
+        (1, 2 * W * 1), (2, 2 * W * H), (3, 2 * W * 1),
+    ]
+
+
+def test_decode_dib_8bit_and_truncated():
+    from kinesyslog_spark.operators.avi import decode_dib
+
+    # 8-bit: 5-wide rows pad to 8 bytes; bottom-up order
+    W, H = 5, 2
+    rows = [bytes(range(10, 15)) + b"\x00" * 3, bytes(range(20, 25)) + b"\x00" * 3]
+    frame = rows[1] + rows[0]  # bottom-up: last row stored first
+    rgb = decode_dib(frame, W, H, 8)
+    assert rgb[:3] == bytes((10, 10, 10)) and rgb[15:18] == bytes((20, 20, 20))
+    with pytest.raises(ValueError):
+        decode_dib(frame[:-1], W, H, 8)
+    with pytest.raises(NotImplementedError):
+        decode_dib(frame, W, H, 16)

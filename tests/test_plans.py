@@ -655,3 +655,13 @@ def test_q140_triangle_count_plan(spark, sf_dir):
     assert "CartesianProduct" not in f.text
     assert f.broadcast_join_count >= 2, "degree map must broadcast"
     assert "Window" not in f.text, "orientation must not materialize a rank"
+
+
+def test_q141_scene_cuts_plan(spark, sf_dir):
+    # Exactly the two intended Python stages (AVI synth + decode/
+    # histogram mapInPandas); threshold filter and ordering JVM-side;
+    # map-only until the tiny cut rows — no joins at all.
+    f = facts(QUERIES["q141_scene_cuts"](spark, sf_dir))
+    assert f.python_eval_count == 0, "no row-at-a-time Python"
+    assert f.text.count("MapInPandas") >= 2, "synth + detect are mapInPandas"
+    assert "Join" not in f.text
