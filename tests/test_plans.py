@@ -665,3 +665,14 @@ def test_q141_scene_cuts_plan(spark, sf_dir):
     assert f.python_eval_count == 0, "no row-at-a-time Python"
     assert f.text.count("MapInPandas") >= 2, "synth + detect are mapInPandas"
     assert "Join" not in f.text
+
+
+def test_q142_waiting_suppliers_plan(spark, sf_dir):
+    # The order profile must reuse the join's l_orderkey exchange (one
+    # fact shuffle + the tiny suppkey agg + final sort); supplier-name
+    # join broadcasts; no cartesian, no python.
+    f = facts(QUERIES["q142_waiting_suppliers"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
+    assert f.broadcast_join_count >= 1, "supplier names must broadcast"
+    assert f.exchange_count <= 4, f"blame pipeline over-shuffles:\n{f.text[:400]}"
