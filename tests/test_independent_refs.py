@@ -218,3 +218,134 @@ def test_q115_cms_vs_pure_python(spark, sf_dir):
         for r in QUERIES["q115_cms_frequencies"](spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# PQ / IVF-PQ (q105, q143): pure-Python replica of the exact-integer
+# Lloyd spec (semantic.py module doc), the ADC tables, and the coarse
+# routing — touching neither Spark nor DuckDB.
+# ---------------------------------------------------------------------------
+
+PQ_M, PQ_K, PQ_ITERS, PQ_TOPK, IVFPQ_NPROBE = 2, 8, 2, 10, 2
+_D2S, _CS = 1e10, 1e9
+
+
+def _qc(x: float) -> float:
+    return math.floor(x * _CS + 0.5) / _CS
+
+
+def _d2(v: list[float], c: list[float]) -> float:
+    s = 0.0
+    for x, cc in zip(v, c):
+        s += math.floor((x - cc) * (x - cc) * _D2S + 0.5)
+    return s
+
+
+def _lloyd(subs: list[tuple[int, list[float]]], k: int, iters: int):
+    """(assignments {vid: cid}, centroids [(cid, vec)]) per the exact
+    spec: seeds = k smallest vec_ids quantized; ties (d2, cid); update
+    c = floor(sum(floor(x*1e9+0.5))/n + 0.5)/1e9; no update after the
+    last assignment round."""
+    cents = [(i, [_qc(x) for x in e]) for i, (_vid, e) in enumerate(subs[:k])]
+    assign: dict[int, int] = {}
+    for it in range(iters):
+        assign = {
+            vid: min((_d2(e, c), cid) for cid, c in cents)[1]
+            for vid, e in subs
+        }
+        if it == iters - 1:
+            break
+        dim = len(subs[0][1])
+        acc: dict[int, list] = {}
+        for vid, e in subs:
+            cid = assign[vid]
+            a = acc.setdefault(cid, [[0, 0] for _ in range(dim)])
+            for d, x in enumerate(e):
+                a[d][0] += math.floor(x * _CS + 0.5)
+                a[d][1] += 1
+        cents = [
+            (cid, [math.floor(s / n + 0.5) / _CS for s, n in acc[cid]])
+            for cid in sorted(acc)
+        ]
+    return assign, cents
+
+
+def _pq_index(vecs):
+    dim = len(vecs[0][1])
+    subdim = dim // PQ_M
+    codes: dict[int, list[int]] = {v[0]: [] for v in vecs}
+    books = []
+    for m in range(PQ_M):
+        subs = [(vid, e[m * subdim:(m + 1) * subdim]) for vid, e, _ in vecs]
+        assign, cents = _lloyd(subs, PQ_K, PQ_ITERS)
+        for vid, _ in subs:
+            codes[vid].append(assign[vid])
+        books.append(cents)
+    return codes, books, subdim
+
+
+def _adc_tables(pemb, books, subdim):
+    return [
+        {cid: _d2(pemb[m * subdim:(m + 1) * subdim], c) for cid, c in books[m]}
+        for m in range(PQ_M)
+    ]
+
+
+def test_q105_pq_vs_pure_python(spark, sf_dir):
+    vecs = _load_embeddings(sf_dir)
+    codes, books, subdim = _pq_index(vecs)
+    expect = []
+    for pid, pemb, _ in vecs:
+        if pid >= N_PROBES:
+            continue
+        dts = _adc_tables(pemb, books, subdim)
+        scored = sorted(
+            (sum(dts[m][codes[vid][m]] for m in range(PQ_M)), vid)
+            for vid, _e, _l in vecs
+        )
+        for rank, (ad2, vid) in enumerate(scored[:PQ_TOPK], start=1):
+            expect.append((pid, vid, ad2, rank))
+    got = [
+        (r.pid, r.vec_id, r.ad2, r.rank)
+        for r in QUERIES["q105_pq_ann"](spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_q143_ivfpq_vs_pure_python(spark, sf_dir):
+    vecs = _load_embeddings(sf_dir)
+    norms = {vid: _norm(e) for vid, e, _ in vecs}
+    codes, books, subdim = _pq_index(vecs)
+    dim = len(vecs[0][1])
+    by_label: dict[int, list[list[float]]] = {}
+    for _vid, e, lab in vecs:
+        by_label.setdefault(lab, []).append(e)
+    cent = {
+        lab: [sum(e[d] for e in ms) / len(ms) for d in range(dim)]
+        for lab, ms in by_label.items()
+    }
+    cnorm = {lab: _norm(c) for lab, c in cent.items()}
+    expect = []
+    for pid, pemb, _ in vecs:
+        if pid >= N_PROBES:
+            continue
+        routed = sorted(
+            (
+                (-round4(_dot(pemb, c) / (norms[pid] * cnorm[lab])), lab)
+                for lab, c in cent.items()
+            )
+        )[:IVFPQ_NPROBE]
+        target = {lab for _, lab in routed}
+        dts = _adc_tables(pemb, books, subdim)
+        scored = sorted(
+            (sum(dts[m][codes[vid][m]] for m in range(PQ_M)), vid)
+            for vid, _e, lab in vecs
+            if lab in target and vid != pid
+        )
+        for rank, (ad2, vid) in enumerate(scored[:PQ_TOPK], start=1):
+            expect.append((pid, vid, ad2, rank))
+    got = [
+        (r.pid, r.vec_id, r.ad2, r.rank)
+        for r in QUERIES["q143_ivfpq_topk"](spark, sf_dir).collect()
+    ]
+    assert got == expect

@@ -676,3 +676,17 @@ def test_q142_waiting_suppliers_plan(spark, sf_dir):
     assert "CartesianProduct" not in f.text
     assert f.broadcast_join_count >= 1, "supplier names must broadcast"
     assert f.exchange_count <= 4, f"blame pipeline over-shuffles:\n{f.text[:400]}"
+
+
+def test_q143_ivfpq_plan(spark, sf_dir):
+    # Coarse centroids and routed probes (with their ADC tables) must
+    # broadcast into the code-list scan; scoring is map-side lookups;
+    # top-k ranks via WindowGroupLimit, never a global sort of scores.
+    f = facts(QUERIES["q143_ivfpq_topk"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.broadcast_any_count >= 2, "centroids + routed probes must broadcast"
+    t = (
+        QUERIES["q143_ivfpq_topk"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in t, "per-probe top-k must map-side limit"
