@@ -49,6 +49,7 @@ from kinesyslog_spark.queries.pq import (
     _adc_map,
     _pq_ctes,
 )
+from kinesyslog_spark.queries.semantic import _D2_SCALE
 from kinesyslog_spark.queries.semantic import kmeans_assignments, kmeans_centroids
 from kinesyslog_spark.tables import hot_vectors
 
@@ -162,4 +163,77 @@ def q143_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("pid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q144 — IVF-PQ recall@k against the exact (non-self) L2 ground truth:
+# the quality gate for the composed index, as q106 gates PQ alone. The
+# routing loss (neighbors living outside the nprobe lists) now shows up
+# in the recall number — the knob IVF tuning actually turns.
+# ---------------------------------------------------------------------------
+
+
+def _q144_oracle() -> str:
+    return f"""
+    WITH {_pq_ctes()},
+    exd AS (
+      SELECT p.pid, d.vec_id,
+             SUM(FLOOR((p.x - d.x) * (p.x - d.x) * {_D2_SCALE} + 0.5)) AS d2
+      FROM probes p JOIN dims d ON p.d = d.d AND d.vec_id <> p.pid
+      GROUP BY p.pid, d.vec_id
+    ),
+    ex AS (
+      SELECT pid, vec_id FROM (
+        SELECT pid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, vec_id) AS rn
+        FROM exd
+      ) WHERE rn <= {PQ_TOPK}
+    ),
+    pqk AS (
+      SELECT pid, vec_id FROM ({_q143_oracle()})
+    )
+    SELECT ex.pid,
+           CAST(COUNT(pqk.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(pqk.vec_id) AS DOUBLE) / {PQ_TOPK} AS recall
+    FROM ex LEFT JOIN pqk ON ex.pid = pqk.pid AND ex.vec_id = pqk.vec_id
+    GROUP BY ex.pid
+    ORDER BY ex.pid
+    """
+
+
+@query("q144_ivfpq_recall", oracle=_q144_oracle())
+def q144_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = hot_vectors(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("emb").alias("pemb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "pemb", "emb",
+            lambda x, y: F.floor((x - y) * (x - y) * F.lit(_D2_SCALE) + F.lit(0.5)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    exact = topk_per_key(
+        e.select("vec_id", "emb")
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "vec_id", d2.alias("d2")),
+        "pid", [F.asc("d2"), F.asc("vec_id")], PQ_TOPK,
+    ).select("pid", "vec_id")
+    pqk = q143_ivfpq_topk(spark, sf_dir).select(
+        "pid", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(pqk, ["pid", "vec_id"], "left_outer")
+        .groupBy("pid")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_overlap"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / PQ_TOPK
+            ).alias("recall"),
+        )
+        .orderBy("pid")
     )
