@@ -141,6 +141,17 @@ def _parser() -> argparse.ArgumentParser:
                     default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     cr.add_argument("--cpus", default=None)
 
+    pr = sub.add_parser(
+        "privacy-report",
+        help="materialize the privacy/compliance report (PII scrub "
+             "audit + k-anonymity risk classes) as parquet tables + "
+             "JSON summary",
+    )
+    pr.add_argument("out_dir", help="report artifact root")
+    pr.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    pr.add_argument("--cpus", default=None)
+
     pg = sub.add_parser(
         "purge",
         help="delete keys from a partitioned parquet table, rewriting "
@@ -440,6 +451,17 @@ def explain_cmd(args) -> int:
     return 0
 
 
+def privacy_report_cmd(args) -> int:
+    import json
+
+    from kinesyslog_spark.report import privacy_report
+    from kinesyslog_spark.session import get_spark
+
+    spark = get_spark("kinesyslog-spark-privacy", cpus=args.cpus)
+    print(json.dumps(privacy_report(spark, args.sf_dir, args.out_dir)), flush=True)
+    return 0
+
+
 def purge_cmd(args) -> int:
     import json
 
@@ -475,6 +497,8 @@ def main(argv: list[str] | None = None) -> int:
         return zorder_cmd(args)
     if args.command == "corpus-report":
         return corpus_report_cmd(args)
+    if args.command == "privacy-report":
+        return privacy_report_cmd(args)
     if args.command == "purge":
         return purge_cmd(args)
     if args.command == "explain":

@@ -73,3 +73,50 @@ def corpus_report(
         "hll_exact": hll["n_exact"],
         "repetition_flagged_docs": flagged,
     }
+
+
+def privacy_report(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, Any]:
+    """Privacy/compliance posture in one artifact tree: the PII scrub
+    audit (q41) and the k-anonymity risk audit (q139), with the
+    headline indicators an erasure/retention review needs. The purge
+    operator (operators/purge.py, `purge` CLI) is the remediation arm
+    of the same family."""
+    from pyspark.sql import functions as F
+
+    from kinesyslog_spark.queries import QUERIES
+
+    counts: dict[str, int] = {}
+    for qname, art in (
+        ("q41_pii_scrub", "pii_scrub"),
+        ("q139_k_anonymity", "k_anonymity"),
+    ):
+        QUERIES[qname](spark, sf_dir).write.mode("overwrite").parquet(
+            f"{out_dir}/{art}"
+        )
+        counts[art] = spark.read.parquet(f"{out_dir}/{art}").count()
+
+    pii = spark.read.parquet(f"{out_dir}/pii_scrub")
+    pii_totals = pii.agg(
+        F.sum("n_emails").alias("e"),
+        F.sum("n_ips").alias("i"),
+        F.sum("n_phones").alias("p"),
+    ).collect()[0]
+    ka = spark.read.parquet(f"{out_dir}/k_anonymity")
+    ka_sum = ka.agg(
+        F.count(F.lit(1)).alias("classes"),
+        F.sum("class_n").alias("people"),
+        F.sum("n_orders").alias("orders"),
+        F.min("class_n").alias("worst"),
+    ).collect()[0]
+    return {
+        "tables": counts,
+        "pii_emails": int(pii_totals["e"]),
+        "pii_ips": int(pii_totals["i"]),
+        "pii_phones": int(pii_totals["p"]),
+        "risky_classes": int(ka_sum["classes"]),
+        "risky_customers": int(ka_sum["people"] or 0),
+        "exposed_orders": int(ka_sum["orders"] or 0),
+        "smallest_class": int(ka_sum["worst"] or 0),
+    }

@@ -109,3 +109,17 @@ def test_affected_partitions_discovery(spark, tmp_path):
     table = read_partitioned(spark, path)
     parts = affected_partitions(table, "user_id", [99], ["event_date"])
     assert [str(p["event_date"]) for p in parts] == ["2024-01-04"]
+
+
+def test_privacy_report_artifacts(spark, sf_dir, tmp_path):
+    from kinesyslog_spark.report import privacy_report
+
+    out = str(tmp_path / "privacy")
+    summary = privacy_report(spark, sf_dir, out)
+    assert summary["tables"] == {
+        "pii_scrub": spark.read.parquet(f"{out}/pii_scrub").count(),
+        "k_anonymity": spark.read.parquet(f"{out}/k_anonymity").count(),
+    }
+    assert summary["pii_emails"] == summary["tables"]["pii_scrub"]  # one planted each
+    assert summary["risky_classes"] == summary["tables"]["k_anonymity"]
+    assert summary["smallest_class"] >= 1
