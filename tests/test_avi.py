@@ -164,3 +164,41 @@ def test_decode_dib_8bit_and_truncated():
         decode_dib(frame[:-1], W, H, 8)
     with pytest.raises(NotImplementedError):
         decode_dib(frame, W, H, 16)
+
+
+def test_hypothesis_dib_avi_roundtrip_random_videos():
+    """Random multi-frame RGB videos survive the full container
+    roundtrip: encode_dib_avi -> parse_avi -> decode_dib is the
+    identity on pixels, dims, and frame count/order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesyslog_spark.operators.avi import decode_dib, encode_dib_avi
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 10),
+        h=st.integers(1, 8),
+        nf=st.integers(1, 4),
+        data=st.data(),
+    )
+    def run(w, h, nf, data):
+        frames = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=w * h * 3,
+                        max_size=w * h * 3,
+                    )
+                )
+            )
+            for _ in range(nf)
+        ]
+        meta = parse_avi(encode_dib_avi(w, h, frames))
+        assert (meta["width"], meta["height"], meta["bpp"]) == (w, h, 24)
+        assert meta["n_frames"] == nf
+        for i, fr in enumerate(meta["frames"]):
+            assert decode_dib(fr, w, h, 24) == frames[i]
+
+    run()
