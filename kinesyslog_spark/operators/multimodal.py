@@ -26,9 +26,28 @@ batching, partition behavior) is real either way.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
+
+# What a corrupt-but-magic-byte-plausible payload can raise inside the
+# pure-Python decoders (PNG/GIF/JPEG/BMP/WAV/AVI): explicit validation
+# errors (ValueError), documented format seams (NotImplementedError),
+# truncated header reads (struct.error), short pixel/sample buffers
+# (IndexError), and damaged deflate streams (zlib.error). The "a bad
+# blob must never kill the query" contract means every decode dispatch
+# site catches exactly this tuple and falls through to its stub/skip
+# path (round-4 ADVICE: struct.error from a truncated payload was
+# killing the Spark task, and in streaming the whole query).
+DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    struct.error,
+    IndexError,
+    zlib.error,
+    EOFError,
+)
 
 META_SCHEMA = (
     "doc_id long, modality string, n_bytes long, "
@@ -348,7 +367,7 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "thumb_md5": hashlib.md5(thumb).hexdigest(),
                     })
                     continue
-                except (ValueError, NotImplementedError):
+                except DECODE_ERRORS:
                     pass  # malformed/unsupported: fall through to stub
             meta = fake_decode_meta(raw, d)
             rows.append({
@@ -393,7 +412,7 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                             "frame_md5": hashlib.md5(px).hexdigest(),
                         })
                     continue
-                except (ValueError, NotImplementedError):
+                except DECODE_ERRORS:
                     pass  # malformed/non-MJPEG: fall through to stub
             n = len(raw)
             k = n % 4 + 1

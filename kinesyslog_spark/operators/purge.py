@@ -67,17 +67,47 @@ def affected_partitions(
 
 def _partition_predicate(parts: list[dict], part_cols: list[str]):
     """OR-of-ANDs over partition columns — Catalyst turns this into
-    PartitionFilters, pruning every unaffected directory."""
+    PartitionFilters, pruning every unaffected directory. eqNullSafe so
+    a NULL partition value (__HIVE_DEFAULT_PARTITION__ directory)
+    matches instead of vanishing from the rewrite (round-4 ADVICE)."""
     return functools.reduce(
         operator.or_,
         (
             functools.reduce(
                 operator.and_,
-                (F.col(c) == F.lit(p[c]) for c in part_cols),
+                (F.col(c).eqNullSafe(F.lit(p[c])) for c in part_cols),
             )
             for p in parts
         ),
     )
+
+
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_path_segment(spark: SparkSession, col: str, value) -> str:
+    """One `col=value` path segment escaped EXACTLY as Spark's committer
+    writes it: delegate to ExternalCatalogUtils.getPartitionPathString
+    (Hive path escaping, '%XX' for '/', ':', '#', control chars, …;
+    null/empty value → __HIVE_DEFAULT_PARTITION__). Building the raw
+    f"{col}={value}" string instead deleted the WRONG (or no) directory
+    for values with slashes or spaces — and this path feeds a recursive
+    delete (round-4 ADVICE)."""
+    sval = None if value is None else str(value)
+    try:
+        return spark._jvm.org.apache.spark.sql.catalyst.catalog.\
+            ExternalCatalogUtils.getPartitionPathString(col, sval)
+    except Exception:
+        # very defensive fallback: replicate the Hive escaping rules
+        if sval is None or sval == "":
+            return f"{col}={_HIVE_DEFAULT_PARTITION}"
+        needs = set('"#%\'*/:=?\\{[]^') | {chr(i) for i in range(0x20)} | {
+            chr(0x7F)
+        }
+        esc = "".join(
+            f"%{ord(ch):02X}" if ch in needs else ch for ch in sval
+        )
+        return f"{col}={esc}"
 
 
 def _delete_dir(spark: SparkSession, path: str) -> None:
@@ -141,7 +171,9 @@ def purge_keys(
     for p in parts:
         key = tuple(str(p[c]) for c in part_cols)
         if counts.get(key, (0, 0))[1] == 0:
-            leaf = "/".join(f"{c}={p[c]}" for c in part_cols)
+            leaf = "/".join(
+                _partition_path_segment(spark, c, p[c]) for c in part_cols
+            )
             _delete_dir(spark, f"{path}/{leaf}")
             dropped += 1
 

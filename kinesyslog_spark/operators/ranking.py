@@ -1,0 +1,207 @@
+"""Scale-safe global ordering primitives (distributed ROW_NUMBER / NTILE).
+
+Spark executes an unpartitioned window (``Window.orderBy(...)`` with no
+``partitionBy``) as a SINGLE-partition WindowExec: every row of the input
+moves to one task (the runtime even warns "No Partition Defined for Window
+operation! Moving all data to a single partition"). That is fine for a
+16-row aggregate and fatal for a 100 TB fact table. These helpers provide
+the same semantics with a distributed plan:
+
+``with_global_rank(df, order_cols)``
+    Distributed ``ROW_NUMBER() OVER (ORDER BY order_cols)``:
+
+    1. ONE driver-side sampling pass (``takeSample`` over the
+       column-pruned order keys, driver-bounded at <= 128k tuples) picks
+       P-1 LITERAL boundary tuples — a manual range partitioner.
+    2. ``__gr_pid`` = number of boundaries strictly below the row's key
+       (a single JVM-side ``aggregate`` over the literal boundary array;
+       lexicographic struct comparison). Because the boundaries are
+       literals, pid is a PURE FUNCTION of the row: any subtree may
+       recompute the scan and still agree. (The first cut of this module
+       used repartitionByRange + spark_partition_id and relied on
+       exchange reuse for the offset/rank subtrees to see the same
+       sampled boundaries — Spark did NOT reuse the exchange, so each
+       subtree re-sampled its own boundaries: a latent wrong-ranks bug
+       at any scale where the sample is partial. Literal boundaries
+       remove the consistency requirement instead of pinning it.)
+    3. local rank: ``row_number()`` windowed BY ``__gr_pid`` — P distinct
+       keys, one balanced range-bucket per task, never a single task.
+    4. exclusive prefix offsets: a P-row count aggregate joined to itself
+       (broadcast non-equi), never an unpartitioned window — so plan
+       tests can assert zero unpartitioned window nodes wholesale.
+    5. broadcast the P-row offset table back: ``rank = offset + local``.
+
+``with_ntile(df, order_cols, n)``
+    SQL ``NTILE(n) OVER (ORDER BY order_cols)`` by closed-form bucket
+    arithmetic over the global rank — exactly SQL's tie semantics: with
+    ``total`` rows, the first ``total % n`` buckets get ``total/n + 1``
+    rows, the rest ``total/n``.
+
+Balance caveat: rows whose FULL key tuple collides go to one bucket (SQL
+ROW_NUMBER makes their relative order arbitrary, but a mega-tie is a hot
+bucket) — pass a high-cardinality tie-break column (e.g. the row id) as
+the last order col, exactly as you would for a deterministic ORDER BY.
+NULL order keys sort into bucket 0, matching ASC NULLS FIRST.
+
+Reference parity: no reference analog (kinesyslog is a single-process
+engine where global order is free); this module exists because the
+Spark-first plan must not collapse to one task at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SAMPLE_SEED = 8675309
+_MAX_SAMPLE = 131072
+
+
+def _boundary_tuples(
+    df: DataFrame, order_cols: list[str], num_partitions: int
+) -> list[tuple]:
+    """P-1 boundary key tuples from a bounded driver-side sample
+    (column-pruned scan; <= _MAX_SAMPLE rows ever reach the driver)."""
+    if num_partitions <= 1:
+        return []
+    target = min(max(num_partitions * 64, 1024), _MAX_SAMPLE)
+    sample = df.select(*order_cols).rdd.takeSample(False, target, _SAMPLE_SEED)
+    # Null keys compare NULLS FIRST into bucket 0; keep boundaries non-null
+    # so the lexicographic Python sort below is well-defined.
+    keys = sorted(
+        tuple(r) for r in sample if all(v is not None for v in r)
+    )
+    if not keys:
+        return []
+    bounds: list[tuple] = []
+    seen: set[tuple] = set()
+    for i in range(1, num_partitions):
+        t = keys[min(len(keys) - 1, (i * len(keys)) // num_partitions)]
+        if t not in seen:
+            seen.add(t)
+            bounds.append(t)
+    return bounds
+
+
+def _pid_expr(
+    df: DataFrame, order_cols: list[str], bounds: list[tuple]
+) -> Column:
+    """Bucket id = #boundaries strictly below the row's key — one JVM
+    `aggregate` over a literal struct array, lexicographic struct compare
+    (field names/types aligned on both sides so Spark accepts the
+    comparison). Pure function of the row: recomputation-safe."""
+    if not bounds:
+        return F.lit(0)
+    types = [f.dataType for f in df.select(*order_cols).schema.fields]
+    key = F.struct(
+        *[F.col(c).alias(f"c{j}") for j, c in enumerate(order_cols)]
+    )
+    barr = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(v).cast(types[j]).alias(f"c{j}")
+                    for j, v in enumerate(b)
+                ]
+            )
+            for b in bounds
+        ]
+    )
+    return F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(key > b, 1).otherwise(0),
+    )
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "grank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + a 1-based ``rank_col`` = ROW_NUMBER() over the global order of
+    ``order_cols`` (string column names), computed without any
+    single-partition WindowExec. Ties on the full key tuple receive
+    arbitrary relative order, same as SQL ROW_NUMBER."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    bounds = _boundary_tuples(df, order_cols, num_partitions)
+    local = df.withColumn(
+        "__gr_pid", _pid_expr(df, order_cols, bounds).cast("int")
+    ).withColumn(
+        "__gr_lrank",
+        F.row_number().over(
+            Window.partitionBy("__gr_pid").orderBy(*order_cols)
+        ),
+    )
+    pc = local.groupBy("__gr_pid").agg(
+        F.count(F.lit(1)).alias("__gr_cnt")
+    )
+    prev = pc.select(
+        F.col("__gr_pid").alias("__gr_pid2"),
+        F.col("__gr_cnt").alias("__gr_cnt2"),
+    )
+    offs = (
+        pc.join(
+            F.broadcast(prev), F.col("__gr_pid2") < F.col("__gr_pid"), "left"
+        )
+        .groupBy("__gr_pid")
+        .agg(F.coalesce(F.sum("__gr_cnt2"), F.lit(0)).alias("__gr_off"))
+    )
+    return (
+        local.join(F.broadcast(offs), "__gr_pid")
+        .withColumn(
+            rank_col, (F.col("__gr_off") + F.col("__gr_lrank")).cast("long")
+        )
+        .drop("__gr_pid", "__gr_lrank", "__gr_off")
+    )
+
+
+def total_count_frame(ranked_or_df: DataFrame, rank_col: str) -> DataFrame:
+    """1-row frame with the total row count, derived from the max rank."""
+    return ranked_or_df.agg(F.max(rank_col).cast("long").alias("__gr_total"))
+
+
+def ntile_from_rank(
+    rank: Column, total: Column, n: int, out_type: str = "long"
+) -> Column:
+    """SQL NTILE(n) bucket for a 1-based global ``rank`` given ``total``
+    rows — pure integer arithmetic, no window."""
+    base = F.floor(total / n).cast("long")
+    rem = (total % n).cast("long")
+    cut = rem * (base + 1)
+    bucket = F.when(
+        rank <= cut, F.floor((rank - 1) / (base + 1)) + 1
+    ).otherwise(
+        rem + F.floor((rank - cut - 1) / F.greatest(base, F.lit(1))) + 1
+    )
+    return bucket.cast(out_type)
+
+
+def with_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    ntile_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``ntile_col`` = NTILE(n) OVER (ORDER BY order_cols), scale-safe.
+
+    The total row count rides a 1-row broadcast."""
+    ranked = with_global_rank(
+        df, order_cols, rank_col="__gr_rank", num_partitions=num_partitions
+    )
+    tot = total_count_frame(ranked, "__gr_rank")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            ntile_col,
+            ntile_from_rank(F.col("__gr_rank"), F.col("__gr_total"), n),
+        )
+        .drop("__gr_rank", "__gr_total")
+    )

@@ -9,8 +9,10 @@ adds NO new semantics, only composition + storage):
    cluster keeps its best-q31-quality member (q107's survivor rule,
    tie-break min doc_id).
 3. CUT     — q125's ExactSubstr application: duplicated >= k-token
-   spans removed inside the survivors (`clean_text` column; Lee et
-   al.'s NearDup + ExactSubstr recipe, both halves).
+   spans detected over and removed inside the SURVIVING set (`clean_text`
+   column; Lee et al.'s NearDup + ExactSubstr recipe, both halves —
+   span detection runs post-filter/post-dedup so content shared only
+   with dropped near-dup twins is not cut).
 4. WEIGHT  — q103's DSIR importance weight attached per document
    (downstream mixture sampling reads it off the artifact).
 5. SHARD   — q84's curriculum order (token-count proxy, unique
@@ -35,6 +37,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesyslog_spark.operators.ranking import with_ntile
 from kinesyslog_spark.queries.cluster import q40_dedup_clusters
 from kinesyslog_spark.queries.dsir import q103_dsir_weights
 from kinesyslog_spark.queries.llm import q31_quality_score
@@ -79,9 +82,12 @@ def run_pipeline(
 
     # 3. ExactSubstr cut (q125's operator): remove duplicated >= k-token
     # spans INSIDE the surviving documents — Lee et al.'s full recipe is
-    # NearDup across docs (stage 2) + ExactSubstr within what remains.
+    # NearDup across docs (stage 2) + ExactSubstr within WHAT REMAINS, so
+    # duplicate detection runs on the post-filter/post-dedup set (spans
+    # shared only between a survivor and its dropped twins are NOT dups
+    # of the surviving corpus — round-4 ADVICE fix).
     # clean_text carries the cut token stream; text stays for provenance.
-    cut = cut_spans(docs).select(
+    cut = cut_spans(kept).select(
         "doc_id",
         F.array_join("kept", " ").alias("clean_text"),
         (F.col("n_tokens") - F.size("kept")).cast("long")
@@ -99,15 +105,15 @@ def run_pipeline(
         "dsir_weight", F.coalesce("dsir_weight", F.lit(0.0))
     )
 
-    # 5. curriculum shard assignment (q84's order)
+    # 5. curriculum shard assignment (q84's order) — distributed NTILE
+    # (operators/ranking.py two-pass), never a single-partition window.
     toks = hot_tokens(spark, sf_dir).select("doc_id", F.size("toks").alias("n_tokens"))
-    sharded = (
+    sharded = with_ntile(
         kept.join(toks, "doc_id", "left")
-        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
-        .withColumn(
-            "shard",
-            F.ntile(n_shards).over(Window.orderBy("n_tokens", "doc_id")).cast("long"),
-        )
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0))),
+        ["n_tokens", "doc_id"],
+        n_shards,
+        "shard",
     )
 
     # 6. shard-partitioned artifact

@@ -112,8 +112,8 @@ def facts(df: DataFrame) -> PlanFacts:
 # ---------------------------------------------------------------------------
 
 
-def executed_node_names(df: DataFrame) -> list[str]:
-    """Class names of the physical nodes that actually execute.
+def _walk_executed(df: DataFrame, visit) -> None:
+    """Walk the executed physical plan, calling visit(cls_name, node).
 
     AQE / query-stage shells unwrap to their contained plan; each cached
     InMemoryRelation's build plan is descended into exactly ONCE (it ran
@@ -121,12 +121,11 @@ def executed_node_names(df: DataFrame) -> list[str]:
     explain text instead re-prints the full subtree under every
     reference, which is how an iterative query's report ballooned to
     1497 phantom broadcast joins."""
-    out: list[str] = []
     seen_relations: set[int] = set()
 
     def walk(node) -> None:
         cls = node.getClass().getSimpleName()
-        out.append(cls)
+        visit(cls, node)
         if cls.startswith("InMemoryTableScan"):
             rel = node.relation()
             h = rel.hashCode()
@@ -145,7 +144,32 @@ def executed_node_names(df: DataFrame) -> list[str]:
             walk(it.next())
 
     walk(df._jdf.queryExecution().executedPlan())
+
+
+def executed_node_names(df: DataFrame) -> list[str]:
+    """Class names of the physical nodes that actually execute."""
+    out: list[str] = []
+    _walk_executed(df, lambda cls, node: out.append(cls))
     return out
+
+
+_WINDOW_NODES = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Window-family physical nodes executing with an EMPTY partition
+    spec — Spark's 'Moving all data to a single partition' plan, the
+    scale-killer the round-4 verdict flagged on q84/q135. A query whose
+    global-order semantics are intended must route through
+    operators/ranking.py instead; this returning 0 is the pin."""
+    hits: list[str] = []
+
+    def visit(cls, node):
+        if cls in _WINDOW_NODES and node.partitionSpec().isEmpty():
+            hits.append(cls)
+
+    _walk_executed(df, visit)
+    return len(hits)
 
 
 @dataclass

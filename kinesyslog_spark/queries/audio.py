@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.multimodal import DECODE_ERRORS
 from kinesyslog_spark.operators.wav import audio_features, encode_wav
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.tables import load_table
@@ -82,7 +83,7 @@ def audio_feature_batches(
         for d, p in zip(pdf["doc_id"], pdf["payload"]):
             try:
                 f = audio_features(bytes(p))
-            except (ValueError, NotImplementedError):
+            except DECODE_ERRORS:
                 continue
             rows.append({
                 "doc_id": d,

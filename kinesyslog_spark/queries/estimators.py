@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesyslog_spark.operators.ranking import with_global_rank
 from kinesyslog_spark.operators.text import md5_int60
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.relational import _t
@@ -190,12 +191,16 @@ def q135_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bkt")
     )
     hist = b.groupBy("bkt").agg(F.count("*").alias("c"))
-    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
-    wp = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    cum = hist.select(
-        "bkt", "c",
-        F.sum("c").over(w).alias("cum"),
-        F.coalesce(F.sum("c").over(wp), F.lit(0)).alias("cum_prev"),
+    # Cumulative counts over the (<= N_BUCKETS)-row histogram via a
+    # broadcast non-equi self-join instead of an unpartitioned window —
+    # the input is bounded by the constant anyway, but this keeps the
+    # whole plan free of single-partition WindowExec nodes (pinned).
+    h2 = hist.select(F.col("bkt").alias("bkt2"), F.col("c").alias("c2"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("bkt2") <= F.col("bkt"))
+        .groupBy("bkt", "c")
+        .agg(F.sum("c2").alias("cum"))
+        .withColumn("cum_prev", F.col("cum") - F.col("c"))
     )
     probs = spark.createDataFrame([(p,) for p in Q_PROBS], "p double")
     pick = (
@@ -222,7 +227,11 @@ def q135_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_q"),
         )
     )
-    rn = v.select("x", F.row_number().over(Window.orderBy("x")).alias("rn"))
+    # Exact-verify arm: distributed global rank (operators/ranking.py) —
+    # an unpartitioned row_number() window would move the whole corpus to
+    # ONE task (round-4 verdict's q135 scale-killer). Ties on x rank
+    # arbitrarily, which is value-identical for quantile lookup.
+    rn = with_global_rank(v, ["x"], "rn").select("x", "rn")
     kcol = F.floor(F.col("p") * (F.col("n") - 1))
     pk = probs.crossJoin(F.broadcast(mm.select("n"))).select(
         "p", "n",

@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.multimodal import DECODE_ERRORS
 from kinesyslog_spark.operators.png import (
     box_downscale,
     decode_png,
@@ -129,7 +130,7 @@ def phash_block_batches(
         for d, p in zip(pdf["doc_id"], pdf["payload"]):
             try:
                 w, h, ch, px = decode_png(bytes(p))
-            except (ValueError, NotImplementedError):
+            except DECODE_ERRORS:
                 continue
             gray = to_gray(px, ch)
             if (w, h) != (32, 32):

@@ -239,11 +239,14 @@ def cut_spans(docs: DataFrame, k: int = SUBSTR_K,
             F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)"),
         ),
     )
+    # sequence(0, -1) on a tokenless doc yields the DESCENDING [0, -1]
+    # and element_at(ts, 1) then errors at runtime (same hazard as
+    # curation._grams) — guard the empty case to a typed empty slice.
     kept = F.expr(
-        "transform("
+        "CASE WHEN size(ts) <= 0 THEN slice(ts, 1, 0) ELSE transform("
         "  filter(sequence(0, size(ts) - 1),"
         "         i -> NOT exists(sp, p -> i >= p.s AND i < p.e)),"
-        "  i -> element_at(ts, i + 1))"
+        "  i -> element_at(ts, i + 1)) END"
     )
     return joined.select(
         "doc_id",

@@ -17,9 +17,12 @@ job.
 Scale posture (100 TB / continuous):
 - The eval-gram set broadcasts (same argument as q42's scale note); the
   per-batch gram stream is never shuffled across batches.
-- Scoring is per-batch-bounded work; sink appends are idempotent per
-  epoch via the checkpoint (foreachBatch exactly-once-per-epoch
-  contract, same as streaming/relay.py).
+- Scoring is per-batch-bounded work; the sink is idempotent per epoch:
+  each micro-batch OVERWRITES its own epoch_id partition directory, so
+  a foreachBatch retry after a partial write replaces its output
+  instead of appending duplicates (same fix as streaming/dsir.py —
+  foreachBatch alone only guarantees at-least-once re-invocation, a
+  blind append would duplicate rows on retry).
 
 Reference parity: none (no corpus surface in the reference); streaming
 counterpart of SURVEY §2b q42. Parity-tested against the batch twin.
@@ -75,17 +78,28 @@ def score_batch(batch: DataFrame, eval_grams: DataFrame,
     )
 
 
+def make_fold(eval_grams: DataFrame, out_dir: str, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """The foreachBatch body, exposed so the retry contract is directly
+    testable: re-invoking with the SAME epoch_id (what foreachBatch does
+    after a mid-write failure) must leave exactly one copy of the
+    epoch's rows — each epoch overwrites its own partition directory."""
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        out = score_batch(batch, eval_grams, text_col, id_col)
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch_id={epoch_id}")
+
+    return fold
+
+
 def streaming_decontam(docs: DataFrame, eval_grams: DataFrame, out_dir: str,
                        checkpoint_dir: str, text_col: str = "text",
                        id_col: str = "doc_id",
                        trigger: str = "1 second") -> StreamingQuery:
-    """Score a streaming document frame continuously; scored rows append
-    to `out_dir` as parquet."""
-
-    def fold(batch: DataFrame, epoch_id: int) -> None:
-        out = score_batch(batch, eval_grams, text_col, id_col)
-        out.write.mode("append").parquet(out_dir)
-
+    """Score a streaming document frame continuously; scored rows land
+    under `out_dir` as parquet, one epoch_id partition per micro-batch
+    (exactly-once: retried epochs overwrite their own directory)."""
+    fold = make_fold(eval_grams, out_dir, text_col, id_col)
     return (
         docs.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)

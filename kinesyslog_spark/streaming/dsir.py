@@ -77,24 +77,32 @@ def score_batch(
     return score_feature_buckets(doc_feature_buckets(toks), lam)
 
 
+def make_fold(lam: DataFrame, out_dir: str, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """The foreachBatch body, exposed for direct retry-contract tests.
+
+    Idempotent per epoch: each micro-batch owns its epoch_id
+    subdirectory and OVERWRITES it, so a retried epoch replaces its own
+    partial output instead of appending duplicates. Readers see epoch_id
+    as a discovered partition column under out_dir."""
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        score_batch(batch, lam, text_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/epoch_id={epoch_id}")
+
+    return fold
+
+
 def streaming_dsir(
     docs: DataFrame, lam: DataFrame, out_dir: str, checkpoint_dir: str,
     text_col: str = "text", id_col: str = "doc_id",
     trigger: str = "1 second",
 ) -> StreamingQuery:
     """Score a streaming document frame continuously; weighted rows
-    append to `out_dir` as parquet."""
-
-    def fold(batch: DataFrame, epoch_id: int) -> None:
-        # Idempotent per epoch: each micro-batch owns its epoch_id
-        # subdirectory and OVERWRITES it, so a retried epoch replaces
-        # its own partial output instead of appending duplicates.
-        # Readers see epoch_id as a discovered partition column under
-        # out_dir.
-        score_batch(batch, lam, text_col, id_col).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/epoch_id={epoch_id}")
-
+    land under `out_dir` as parquet, one epoch_id partition per
+    micro-batch (retried epochs overwrite their own directory)."""
+    fold = make_fold(lam, out_dir, text_col, id_col)
     return (
         docs.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)

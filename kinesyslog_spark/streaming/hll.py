@@ -23,8 +23,6 @@ Reference parity: none; streaming counterpart of q134
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -76,6 +74,50 @@ def estimate(spark: SparkSession, regs: DataFrame) -> float:
     return HLL_ALPHA * HLL_M * HLL_M * (1 << 55) / zs
 
 
+def _state_fs(spark: SparkSession, state_dir: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _list_state_epochs(spark: SparkSession, state_dir: str) -> list[int]:
+    """Epoch numbers of COMPLETE (_SUCCESS-marked) register snapshots
+    under state_dir, via the Hadoop FS API (local/HDFS/object store)."""
+    fs, jpath = _state_fs(spark, state_dir)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("epoch=")):
+            continue
+        try:
+            n = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        jvm = spark._jvm
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            out.append(n)
+    return sorted(out)
+
+
+def _latest_state_epoch(spark: SparkSession, state_dir: str) -> int | None:
+    epochs = _list_state_epochs(spark, state_dir)
+    return epochs[-1] if epochs else None
+
+
+def _prune_state_epochs(spark: SparkSession, state_dir: str, keep: int) -> None:
+    """Best-effort drop of snapshots older than `keep` — a failed delete
+    only leaves extra history (latest-wins read ignores it)."""
+    fs, _ = _state_fs(spark, state_dir)
+    jvm = spark._jvm
+    for n in _list_state_epochs(spark, state_dir):
+        if n < keep:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{state_dir}/epoch={n}"), True
+            )
+
+
 def streaming_hll(
     docs: DataFrame,
     key_col: str,
@@ -85,29 +127,35 @@ def streaming_hll(
     trigger: str = "1 second",
 ) -> StreamingQuery:
     """Fold a key stream into the register state continuously; after
-    each epoch the running estimate appends under out_dir/epoch_id=N
-    and the merged registers replace state_dir (write-then-rename so a
-    mid-write crash leaves the previous state readable)."""
+    each epoch the running estimate lands under out_dir/epoch_id=N and
+    the merged registers are written as an EPOCH-VERSIONED snapshot
+    under state_dir/epoch=N, resolved at read time by latest-complete
+    (_SUCCESS) epoch. No rename choreography: a crash at any point
+    leaves the previous complete snapshot readable (the round-4 ADVICE
+    two-step-rename could strand a state-less window and a stale .prev
+    that broke the NEXT rotation), a retried epoch overwrites its own
+    snapshot (MAX-merge makes the re-merge idempotent anyway), and
+    stale snapshots are pruned best-effort through the Hadoop
+    FileSystem API — so state_dir may live on HDFS/object storage,
+    matching the checkpointed-stream posture, not just the driver's
+    local disk."""
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         new = batch_registers(batch, key_col)
-        if os.path.isdir(state_dir):
-            merged = merge_registers(spark.read.parquet(state_dir), new)
+        latest = _latest_state_epoch(spark, state_dir)
+        if latest is not None:
+            merged = merge_registers(
+                spark.read.parquet(f"{state_dir}/epoch={latest}"), new
+            )
         else:
             merged = new
         rows = merged.collect()  # HLL_M rows max — driver-size by design
         out = spark.createDataFrame(rows, "j long, m_j int")
-        tmp = state_dir + ".next"
-        out.coalesce(1).write.mode("overwrite").parquet(tmp)
-        prev = state_dir + ".prev"
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, prev)
-        os.rename(tmp, state_dir)
-        if os.path.isdir(prev):
-            import shutil
-
-            shutil.rmtree(prev)
+        out.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/epoch={epoch_id}"
+        )
+        _prune_state_epochs(spark, state_dir, keep=int(epoch_id))
         est = estimate(spark, out)
         spark.createDataFrame(
             [(int(epoch_id), float(est))], "epoch long, est_raw double"

@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from kinesyslog_spark.operators.multimodal import DECODE_ERRORS
+
 HAM_T = 7               # q124's threshold; keeps the pigeonhole guarantee
 MAX_BUCKET_STATE = 64   # FIFO cap per block bucket
 
@@ -67,7 +69,7 @@ def phash_banded_batches(
         for i, p in zip(pdf["img_id"], pdf["payload"]):
             try:
                 w, h, ch, px = decode_png(bytes(p))
-            except (ValueError, NotImplementedError):
+            except DECODE_ERRORS:
                 continue
             gray = to_gray(px, ch)
             if (w, h) != (32, 32):

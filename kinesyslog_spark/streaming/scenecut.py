@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from kinesyslog_spark.operators.multimodal import DECODE_ERRORS
+
 HIST_SCHEMA = "vid_id long, frame_idx long, hist array<long>"
 CUT_SCHEMA = "vid_id long, frame_idx long, l1 long"
 _STATE_SCHEMA = "last_idx long, hist array<long>"
@@ -58,7 +60,7 @@ def frame_hist_batches(
         ):
             try:
                 rgb = decode_dib(bytes(frame), int(w), int(h), int(bpp))
-            except (ValueError, NotImplementedError):
+            except DECODE_ERRORS:
                 continue
             gray = np.frombuffer(to_gray(rgb, 3), dtype=np.uint8)
             ids.append(int(vid))

@@ -88,21 +88,30 @@ def test_explain_cli(spark, sf_dir, capsys):
 
 
 def test_pipeline_exactsubstr_cut_stage(spark, sf_dir, tmp_path):
-    """The artifact carries clean_text with q125's spans removed and the
-    cut totals agree with the q125 operator on the kept set."""
+    """The artifact carries clean_text with ExactSubstr spans computed on
+    the SURVIVING set (Lee et al.'s 'within what remains' — spans shared
+    only with filtered/deduped-away docs must NOT be cut; round-4 ADVICE
+    fix), and the cut totals agree with cut_spans over that set."""
+    from kinesyslog_spark.queries.substring import cut_spans
+    from kinesyslog_spark.tables import hot_table
+
     out = str(tmp_path / "corpus_cut")
     stats = run_pipeline(spark, sf_dir, out, n_shards=2)
     table = read_partitioned(spark, out)
     rows = table.select("doc_id", "text", "clean_text",
                         "dup_tokens_cut").collect()
     assert rows and stats["n_tokens_cut"] >= 0
-    q125 = {
-        r.doc_id: (r.dup_tokens, r.kept_tokens)
-        for r in QUERIES["q125_substring_dedup_apply"](spark, sf_dir).collect()
+    kept_ids = [r.doc_id for r in rows]
+    surviving = hot_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isin(kept_ids)
+    )
+    expected = {
+        r.doc_id: (r.n_tokens - len(r.kept), len(r.kept))
+        for r in cut_spans(surviving).collect()
     }
     total_cut = 0
     for r in rows:
-        dup, kept_n = q125[r.doc_id]
+        dup, kept_n = expected[r.doc_id]
         assert r.dup_tokens_cut == dup
         assert len(r.clean_text.split()) == (kept_n if kept_n else 0) or (
             r.clean_text == "" and kept_n == 0

@@ -4,7 +4,7 @@ that works at sf0.01 but not at scale."""
 
 from __future__ import annotations
 
-from kinesyslog_spark.plans.checks import facts
+from kinesyslog_spark.plans.checks import facts, unpartitioned_window_count
 from kinesyslog_spark.queries import QUERIES
 
 
@@ -240,11 +240,35 @@ def test_q83_bpe_single_corpus_pass(spark, sf_dir):
 
 
 def test_q84_range_partitioned_sort(spark, sf_dir):
-    # NTILE over the global order must be a range-partitioned sort (no
-    # single-partition window), and the roll-up stays JVM-side.
-    f = facts(QUERIES["q84_curriculum_shards"](spark, sf_dir))
+    # NTILE over the global order must run as the distributed two-pass
+    # (literal-boundary bucketing + per-bucket windows + broadcast
+    # offsets, operators/ranking.py): ZERO unpartitioned window-family
+    # nodes may execute. Roll-up stays JVM-side.
+    df = QUERIES["q84_curriculum_shards"](spark, sf_dir)
+    f = facts(df)
     assert f.python_eval_count == 0
     assert "CartesianProduct" not in f.text
+    assert "hashpartitioning(__gr_pid" in f.text, (
+        "rank must bucket on the literal-boundary pid"
+    )
+    df.count()  # materialize so AQE finalizes the executed plan
+    assert unpartitioned_window_count(df) == 0, (
+        "global NTILE degraded to a single-partition WindowExec"
+    )
+
+
+def test_q135_no_global_window(spark, sf_dir):
+    # The exact-verify arm must use the distributed global rank, and the
+    # histogram cumulatives the broadcast self-join — no window-family
+    # node anywhere in the executed plan may have an empty partition
+    # spec (round-4 verdict fix).
+    df = QUERIES["q135_histogram_quantiles"](spark, sf_dir)
+    f = facts(df)
+    assert f.python_eval_count == 0
+    df.count()
+    assert unpartitioned_window_count(df) == 0, (
+        "q135 moved corpus rows to a single-partition window"
+    )
 
 
 def test_q87_map_only_topk(spark, sf_dir):

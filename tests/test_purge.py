@@ -123,3 +123,40 @@ def test_privacy_report_artifacts(spark, sf_dir, tmp_path):
     assert summary["pii_emails"] == summary["tables"]["pii_scrub"]  # one planted each
     assert summary["risky_classes"] == summary["tables"]["k_anonymity"]
     assert summary["smallest_class"] >= 1
+
+
+def test_purge_escaped_partition_values(spark, tmp_path):
+    """Partition values with '/', spaces, and ':' must purge the RIGHT
+    directory (Hive path escaping, same as Spark's committer), and a
+    fully-purged escaped partition's directory is dropped — not a
+    sibling's (round-4 ADVICE: raw f-string paths fed a recursive
+    delete)."""
+    import os
+
+    from kinesyslog_spark.operators.purge import (
+        _partition_path_segment,
+        purge_keys,
+    )
+
+    path = str(tmp_path / "tbl")
+    rows = [
+        (1, "a/b"), (2, "a/b"),       # slash — escapes to a%2Fb
+        (3, "plain"), (4, "plain"),
+        (5, "x y:z"),                  # space + colon
+    ]
+    df = spark.createDataFrame(rows, "user_id long, src string")
+    df.write.mode("overwrite").partitionBy("src").parquet(path)
+    seg = _partition_path_segment(spark, "src", "a/b")
+    assert "/" not in seg.split("=", 1)[1], seg
+    assert os.path.isdir(os.path.join(path, seg))
+
+    # purge every row of the slash partition + one row of 'plain'
+    stats = purge_keys(spark, path, "user_id", [1, 2, 3], ["src"])
+    assert stats["rows_deleted"] == 3
+    assert stats["partitions_dropped"] == 1
+    assert not os.path.isdir(os.path.join(path, seg)), (
+        "escaped directory must be the one dropped"
+    )
+    left = spark.read.parquet(path)
+    got = {(r.user_id, r.src) for r in left.collect()}
+    assert got == {(4, "plain"), (5, "x y:z")}

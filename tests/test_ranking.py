@@ -1,0 +1,126 @@
+"""operators/ranking.py — distributed ROW_NUMBER/NTILE parity + plan pins.
+
+The helper exists so global-order queries (q84, q135, pipeline SHARD
+stage) never execute a single-partition WindowExec; these tests pin both
+halves: exact tie-semantics parity with Spark's own window functions on
+a small frame, and the executed-plan shape (range exchange, reuse, zero
+unpartitioned windows)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesyslog_spark.operators.ranking import (
+    ntile_from_rank,
+    with_global_rank,
+    with_ntile,
+)
+from kinesyslog_spark.plans.checks import facts, unpartitioned_window_count
+
+
+def _frame(spark, n=3000, seed=11, card=80):
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, card)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(6)
+
+
+def test_global_rank_matches_row_number(spark):
+    df = _frame(spark)
+    got = with_global_rank(df, ["n_tokens", "doc_id"], "rn").select("doc_id", "rn")
+    ref = df.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("n_tokens", "doc_id")).alias("rn"),
+    )
+    assert (
+        ref.alias("a").join(got.alias("b"), "doc_id")
+        .filter("a.rn <> b.rn").count() == 0
+    )
+
+
+def test_ntile_matches_sql_ntile_all_bucket_counts(spark):
+    # Closed-form bucket arithmetic must replicate SQL NTILE tie
+    # semantics for totals that are/aren't multiples of n, and n > total.
+    for n_rows, n_buckets in [(997, 16), (1024, 16), (5, 16), (100, 7)]:
+        df = _frame(spark, n=n_rows)
+        got = with_ntile(df, ["n_tokens", "doc_id"], n_buckets, "b").select(
+            "doc_id", "b"
+        )
+        ref = df.select(
+            "doc_id",
+            F.ntile(n_buckets)
+            .over(Window.orderBy("n_tokens", "doc_id"))
+            .cast("long")
+            .alias("b"),
+        )
+        assert (
+            ref.alias("a").join(got.alias("b"), "doc_id")
+            .filter("a.b <> b.b").count() == 0
+        ), f"NTILE mismatch at n_rows={n_rows} n_buckets={n_buckets}"
+
+
+def test_ties_yield_rank_permutation(spark):
+    # Heavy ties on the order key: ranks must still be a 1..n permutation
+    # (ties stay inside one range partition, so no rank collisions).
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(500)], "doc_id long, x long"
+    )
+    vals = sorted(
+        r.rn for r in with_global_rank(df, ["x"], "rn").select("rn").collect()
+    )
+    assert vals == list(range(1, 501))
+
+
+def test_empty_frame(spark):
+    df = spark.createDataFrame([], "doc_id long, x long")
+    assert with_ntile(df, ["x"], 8, "b").count() == 0
+
+
+def test_plan_has_no_unpartitioned_window(spark):
+    df = _frame(spark)
+    out = with_ntile(df, ["n_tokens", "doc_id"], 16, "b")
+    f = facts(out)
+    # the local-rank window must hash-partition on the literal-boundary
+    # bucket id, never run partitionless
+    assert "hashpartitioning(__gr_pid" in f.text
+    out.count()
+    assert unpartitioned_window_count(out) == 0
+
+
+def test_boundaries_balance_buckets(spark):
+    # literal sampled boundaries must spread a uniform frame across many
+    # buckets with no mega-bucket (the whole point vs one global task)
+    from kinesyslog_spark.operators.ranking import _boundary_tuples, _pid_expr
+
+    df = _frame(spark, n=20000, card=5000)
+    bounds = _boundary_tuples(df, ["n_tokens", "doc_id"], 16)
+    assert len(bounds) >= 8
+    counts = [
+        r.c
+        for r in df.withColumn(
+            "pid", _pid_expr(df, ["n_tokens", "doc_id"], bounds)
+        )
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert sum(counts) == 20000
+    assert max(counts) <= 4 * (20000 // len(counts)), (
+        f"hot bucket: {sorted(counts)}"
+    )
+
+
+def test_rank_consistent_under_recomputation(spark):
+    # pid is a pure function of the row (literal boundaries), so the
+    # offset subtree and the rank subtree agree even though Spark does
+    # NOT reuse the exchange between them. Pin: ranks of a non-cached,
+    # multiply-recomputed input form an exact permutation and match
+    # row_number on a second evaluation.
+    df = _frame(spark, n=5000, seed=3, card=200)
+    ranked = with_global_rank(df, ["n_tokens", "doc_id"], "rn")
+    first = {r.doc_id: r.rn for r in ranked.collect()}
+    second = {r.doc_id: r.rn for r in ranked.collect()}
+    assert first == second
+    assert sorted(first.values()) == list(range(1, 5001))

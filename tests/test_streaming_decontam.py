@@ -94,3 +94,32 @@ def test_streaming_matches_batch_twin(spark, tmp_path):
     assert got[1]["contaminated"] == 1 and got[4]["contaminated"] == 1
     assert got[2]["contaminated"] == 0 and got[3]["contaminated"] == 0
     grams.unpersist()
+
+
+def test_fold_retry_is_exactly_once(spark, tmp_path):
+    """foreachBatch re-invokes the SAME epoch after a failure; a retried
+    epoch must replace its own output, not append duplicates (round-4
+    verdict: W15 claimed exactly-once over a blind append)."""
+    from kinesyslog_spark.streaming.decontam import make_fold
+
+    eval_df = spark.createDataFrame([(0, EVAL_TEXT)], "doc_id long, text string")
+    grams = build_eval_grams(eval_df).persist()
+    grams.count()
+    out = str(tmp_path / "scored")
+    fold = make_fold(grams, out)
+    b1 = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in (_doc(1, True), _doc(2, False))],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in (_doc(3, True),)],
+        "doc_id long, text string",
+    )
+    fold(b1, 0)
+    fold(b1, 0)  # simulated retry of the same epoch
+    fold(b2, 1)
+    fold(b2, 1)
+    got = spark.read.parquet(out)
+    assert got.count() == 3, "retried epochs duplicated rows"
+    assert {r.doc_id for r in got.collect()} == {1, 2, 3}
+    grams.unpersist()

@@ -97,3 +97,22 @@ def test_streaming_matches_batch_twin(spark, tmp_path):
     assert got[1]["dsir_weight"] > got[2]["dsir_weight"]
     assert got[4]["dsir_weight"] > got[3]["dsir_weight"]
     lam.unpersist()
+
+
+def test_fold_retry_is_exactly_once(spark, tmp_path):
+    """Retried epochs overwrite their own epoch_id partition — no
+    duplicate scored rows after a simulated foreachBatch re-invocation."""
+    from kinesyslog_spark.streaming.dsir import make_fold
+
+    lam = build_dsir_artifact(_ref_corpus(spark)).persist()
+    lam.count()
+    out = str(tmp_path / "scored")
+    fold = make_fold(lam, out)
+    b1 = spark.createDataFrame(
+        [_doc(1, True), _doc(2, False)], "doc_id long, text string"
+    )
+    fold(b1, 5)
+    fold(b1, 5)  # simulated retry
+    got = spark.read.parquet(out)
+    assert got.count() == 2, "retried epoch duplicated rows"
+    lam.unpersist()

@@ -98,3 +98,39 @@ def test_streaming_replay(spark, tmp_path):
     } == {(r["j"], r["m_j"]) for r in twin.collect()}
     final_est = max(got, key=lambda r: r["epoch"])["est_raw"]
     assert abs(final_est - estimate(spark, twin)) < 1e-9
+
+
+def test_state_rotation_crash_safe(spark, tmp_path):
+    """Epoch-versioned snapshots: a crash between epochs can never
+    strand a missing state_dir (round-4 ADVICE: the old two-step rename
+    could), a stale older snapshot is ignored by latest-wins and pruned
+    on the next fold, and a retried epoch overwrites its own snapshot."""
+    from kinesyslog_spark.streaming.hll import (
+        _latest_state_epoch,
+        _prune_state_epochs,
+        batch_registers,
+        merge_registers,
+    )
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+    r1 = batch_registers(b1, "k")
+    r1.coalesce(1).write.mode("overwrite").parquet(f"{state}/epoch=0")
+    assert _latest_state_epoch(spark, state) == 0
+    # epoch 1 written; simulated crash BEFORE prune: both snapshots exist
+    b2 = spark.createDataFrame([(f"m{i}",) for i in range(50)], "k string")
+    merged = merge_registers(spark.read.parquet(f"{state}/epoch=0"),
+                             batch_registers(b2, "k"))
+    merged.coalesce(1).write.mode("overwrite").parquet(f"{state}/epoch=1")
+    assert _latest_state_epoch(spark, state) == 1  # latest-complete wins
+    # retry of epoch 1 (same data) overwrites its own snapshot: no error,
+    # same registers (MAX-merge idempotence)
+    before = {(r.j, r.m_j) for r in spark.read.parquet(f"{state}/epoch=1").collect()}
+    merged.coalesce(1).write.mode("overwrite").parquet(f"{state}/epoch=1")
+    after = {(r.j, r.m_j) for r in spark.read.parquet(f"{state}/epoch=1").collect()}
+    assert before == after
+    # next fold prunes the stale epoch 0
+    _prune_state_epochs(spark, state, keep=1)
+    import os
+    assert not os.path.isdir(f"{state}/epoch=0")
+    assert _latest_state_epoch(spark, state) == 1
