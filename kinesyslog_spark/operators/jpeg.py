@@ -11,8 +11,14 @@ Scope (and the documented seam that remains):
   grayscale or 3-component YCbCr with sampling factors in {1, 2}
   (4:4:4, 4:2:2, 4:1:1, 4:2:0), interleaved single-scan images,
   restart intervals.
-- Progressive (SOF2), arithmetic coding (SOF9+), 12-bit, and CMYK
-  raise NotImplementedError — named, not silently wrong.
+- SOF2 progressive (round-5): multi-scan coefficient accumulation with
+  spectral selection AND successive approximation — DC first/refine
+  (two's-complement bit append per T.81 G.1.2.1), AC first/refine
+  (EOBRUN + the magnitude correction-bit algorithm, G.1.2.3),
+  interleaved DC scans and single-component AC scans, restart
+  intervals resetting predictors and EOB run.
+- Arithmetic coding (SOF9+), 12-bit, and CMYK raise
+  NotImplementedError — named, not silently wrong.
 
 Determinism: the IDCT is the separable float form evaluated in a fixed
 loop order with one final round-half-away + clamp per sample; every
@@ -177,6 +183,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None
+    coefs = None
+    saw_scan = False
     i = 2
     while i + 4 <= len(buf):
         if buf[i] != 0xFF:
@@ -219,7 +227,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 j += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit samples")
@@ -234,9 +242,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(f"sampling {hs}x{vs}")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG")
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                coefs = _alloc_coefs(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"SOF marker 0x{marker:02x}")
@@ -245,16 +254,238 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = {}
+            order = []
             for c in range(ns):
                 cs, td_ta = seg[1 + 2 * c:3 + 2 * c]
                 scan[cs] = (td_ta >> 4, td_ta & 0x0F)
+                order.append(cs)
             data_start = i + 2 + seg_len
-            return _decode_scan(
-                buf[data_start:], frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    buf[data_start:], frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            data_end = _entropy_end(buf, data_start)
+            _decode_progressive_scan(
+                buf[data_start:data_end], frame, order, scan,
+                ss, se, ah_al >> 4, ah_al & 0x0F,
+                coefs, huff_dc, huff_ac, restart_interval,
             )
+            saw_scan = True
+            i = data_end
+            continue
         i += 2 + seg_len
+    if frame is not None and frame.get("progressive") and saw_scan:
+        return _assemble_progressive(frame, coefs, qt)
     raise ValueError("no scan found")
+
+
+def _entropy_end(buf: bytes, pos: int) -> int:
+    """First offset >= pos of a marker that terminates entropy data
+    (anything but stuffed 0xFF00 and RSTn)."""
+    i = pos
+    n = len(buf)
+    while i + 1 < n:
+        if buf[i] == 0xFF and buf[i + 1] != 0x00 and not (
+            0xD0 <= buf[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return n
+
+
+def _comp_geometry(frame: dict, c: dict) -> tuple[int, int, int, int]:
+    """(padded_blocks_w, padded_blocks_h, true_blocks_w, true_blocks_h)
+    for one component — padded to full MCUs (interleaved traversal),
+    true counts for non-interleaved scans (T.81 A.2.2)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch = (h * c["v"] + vmax - 1) // vmax
+    return (mcux * c["h"], mcuy * c["v"],
+            (cw + 7) // 8, (ch + 7) // 8)
+
+
+def _alloc_coefs(frame: dict) -> list[list[list[int]]]:
+    """Per component: padded_blocks_w x padded_blocks_h coefficient
+    blocks (natural order, NOT dequantized) accumulated across scans."""
+    out = []
+    for c in frame["comps"]:
+        pbw, pbh, _, _ = _comp_geometry(frame, c)
+        out.append([[0] * 64 for _ in range(pbw * pbh)])
+    return out
+
+
+def _decode_progressive_scan(
+    data, frame, order, scan, ss, se, ah, al,
+    coefs, huff_dc, huff_ac, restart_interval,
+):
+    comps = frame["comps"]
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    r = _BitReader(bytes(data))
+    state = {"eobrun": 0}
+    pred = [0] * len(comps)
+
+    def dc_block(ci, blk):
+        if ah == 0:
+            td = scan[comps[ci]["id"]][0]
+            t = _decode_huff(r, huff_dc[td])
+            pred[ci] += _extend(r.read_bits(t), t)
+            blk[0] = pred[ci] << al
+        elif r.read_bit():
+            blk[0] |= 1 << al  # two's-complement bit append (G.1.2.1)
+
+    def ac_first(ci, blk):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        ta = scan[comps[ci]["id"]][1]
+        tbl = huff_ac[ta]
+        k = ss
+        while k <= se:
+            rs = _decode_huff(r, tbl)
+            rr, sz = rs >> 4, rs & 0x0F
+            if sz == 0:
+                if rr < 15:
+                    state["eobrun"] = (1 << rr) - 1
+                    if rr:
+                        state["eobrun"] += r.read_bits(rr)
+                    return
+                k += 16  # ZRL
+            else:
+                k += rr
+                if k > se:
+                    raise ValueError("AC index overflow")
+                blk[ZIGZAG[k]] = _extend(r.read_bits(sz), sz) << al
+                k += 1
+
+    def ac_refine(ci, blk):
+        # T.81 G.1.2.3 correction-bit algorithm (libjpeg jdphuff form)
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(z):
+            if r.read_bit() and (blk[z] & p1) == 0:
+                blk[z] += p1 if blk[z] > 0 else m1
+
+        ta = scan[comps[ci]["id"]][1]
+        tbl = huff_ac[ta]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _decode_huff(r, tbl)
+                rr, sz = rs >> 4, rs & 0x0F
+                val = 0
+                if sz == 0:
+                    if rr < 15:
+                        state["eobrun"] = 1 << rr
+                        if rr:
+                            state["eobrun"] += r.read_bits(rr)
+                        break
+                    # rr == 15: skip 16 zero-history coefficients
+                elif sz == 1:
+                    val = p1 if r.read_bit() else m1
+                else:
+                    raise ValueError("bad AC refinement size")
+                while k <= se:
+                    z = ZIGZAG[k]
+                    if blk[z] != 0:
+                        correct(z)
+                    else:
+                        if rr == 0:
+                            if val:
+                                blk[z] = val
+                            k += 1
+                            break
+                        rr -= 1
+                    k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z] != 0:
+                    correct(z)
+                k += 1
+            state["eobrun"] -= 1
+
+    def unit(ci, blk):
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            dc_block(ci, blk)
+        else:
+            if ah == 0:
+                ac_first(ci, blk)
+            else:
+                ac_refine(ci, blk)
+
+    def restart():
+        r.sync_restart()
+        pred[:] = [0] * len(comps)
+        state["eobrun"] = 0
+
+    if len(order) == 1:
+        ci, c = by_id[order[0]]
+        pbw, _, tbw, tbh = _comp_geometry(frame, c)
+        n = 0
+        for byy in range(tbh):
+            for bxx in range(tbw):
+                if restart_interval and n and n % restart_interval == 0:
+                    restart()
+                unit(ci, coefs[ci][byy * pbw + bxx])
+                n += 1
+    else:
+        hmax = max(x["h"] for x in comps)
+        vmax = max(x["v"] for x in comps)
+        mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n and n % restart_interval == 0:
+                    restart()
+                for cid in order:
+                    ci, c = by_id[cid]
+                    pbw = _comp_geometry(frame, c)[0]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = ((my * c["v"] + by) * pbw
+                                   + mx * c["h"] + bx)
+                            unit(ci, coefs[ci][idx])
+                n += 1
+
+
+def _assemble_progressive(frame, coefs, qt):
+    """Dequantize + IDCT the accumulated coefficient blocks, then run the
+    same plane-assembly as the baseline path."""
+    comps = frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        pbw, pbh, _, _ = _comp_geometry(frame, c)
+        q = qt[c["tq"]]
+        pw = pbw * 8
+        plane = bytearray(pw * pbh * 8)
+        for bi, raw in enumerate(coefs[ci]):
+            # stored in natural order; quant table is in zigzag order
+            deq = [0] * 64
+            for k in range(64):
+                z = ZIGZAG[k]
+                if raw[z]:
+                    deq[z] = raw[z] * q[k]
+            block = _idct_block(deq)
+            ox = (bi % pbw) * 8
+            oy = (bi // pbw) * 8
+            for yy in range(8):
+                row = (oy + yy) * pw + ox
+                plane[row:row + 8] = bytes(block[yy * 8:yy * 8 + 8])
+        planes.append(plane)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    return _assemble(frame, planes, mcux)
 
 
 def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
@@ -313,6 +544,15 @@ def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                                 block[yy * 8:yy * 8 + 8]
                             )
             mcu_count += 1
+    return _assemble(frame, planes, mcux)
+
+
+def _assemble(frame, planes, mcux):
+    """Crop/upsample decoded sample planes into the output pixel buffer
+    (shared by the baseline and progressive paths)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     if len(comps) == 1:
         pw = mcux * 8
         gray = bytearray(w * h)

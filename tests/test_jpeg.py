@@ -346,10 +346,15 @@ def test_non_multiple_of_8_dims():
 def test_unsupported_raise():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not jpeg")
-    # progressive SOF2
+    # arithmetic coding SOF9 stays behind the named seam
+    arith = (b"\xff\xd8\xff\xc9" + struct.pack(">H", 11)
+             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(arith + b"\xff\xd9")
+    # progressive SOF2 with no scan at all is malformed, not unsupported
     prog = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(prog + b"\xff\xd9")
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # no frame/scan
