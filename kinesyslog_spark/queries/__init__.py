@@ -79,3 +79,5 @@ from kinesyslog_spark.queries import graph_ext  # noqa: E402,F401
 from kinesyslog_spark.queries import scenecut  # noqa: E402,F401
 from kinesyslog_spark.queries import relational_final  # noqa: E402,F401
 from kinesyslog_spark.queries import ivfpq  # noqa: E402,F401
+from kinesyslog_spark.queries import quality_audit  # noqa: E402,F401
+from kinesyslog_spark.queries import mmr  # noqa: E402,F401

@@ -101,8 +101,17 @@ def _list_state_epochs(spark: SparkSession, state_dir: str) -> list[int]:
     return sorted(out)
 
 
-def _latest_state_epoch(spark: SparkSession, state_dir: str) -> int | None:
+def _latest_state_epoch(
+    spark: SparkSession, state_dir: str, before: int | None = None
+) -> int | None:
+    """Latest complete snapshot epoch; with ``before``, the latest one
+    STRICTLY below it — what a retried epoch must read so it re-merges
+    into its predecessor's state, not its own partial attempt (HLL's
+    MAX-merge is retry-idempotent either way, but SUM-merging consumers
+    like streaming/quality.py are not)."""
     epochs = _list_state_epochs(spark, state_dir)
+    if before is not None:
+        epochs = [e for e in epochs if e < before]
     return epochs[-1] if epochs else None
 
 

@@ -714,3 +714,34 @@ def test_q143_ivfpq_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in t, "per-probe top-k must map-side limit"
+
+
+def test_q145_single_pass_audits(spark, sf_dir):
+    # every table contributes ONE aggregate pass; the FK check is a
+    # broadcast anti-join; report stacking is literal explode — zero
+    # python, no cartesian of fact tables (1-row frames cross fine).
+    f = facts(QUERIES["q145_data_quality_audit"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "HashAggregate" in f.text
+    assert "BroadcastHashJoin LeftAnti" in f.text or (
+        "LeftAnti, BuildRight" in f.text
+    ), "orphan check must broadcast the customer key side"
+
+
+def test_q146_grouped_hll_hash_agg(spark, sf_dir):
+    f = facts(QUERIES["q146_grouped_hll_merge"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.sort_aggregate_count == 0, "register build must hash-agg"
+    assert "CartesianProduct" not in f.text
+
+
+def test_q147_mmr_distributed_argmax(spark, sf_dir):
+    # the candidate pool build must broadcast the probe and pick top-N
+    # via TakeOrderedAndProject; each greedy round is the same shape
+    # (exercised by running the query; here we pin the candidate stage).
+    from kinesyslog_spark.queries.mmr import _candidates
+
+    f = facts(_candidates(spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.broadcast_any_count >= 1, "probe must broadcast"
+    assert "TakeOrderedAndProject" in f.text, "top-N must not global-sort"
