@@ -745,3 +745,14 @@ def test_q147_mmr_distributed_argmax(spark, sf_dir):
     assert f.python_eval_count == 0
     assert f.broadcast_any_count >= 1, "probe must broadcast"
     assert "TakeOrderedAndProject" in f.text, "top-N must not global-sort"
+
+
+def test_q148_anchor_broadcast_topk(spark, sf_dir):
+    # anchors broadcast into ONE corpus scan; per-(anchor, class) top-1
+    # compiles to WindowGroupLimit (map-side rank<=1 before exchange).
+    df = QUERIES["q148_hard_negatives"](spark, sf_dir)
+    f = facts(df)
+    assert f.python_eval_count == 0
+    assert f.broadcast_any_count >= 1, "anchor batch must broadcast"
+    t = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in t, "top-1 must map-side limit"
