@@ -106,15 +106,22 @@ def run_pipeline(
     )
 
     # 5. curriculum shard assignment (q84's order) — distributed NTILE
-    # (operators/ranking.py two-pass), never a single-partition window.
+    # (operators/ranking.py), never a single-partition window. Rank on
+    # the NARROW (doc_id, n_tokens) projection and join the shard map
+    # back: with_ntile's boundary-sampling pass re-executes its input,
+    # and re-running the CUT/WEIGHT stages for two columns would double
+    # the pipeline cost (the left joins can't be pruned away because
+    # Catalyst can't prove the right sides are unique-keyed).
     toks = hot_tokens(spark, sf_dir).select("doc_id", F.size("toks").alias("n_tokens"))
-    sharded = with_ntile(
-        kept.join(toks, "doc_id", "left")
-        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0))),
-        ["n_tokens", "doc_id"],
-        n_shards,
-        "shard",
+    order_base = (
+        kept.select("doc_id")
+        .join(toks, "doc_id", "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
     )
+    shard_map = with_ntile(
+        order_base, ["n_tokens", "doc_id"], n_shards, "shard"
+    )
+    sharded = kept.join(shard_map, "doc_id")
 
     # 6. shard-partitioned artifact
     write_partitioned(sharded, out_dir, ["shard"], sort_within=["doc_id"])
