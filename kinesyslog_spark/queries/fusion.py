@@ -26,12 +26,14 @@ Chunk content compares as an md5 hex STRING (operators/text.py rule).
 
 Scale notes (100 TB posture):
 - q89: both input rankings are already global top-k (per-partition top-k
-  + tiny driver merge); the fusion join touches ≤2k rows. The final
-  window ranks a ≤top-k-sized set — bounded, not a global sort.
+  + tiny driver merge); the fusion join touches ≤2k rows. Rank
+  assignment over the ≤top-k sets is the window-free broadcast
+  self-join (small_frame_rank) — zero unpartitioned window nodes.
 - q90: the orderkey join co-partitions two big tables on their join key
   (one shuffle each); bin expansion is per-row and bounded by the
   fulfillment window (weeks spanned), then the week aggregate combines
-  map-side. No spine broadcast, no cross join.
+  map-side; the week-spine prefix sums are a broadcast self-join over
+  the calendar-bounded spine (a few hundred rows).
 - q91: map-only over the tokenized corpus (hot_tokens); expansion factor
   is ceil(doc_len/stride) rows per doc, each a bounded slice. No shuffle
   at all beyond the output ordering.
@@ -46,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from kinesyslog_spark.operators.ranking import small_frame_rank
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.llm import EMB_DIM
 from kinesyslog_spark.queries.retrieval import _q68_oracle, q68_bm25_topk
@@ -114,17 +117,17 @@ def _q89_oracle() -> str:
 
 @query("q89_hybrid_rrf", oracle=_q89_oracle())
 def q89_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Lexical list: the q68 BM25 top-k plan, re-ranked 1..k. The windows
-    # below run over already-top-k-bounded sets (<= 20 rows) — a single
-    # tiny partition by construction, not a global sort.
+    # Lexical list: the q68 BM25 top-k plan, re-ranked 1..k. Both rank
+    # assignments below run over already-top-k-bounded sets (<= 20
+    # rows); they use the window-free broadcast self-join rank so the
+    # engine-wide "zero unpartitioned window nodes" invariant holds
+    # (tests/test_plans.py::test_registry_has_no_unpartitioned_windows).
     lex = q68_bm25_topk(spark, sf_dir)
-    lexr = lex.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
-        .cast("long")
-        .alias("lex_rank"),
-    )
+    lexr = small_frame_rank(
+        lex.select("doc_id", "bm25"),
+        [("bm25", "desc"), ("doc_id", "asc")],
+        "lex_rank",
+    ).select("doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
 
     # Dense list: brute-force cosine vs one broadcast probe (q21 shape).
     emb = hot_vectors(spark, sf_dir)
@@ -144,17 +147,11 @@ def q89_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot / (F.col("pnorm") * F.col("nrm")), 4).alias("cos"),
         )
     )
-    denser = (
-        sim.orderBy(F.desc("cos"), F.asc("doc_id"))
-        .limit(RRF_DENSE_TOPK)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(W.orderBy(F.desc("cos"), F.asc("doc_id")))
-            .cast("long")
-            .alias("dense_rank"),
-        )
-    )
+    denser = small_frame_rank(
+        sim.orderBy(F.desc("cos"), F.asc("doc_id")).limit(RRF_DENSE_TOPK),
+        [("cos", "desc"), ("doc_id", "asc")],
+        "dense_rank",
+    ).select("doc_id", F.col("dense_rank").cast("long").alias("dense_rank"))
 
     rrf = _fq(
         F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
@@ -205,9 +202,9 @@ def q90_range_join_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # faster at sf0.1. Distinct-order counts sweep exactly as well:
     # every lineitem of an order shares ws (= trunc(o_orderdate)), so a
     # per-order coverage union is the contiguous [ws, max(we)].
-    # The final cumulative window is single-partition BY DESIGN: its
-    # input is the week spine — calendar-sized (one row per week of
-    # history), not data-sized.
+    # The final prefix sum runs over the week spine — calendar-sized
+    # (one row per week of history), not data-sized — as a forward
+    # explode + hash aggregate (never an unpartitioned window).
     week = 7 * 24 * 3600 * 1000  # one week in ms
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -238,10 +235,17 @@ def q90_range_join_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bounds = j.agg(F.min("ws").alias("mn"), F.max("we").alias("mx"))
     spine = bounds.select(
-        F.explode(F.sequence("mn", "mx", F.lit(week).cast("long"))).alias("week_ms")
+        F.explode(F.sequence("mn", "mx", F.lit(week).cast("long"))).alias(
+            "week_ms"
+        ),
+        "mx",  # carried so the forward explode needs no extra join
     )
-    w = W.orderBy("week_ms").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
+    # Running prefix sums by the SAME bin-replication strategy as the
+    # join itself: every delta row explodes forward to all weeks it
+    # affects (bounded by the calendar span, a few hundred bins), then
+    # one hash aggregate on the week — no unpartitioned window, no
+    # nested-loop join anywhere in the plan.
+    deltas_wk = (
         spine.join(
             li_d.withColumnRenamed("d", "dl"), spine.week_ms == li_d.wk, "left"
         ).drop("wk")
@@ -250,8 +254,23 @@ def q90_range_join_inflight(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).drop("wk")
         .select(
             "week_ms",
-            F.sum(F.coalesce("dl", F.lit(0))).over(w).alias("n_inflight"),
-            F.sum(F.coalesce("do", F.lit(0))).over(w).alias("n_orders"),
+            "mx",
+            F.coalesce("dl", F.lit(0)).alias("dl"),
+            F.coalesce("do", F.lit(0)).alias("do"),
+        )
+    )
+    fwd = deltas_wk.select(
+        F.explode(
+            F.sequence("week_ms", "mx", F.lit(week).cast("long"))
+        ).alias("wk_out"),
+        "dl",
+        "do",
+    )
+    return (
+        fwd.groupBy(F.col("wk_out").alias("week_ms"))
+        .agg(
+            F.sum("dl").alias("n_inflight"),
+            F.sum("do").alias("n_orders"),
         )
         .filter(F.col("n_inflight") > 0)
         .orderBy("week_ms")

@@ -185,8 +185,10 @@ def q110_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 #   gini = SUM((2i - n - 1) * x_i) / (n * SUM(x)),  x sorted ascending
 #
-# Scale: one count aggregate on the key (map-side combined) + one
-# window over the |keys|-sized count table — never over the fact table.
+# Scale: one count aggregate on the key (map-side combined); the
+# |keys|-sized count table is ranked with the DISTRIBUTED global rank
+# (operators/ranking.py) and the scalars ride a 1-row broadcast — never
+# a window over the fact table, never a single-partition window.
 # ---------------------------------------------------------------------------
 
 
@@ -216,6 +218,7 @@ def _q113_oracle() -> str:
 
 @query("q113_skew_report", oracle=_q113_oracle())
 def q113_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.operators.ranking import with_global_rank
     from kinesyslog_spark.queries.relational import _t
 
     c = (
@@ -223,12 +226,16 @@ def q113_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("cnt"))
     )
-    r = c.select(
-        "cnt",
-        F.row_number().over(W.orderBy("cnt", "l_suppkey")).cast("long").alias("i"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-        F.sum("cnt").over(W.partitionBy()).alias("tot"),
+    # Gini needs the global ascending rank of every key's count — the
+    # |keys|-sized table is data-dependent (millions of keys at 100 TB),
+    # so the rank is the distributed operators/ranking.py form, and the
+    # scalar n/tot ride a 1-row broadcast instead of unpartitioned
+    # COUNT()/SUM() OVER () windows (round-5 sweep fix).
+    ranked = with_global_rank(c, ["cnt", "l_suppkey"], "i")
+    scal = c.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("tot")
     )
+    r = ranked.crossJoin(F.broadcast(scal))
     q4 = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cnt"))
     return r.agg(

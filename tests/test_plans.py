@@ -756,3 +756,17 @@ def test_q148_anchor_broadcast_topk(spark, sf_dir):
     assert f.broadcast_any_count >= 1, "anchor batch must broadcast"
     t = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in t, "top-1 must map-side limit"
+
+
+def test_registry_has_no_unpartitioned_windows(spark, sf_dir):
+    # ENGINE-WIDE invariant (round-5): no query in the registry may
+    # execute a window-family node with an empty partition spec —
+    # Spark's "move all rows to a single partition" plan. Global-order
+    # semantics route through operators/ranking.py (distributed rank /
+    # NTILE) or small_frame_rank (window-free, constant-bounded sets).
+    offenders = {}
+    for name, fn in QUERIES.items():
+        n = unpartitioned_window_count(fn(spark, sf_dir))
+        if n:
+            offenders[name] = n
+    assert not offenders, f"single-partition windows: {offenders}"
