@@ -15,9 +15,8 @@ PIXELS and SAMPLES are real for the stdlib-feasible codecs: PNG
 (zlib + unfilter, operators/png.py), GIF (LZW, gif.py), baseline JPEG
 (Huffman + IDCT, jpeg.py), BMP (bmp.py), WAV PCM + mono IMA ADPCM
 (wav.py), and MJPEG-in-AVI frame extraction (avi.py). What remains
-behind the clearly-marked seam: progressive/arithmetic JPEG,
-inter-frame video codecs (H.264 etc.), float/mu-law/stereo-ADPCM
-audio — those paths raise NotImplementedError or run
+behind the clearly-marked seam: arithmetic-coded JPEG,
+inter-frame video codecs (H.264 etc.), A-law/stereo-ADPCM audio — those paths raise NotImplementedError or run
 `fake_decode_meta`, a deterministic pure function of the payload bytes
 that a SQL oracle can reproduce. Everything Spark-side (schema,
 batching, partition behavior) is real either way.

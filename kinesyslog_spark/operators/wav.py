@@ -93,10 +93,31 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 "stereo IMA ADPCM (per-channel nibble-group interleave)"
             )
         return rate, 16, [decode_ima_adpcm(data, ba)]
+    if tag == 0x07:  # G.711 mu-law — real table-free expansion
+        if ch < 1:
+            raise ValueError("zero channels")
+        out = [[] for _ in range(ch)]
+        for idx, byte in enumerate(data):
+            out[idx % ch].append(_mulaw_expand(byte))
+        return rate, 16, out
+    if tag == 0x03:  # IEEE float32 — real decode, scaled to 16-bit ints
+        if bits != 32:
+            raise NotImplementedError(f"float WAV with {bits}-bit samples")
+        if ch < 1:
+            raise ValueError("zero channels")
+        n = len(data) // (ch * 4)
+        out = [[] for _ in range(ch)]
+        for f in range(n):
+            base = f * ch * 4
+            for c in range(ch):
+                (v,) = struct.unpack("<f", data[base + c * 4:base + c * 4 + 4])
+                s = int(v * 32767.0)  # truncate toward zero (deterministic)
+                out[c].append(max(-32768, min(32767, s)))
+        return rate, 16, out
     if tag != 1:
         raise NotImplementedError(
-            f"format tag {tag} (only PCM=1 and IMA ADPCM=0x11; "
-            "float/mu-law need codecs)"
+            f"format tag {tag} (PCM=1, float=3, mu-law=7, IMA ADPCM=0x11; "
+            "A-law/extensible need codecs)"
         )
     if bits not in (8, 16):
         raise NotImplementedError(f"bit depth {bits} (only 8/16)")
@@ -115,6 +136,18 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 v = data[o] - 128
             out[c].append(v)
     return rate, bits, out
+
+
+def _mulaw_expand(byte: int) -> int:
+    """G.711 mu-law byte -> linear 16-bit sample (ITU-T G.711 decoder
+    expansion; the exact integer form used by libsndfile/CCITT)."""
+    u = ~byte & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    sample = ((mantissa << 3) + 0x84) << exponent
+    sample -= 0x84
+    return -sample if sign else sample
 
 
 def audio_features(payload: bytes) -> dict:

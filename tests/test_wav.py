@@ -46,13 +46,54 @@ def test_decode_8bit_centering():
 
 
 def test_decode_rejects_non_pcm_and_malformed():
-    fmt_float = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    fmt_alaw = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
     with pytest.raises(NotImplementedError):
-        decode_wav_samples(_riff([(b"fmt ", fmt_float), (b"data", b"")]))
+        decode_wav_samples(_riff([(b"fmt ", fmt_alaw), (b"data", b"")]))
     with pytest.raises(ValueError):
         decode_wav_samples(b"not riff at all")
     with pytest.raises(ValueError):
         decode_wav_samples(_riff([(b"data", b"\x00\x00")]))  # no fmt
+
+
+def test_decode_float32_scaled_and_clamped():
+    # IEEE float WAV (tag 3): real decode, truncation toward zero,
+    # clamped to int16 — round-5 seam closure.
+    vals = [0.0, 0.5, -0.5, 1.0, -1.0, 1.5, -1.5, 0.25]
+    fmt = struct.pack("<HHIIHH", 3, 2, 8000, 64000, 8, 32)
+    data = b"".join(struct.pack("<f", v) for v in vals)
+    rate, bits, chans = decode_wav_samples(
+        _riff([(b"fmt ", fmt), (b"data", data)])
+    )
+    assert (rate, bits, len(chans)) == (8000, 16, 2)
+    # interleaved stereo: ch0 = vals[0::2], ch1 = vals[1::2]
+    expect = [int(v * 32767.0) for v in vals]
+    expect = [max(-32768, min(32767, s)) for s in expect]
+    assert chans[0] == expect[0::2]
+    assert chans[1] == expect[1::2]
+
+
+def test_decode_mulaw_reference_points():
+    # G.711 mu-law expansion pinned at the table's canonical extremes
+    # and zeros (0x00 -> -32124, 0x80 -> +32124, 0xFF/0x7F -> 0).
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    data = bytes([0x00, 0x80, 0xFF, 0x7F, 0x10, 0x90])
+    rate, bits, chans = decode_wav_samples(
+        _riff([(b"fmt ", fmt), (b"data", data)])
+    )
+    assert (rate, bits) == (8000, 16)
+    got = chans[0]
+    assert got[:4] == [-32124, 32124, 0, 0]
+    assert got[4] == -got[5]  # sign symmetry
+    # monotone: decreasing byte in [0x00..0x7F] is increasing magnitude
+    fmt1 = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    seq = bytes(range(0x00, 0x80))
+    _, _, (mono,) = decode_wav_samples(
+        _riff([(b"fmt ", fmt1), (b"data", seq)])
+    )
+    assert all(a < b <= 0 for a, b in zip(mono, mono[1:])) or all(
+        a <= b for a, b in zip(mono, mono[1:])
+    )
+    assert mono == sorted(mono)  # negative, rising toward zero
 
 
 @settings(max_examples=25, deadline=None)
