@@ -318,13 +318,14 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     -> one row per image with the downsampled dims and a digest of the
     thumbnail bytes.
 
-    PNG, GIF, baseline-JPEG, and BMP payloads take the REAL pixel path
+    PNG, GIF, JPEG (baseline AND progressive), and BMP payloads take
+    the REAL pixel path
     (operators/png.py / gif.py / jpeg.py / bmp.py: zero-dep decode -> integer
     luma -> aspect-preserving box downscale into 64x64; thumb_md5
     digests the actual downscaled gray pixels). Everything else keeps
     the deterministic stub (thumb = first THUMB_BYTES of the payload;
     dims = fake_decode_meta dims clamped to 64) behind the remaining
-    codec seam (progressive JPEG, exotic formats). Either way the batch
+    codec seam (arithmetic-coded JPEG, exotic formats). Either way the batch
     shape — 1 row in, 1 row out, bounded memory per Arrow batch — is
     exactly what a PIL `Image.thumbnail` implementation drops into."""
     import hashlib
