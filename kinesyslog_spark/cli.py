@@ -152,6 +152,17 @@ def _parser() -> argparse.ArgumentParser:
                     default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     pr.add_argument("--cpus", default=None)
 
+    qr = sub.add_parser(
+        "quality-report",
+        help="materialize the data-quality report (q145 constraint "
+             "audit + q146 grouped-cardinality merge proof) as parquet "
+             "tables + JSON summary",
+    )
+    qr.add_argument("out_dir", help="report artifact root")
+    qr.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    qr.add_argument("--cpus", default=None)
+
     pg = sub.add_parser(
         "purge",
         help="delete keys from a partitioned parquet table, rewriting "
@@ -462,6 +473,17 @@ def privacy_report_cmd(args) -> int:
     return 0
 
 
+def quality_report_cmd(args) -> int:
+    import json
+
+    from kinesyslog_spark.report import quality_report
+    from kinesyslog_spark.session import get_spark
+
+    spark = get_spark("kinesyslog-spark-quality", cpus=args.cpus)
+    print(json.dumps(quality_report(spark, args.sf_dir, args.out_dir)), flush=True)
+    return 0
+
+
 def purge_cmd(args) -> int:
     import json
 
@@ -499,6 +521,8 @@ def main(argv: list[str] | None = None) -> int:
         return corpus_report_cmd(args)
     if args.command == "privacy-report":
         return privacy_report_cmd(args)
+    if args.command == "quality-report":
+        return quality_report_cmd(args)
     if args.command == "purge":
         return purge_cmd(args)
     if args.command == "explain":

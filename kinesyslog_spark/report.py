@@ -120,3 +120,46 @@ def privacy_report(
         "exposed_orders": int(ka_sum["orders"] or 0),
         "smallest_class": int(ka_sum["worst"] or 0),
     }
+
+
+def quality_report(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, Any]:
+    """Data-quality posture in one artifact tree: the q145 constraint
+    audit (completeness / PK / FK / ranges / domains / statistical
+    bands) plus the q146 grouped-cardinality report, with the headline
+    pass/fail indicators a pipeline gate reads before trusting a drop.
+    W27 (streaming/quality.py) is the continuous form of the same
+    checks."""
+    from pyspark.sql import functions as F
+
+    from kinesyslog_spark.queries import QUERIES
+
+    counts: dict[str, int] = {}
+    for qname, art in (
+        ("q145_data_quality_audit", "constraints"),
+        ("q146_grouped_hll_merge", "group_cardinality"),
+    ):
+        QUERIES[qname](spark, sf_dir).write.mode("overwrite").parquet(
+            f"{out_dir}/{art}"
+        )
+        counts[art] = spark.read.parquet(f"{out_dir}/{art}").count()
+
+    cons = spark.read.parquet(f"{out_dir}/constraints")
+    agg = cons.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("passed")).alias("ok"),
+    ).collect()[0]
+    failing = sorted(
+        r.check_name for r in cons.filter(F.col("passed") == 0).collect()
+    )
+    card = spark.read.parquet(f"{out_dir}/group_cardinality")
+    merge_ok = card.agg(F.min("merge_identical")).collect()[0][0]
+    return {
+        "tables": counts,
+        "checks_total": int(agg["n"]),
+        "checks_passed": int(agg["ok"]),
+        "checks_failing": failing,
+        "all_passed": int(agg["n"]) == int(agg["ok"]),
+        "hll_merge_identical": bool(merge_ok == 1),
+    }
