@@ -124,3 +124,42 @@ def test_rank_consistent_under_recomputation(spark):
     second = {r.doc_id: r.rn for r in ranked.collect()}
     assert first == second
     assert sorted(first.values()) == list(range(1, 5001))
+
+
+def test_null_order_keys_rank_first(spark):
+    # ASC NULLS FIRST parity: null keys must land in bucket 0 and take
+    # the lowest ranks, exactly as Spark's own window functions order.
+    rows = [(i, None if i % 7 == 0 else i % 50) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, x integer")
+    got = with_global_rank(df, ["x", "doc_id"], "rn").select("doc_id", "rn")
+    ref = df.select(
+        "doc_id", F.row_number().over(Window.orderBy("x", "doc_id")).alias("rn")
+    )
+    assert (
+        ref.alias("a").join(got.alias("b"), "doc_id")
+        .filter("a.rn <> b.rn").count() == 0
+    )
+
+
+def test_hypothesis_ntile_parity(spark):
+    # randomized NTILE parity across bucket counts and tie densities
+    import random
+
+    for trial in range(4):
+        rng = random.Random(100 + trial)
+        n = rng.randint(1, 400)
+        card = rng.choice([1, 3, 40, 10**9])
+        buckets = rng.choice([2, 7, 16, 63])
+        rows = [(i, rng.randint(0, card)) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, x long")
+        got = with_ntile(df, ["x", "doc_id"], buckets, "b").select("doc_id", "b")
+        ref = df.select(
+            "doc_id",
+            F.ntile(buckets).over(Window.orderBy("x", "doc_id"))
+            .cast("long").alias("b"),
+        )
+        bad = (
+            ref.alias("a").join(got.alias("b"), "doc_id")
+            .filter("a.b <> b.b").count()
+        )
+        assert bad == 0, f"trial {trial}: n={n} card={card} k={buckets}"
