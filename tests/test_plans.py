@@ -770,3 +770,14 @@ def test_registry_has_no_unpartitioned_windows(spark, sf_dir):
         if n:
             offenders[name] = n
     assert not offenders, f"single-partition windows: {offenders}"
+
+
+def test_q156_sample_filter_is_map_side(spark, sf_dir):
+    # the sample arm must filter via a codegen'd hash predicate before
+    # its aggregate — no join to pick sample rows, no python, and the
+    # exact arm merges via a broadcast
+    f = facts(QUERIES["q156_aqp_sampled_aggregate"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.broadcast_join_count >= 1
+    assert "CartesianProduct" not in f.text
+    assert f.sort_aggregate_count == 0
