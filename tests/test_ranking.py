@@ -3,8 +3,8 @@
 The helper exists so global-order queries (q84, q135, pipeline SHARD
 stage) never execute a single-partition WindowExec; these tests pin both
 halves: exact tie-semantics parity with Spark's own window functions on
-a small frame, and the executed-plan shape (range exchange, reuse, zero
-unpartitioned windows)."""
+a small frame, and the executed-plan shape (literal-boundary bucket
+windows, zero unpartitioned windows, recompute-consistency)."""
 
 from __future__ import annotations
 
