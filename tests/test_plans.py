@@ -781,3 +781,22 @@ def test_q156_sample_filter_is_map_side(spark, sf_dir):
     assert f.broadcast_join_count >= 1
     assert "CartesianProduct" not in f.text
     assert f.sort_aggregate_count == 0
+
+
+def test_q157_broadcast_model_scoring(spark, sf_dir):
+    # training is hash aggregates; the vocabulary model must broadcast
+    # into the scoring join; everything JVM-side
+    f = facts(QUERIES["q157_naive_bayes_lang"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.broadcast_any_count >= 2, "model + prior must broadcast"
+    assert f.sort_aggregate_count == 0
+
+
+def test_q158_distributed_rank_auc(spark, sf_dir):
+    # the Mann-Whitney rank must be the distributed form: zero
+    # unpartitioned window nodes over the scored corpus
+    df = QUERIES["q158_auc_nb_scores"](spark, sf_dir)
+    f = facts(df)
+    assert f.python_eval_count == 0
+    df.count()
+    assert unpartitioned_window_count(df) == 0
