@@ -223,3 +223,163 @@ def q158_auc_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1000000
     )
     return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+# ---------------------------------------------------------------------------
+# Q159 — binned (mergeable) AUC vs the exact rank form
+# ---------------------------------------------------------------------------
+#
+# q158's exact AUC needs a global rank; the STREAMING/mergeable form
+# bins each class's scores into fixed buckets and estimates AUC as the
+# midpoint (trapezoidal) probability that a random positive outranks a
+# random negative:
+#
+#   AUC_hat = sum_b pos_b * (cum_neg_below_b + neg_b / 2) / (P * N)
+#
+# Per-class bin counts are SUM-mergeable across shards/epochs — W29
+# (streaming/model_monitor.py) folds exactly this state per micro-batch.
+# The report carries the exact q158 value and the binning error, making
+# the approximation measurable (the q135 sketch-vs-exact pattern).
+#
+# Bins are fixed from the score min/max (1-row broadcast); cumulative
+# neg counts ride a tiny broadcast non-equi self-join over the <=
+# AUC_BINS-row histogram — no windows anywhere.
+
+AUC_BINS = 128
+
+_Q159_ORACLE = f"""
+WITH {{scores}},
+mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM scores),
+b AS (
+  SELECT y,
+         LEAST(CAST(FLOOR((score - lo) / (hi - lo) * {AUC_BINS}) AS BIGINT),
+               {AUC_BINS - 1}) AS bkt
+  FROM scores CROSS JOIN mm
+),
+h AS (
+  SELECT bkt,
+         CAST(SUM(y) AS BIGINT) AS pos_b,
+         CAST(SUM(1 - y) AS BIGINT) AS neg_b
+  FROM b GROUP BY bkt
+),
+c AS (
+  SELECT a.bkt, a.pos_b, a.neg_b,
+         CAST(COALESCE(SUM(CASE WHEN o.bkt < a.bkt THEN o.neg_b END), 0)
+              AS BIGINT) AS neg_below
+  FROM h a LEFT JOIN h o ON o.bkt <= a.bkt
+  GROUP BY a.bkt, a.pos_b, a.neg_b
+),
+tt AS (
+  SELECT CAST(SUM(pos_b) AS BIGINT) AS p, CAST(SUM(neg_b) AS BIGINT) AS n
+  FROM h
+),
+est AS (
+  SELECT FLOOR(SUM(c.pos_b * (c.neg_below + c.neg_b / 2.0))
+               / (CAST(tt.p AS DOUBLE) * tt.n) * 1000000 + 0.5) / 1000000
+           AS auc_binned
+  FROM c CROSS JOIN tt GROUP BY tt.p, tt.n
+),
+rke AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS r FROM scores
+),
+exact AS (
+  SELECT FLOOR((CAST(SUM(CASE WHEN y = 1 THEN r ELSE 0 END) AS DOUBLE)
+                - CAST(SUM(y) AS DOUBLE) * (SUM(y) + 1) / 2)
+               / (CAST(SUM(y) AS DOUBLE) * SUM(1 - y)) * 1000000 + 0.5)
+         / 1000000 AS auc_exact
+  FROM rke
+)
+SELECT CAST({AUC_BINS} AS BIGINT) AS n_bins, e.auc_binned, x.auc_exact,
+       FLOOR(ABS(e.auc_binned - x.auc_exact) * 1000000 + 0.5) / 1000000
+         AS abs_err
+FROM est e CROSS JOIN exact x
+"""
+
+
+def class_histogram(scores: DataFrame, lo_hi: DataFrame) -> DataFrame:
+    """(bkt, pos_b, neg_b) fixed-bin class histogram — the mergeable
+    state W29 folds per epoch."""
+    return (
+        scores.crossJoin(F.broadcast(lo_hi))
+        .select(
+            "y",
+            F.least(
+                F.floor(
+                    (F.col("score") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * AUC_BINS
+                ).cast("long"),
+                F.lit(AUC_BINS - 1).cast("long"),
+            ).alias("bkt"),
+        )
+        .groupBy("bkt")
+        .agg(
+            F.sum("y").cast("long").alias("pos_b"),
+            F.sum(1 - F.col("y")).cast("long").alias("neg_b"),
+        )
+    )
+
+
+def auc_from_histogram(h: DataFrame) -> DataFrame:
+    """1-row (p, n, auc_binned) from a class histogram — window-free
+    cumulative via broadcast self-join (<= AUC_BINS rows)."""
+    o = h.select(
+        F.col("bkt").alias("obkt"), F.col("neg_b").alias("oneg")
+    )
+    c = (
+        h.join(F.broadcast(o), F.col("obkt") < F.col("bkt"), "left")
+        .groupBy("bkt", "pos_b", "neg_b")
+        .agg(F.coalesce(F.sum("oneg"), F.lit(0)).alias("neg_below"))
+    )
+    tot = h.agg(
+        F.sum("pos_b").cast("long").alias("p"),
+        F.sum("neg_b").cast("long").alias("n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("p").alias("p"),
+            F.max("n").alias("n"),
+            (
+                F.floor(
+                    F.sum(
+                        F.col("pos_b")
+                        * (F.col("neg_below") + F.col("neg_b") / 2.0)
+                    )
+                    / (F.max("p").cast("double") * F.max("n"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("auc_binned"),
+        )
+    )
+
+
+@query(
+    "q159_binned_auc",
+    oracle=_Q159_ORACLE.format(scores=_nb_scores_sql()),
+)
+def q159_binned_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = _nb_scores(spark, sf_dir)
+    mm = scores.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    h = class_histogram(scores, mm)
+    est = auc_from_histogram(h)
+    exact = q158_auc_nb_scores(spark, sf_dir).select(
+        F.col("auc").alias("auc_exact")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(AUC_BINS).cast("long").alias("n_bins"),
+            "auc_binned",
+            "auc_exact",
+            (
+                F.floor(
+                    F.abs(F.col("auc_binned") - F.col("auc_exact")) * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("abs_err"),
+        )
+    )
