@@ -86,3 +86,4 @@ from kinesyslog_spark.queries import relational_tpch2  # noqa: E402,F401
 from kinesyslog_spark.queries import textqual  # noqa: E402,F401
 from kinesyslog_spark.queries import aqp  # noqa: E402,F401
 from kinesyslog_spark.queries import ml  # noqa: E402,F401
+from kinesyslog_spark.queries import profiler  # noqa: E402,F401
