@@ -109,7 +109,18 @@ ORDER BY l.lang
 
 
 def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, y, score DECIMAL) — shared by q157 and q158."""
+    """(doc_id, y, score DECIMAL) — shared by q157/q158/q159, memoized
+    per session (q158 ranks it, q159 builds a histogram AND composes
+    q158's exact arm: without memoization one q159 run executed the
+    tokenize+train+score pipeline three times)."""
+    from pyspark import StorageLevel
+
+    from kinesyslog_spark.tables import _HOT_CACHE
+
+    key = (id(spark), sf_dir.rstrip("/"), "__nb_scores__")
+    cached = _HOT_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = hot_table(spark, sf_dir, "documents").select("doc_id", "lang")
     lab = (
         hot_tokens(spark, sf_dir)
@@ -144,7 +155,7 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("double") / F.sum(1 - F.col("y"))
         ).cast("decimal(12,6)").alias("p")
     )
-    return (
+    scores = (
         tok.join(F.broadcast(model), "w")
         .groupBy("doc_id")
         .agg(
@@ -156,7 +167,11 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "y", (F.col("s0") + F.col("p")).alias("score")
         )
+        .persist(StorageLevel.MEMORY_ONLY)
     )
+    scores.count()
+    _HOT_CACHE[key] = scores
+    return scores
 
 
 @query("q157_naive_bayes_lang", oracle=_Q157_ORACLE)
