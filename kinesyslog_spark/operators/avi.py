@@ -141,6 +141,18 @@ def decode_dib(frame: bytes, width: int, height: int, bpp: int) -> bytes:
     row = (width * bypp + 3) & ~3
     if len(frame) < row * height:
         raise ValueError("truncated DIB frame")
+    try:  # numpy fast path (byte-identical); pure-Python fallback below
+        import numpy as np
+
+        a = np.frombuffer(frame[: row * height], dtype=np.uint8)
+        a = a.reshape(height, row)[::-1, : width * bypp]  # flip bottom-up
+        if bpp == 24:
+            rgb = a.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+        else:
+            rgb = np.repeat(a.reshape(height, width, 1), 3, axis=2)
+        return np.ascontiguousarray(rgb).tobytes()
+    except ImportError:
+        pass
     out = bytearray(width * height * 3)
     for y in range(height):
         src = (height - 1 - y) * row  # bottom-up
@@ -174,16 +186,31 @@ def encode_dib_avi(
     upf = 1_000_000 // fps
     row = (width * 3 + 3) & ~3
     pad = b"\x00" * (row - width * 3)
+
+    def _frame_body(rgb: bytes) -> bytes:
+        try:  # numpy fast path (byte-identical); fallback below
+            import numpy as np
+
+            a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+            bgr = a[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+            if not pad:
+                return np.ascontiguousarray(bgr).tobytes()
+            padded = np.zeros((height, row), dtype=np.uint8)
+            padded[:, : width * 3] = bgr.reshape(height, width * 3)
+            return padded.tobytes()
+        except ImportError:
+            body = bytearray()
+            for y in range(height - 1, -1, -1):  # bottom-up storage
+                src = y * width * 3
+                for x in range(width):
+                    r, g, b = rgb[src + 3 * x:src + 3 * x + 3]
+                    body += bytes((b, g, r))
+                body += pad
+            return bytes(body)
+
     movi = bytearray()
     for rgb in frames_rgb:
-        body = bytearray()
-        for y in range(height - 1, -1, -1):  # bottom-up storage
-            src = y * width * 3
-            for x in range(width):
-                r, g, b = rgb[src + 3 * x:src + 3 * x + 3]
-                body += bytes((b, g, r))
-            body += pad
-        movi += _chunk(b"00db", bytes(body))
+        movi += _chunk(b"00db", _frame_body(rgb))
     avih = struct.pack(
         "<IIIIIIIIII16x",
         upf, row * height * fps, 0, 0, len(frames_rgb), 0, 1,

@@ -211,11 +211,24 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def to_gray(pixels: bytes, channels: int) -> bytes:
-    """Integer BT.601 luma; alpha ignored; gray passthrough."""
+    """Integer BT.601 luma; alpha ignored; gray passthrough.
+
+    numpy fast path when available (bit-identical int math: the same
+    (77R + 150G + 29B) >> 8 per pixel); pure-Python fallback keeps the
+    zero-dependency contract."""
     if channels == 1:
         return pixels
     if channels == 2:  # gray + alpha
         return pixels[::2]
+    try:
+        import numpy as np
+
+        a = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, channels)
+        a = a.astype(np.int32)
+        luma = (77 * a[:, 0] + 150 * a[:, 1] + 29 * a[:, 2]) >> 8
+        return luma.astype(np.uint8).tobytes()
+    except ImportError:
+        pass
     out = bytearray(len(pixels) // channels)
     for p in range(len(out)):
         o = p * channels
