@@ -389,13 +389,16 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     MJPEG AVI payloads take the REAL path (operators/avi.py +
     operators/jpeg.py): up to MJPEG_SAMPLE_FRAMES evenly spaced frames
     are container-extracted and pixel-decoded; frame_md5 digests the
-    DECODED pixels (any codec bug changes the digest). Other payloads
-    keep the stub (k = n_bytes % 4 + 1 evenly-spaced FRAME_SLICE-byte
-    windows); a pyav implementation replaces that slicing for
-    inter-frame codecs at the same sample positions."""
+    DECODED pixels (any codec bug changes the digest). Animated GIFs
+    take the same real path through decode_gif_frames (composed RGB
+    frames, GCE disposal/transparency applied). Other payloads keep the
+    stub (k = n_bytes % 4 + 1 evenly-spaced FRAME_SLICE-byte windows);
+    a pyav implementation replaces that slicing for inter-frame codecs
+    at the same sample positions."""
     import hashlib
 
     from kinesyslog_spark.operators.avi import extract_frames
+    from kinesyslog_spark.operators.gif import decode_gif_frames
 
     for pdf in batches:
         rows = []
@@ -414,6 +417,18 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                     continue
                 except DECODE_ERRORS:
                     pass  # malformed/non-MJPEG: fall through to stub
+            elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                try:
+                    frames = decode_gif_frames(raw, MJPEG_SAMPLE_FRAMES)[3]
+                    for j, px in enumerate(frames):
+                        rows.append({
+                            "doc_id": d,
+                            "frame_idx": j,
+                            "frame_md5": hashlib.md5(px).hexdigest(),
+                        })
+                    continue
+                except DECODE_ERRORS:
+                    pass  # malformed GIF: fall through to stub
             n = len(raw)
             k = n % 4 + 1
             step = max(n // k, 1)

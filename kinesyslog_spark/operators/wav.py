@@ -7,10 +7,13 @@ modality's SAMPLE-level path can be real in this container:
 - `encode_wav`  — minimal PCM writer (8-bit unsigned / 16-bit signed,
   any channel count / rate).
 - `decode_wav_samples` — RIFF chunk walk -> per-channel int sample
-  matrix; PCM (tag 1) and mono IMA ADPCM (tag 0x11, real integer
-  state-machine decode below) are decoded for real; IEEE float,
-  mu-law, and stereo ADPCM raise NotImplementedError (the documented
-  codec seam) and malformed containers raise ValueError.
+  matrix; PCM (tag 1), IEEE float32 (tag 3), G.711 A-law (tag 6) and
+  mu-law (tag 7), IMA ADPCM mono AND multi-channel (tag 0x11, real
+  integer state-machine decode with the 4-byte nibble-group channel
+  interleave), and WAVE_FORMAT_EXTENSIBLE (0xFFFE, SubFormat GUID
+  resolution to any of the above) are all decoded for real; the
+  remaining seam is reduced-valid-bits extensible audio, which raises
+  NotImplementedError, and malformed containers raise ValueError.
 - `audio_features` — the feature-extraction step of a training
   pipeline, all exactly reproducible in SQL: sample/channel counts,
   integer peak (max |s|), sum of squared samples (exact int; RMS is
@@ -80,25 +83,39 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
             tag, ch, rate, _br, ba, bits = struct.unpack(
                 "<HHIIHH", chunk[:16]
             )
-            fmt = (tag, ch, rate, bits, ba)
+            fmt = (tag, ch, rate, bits, ba, chunk)
         elif cid == b"data":
             data = chunk
         i += 8 + clen + (clen & 1)  # word-aligned chunks
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    tag, ch, rate, bits, ba = fmt
-    if tag == 0x11:  # IMA ADPCM — real integer state-machine decode
-        if ch != 1:
+    tag, ch, rate, bits, ba, fmt_chunk = fmt
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE — resolve the SubFormat
+        if len(fmt_chunk) < 40:
+            raise ValueError("extensible fmt chunk shorter than 40 bytes")
+        (valid_bits,) = struct.unpack("<H", fmt_chunk[18:20])
+        guid = fmt_chunk[24:40]
+        if guid[4:] != _KSDATAFORMAT_TAIL:
+            raise ValueError("SubFormat GUID is not in the KSDATAFORMAT family")
+        (tag,) = struct.unpack("<I", guid[:4])
+        if valid_bits not in (0, bits):
             raise NotImplementedError(
-                "stereo IMA ADPCM (per-channel nibble-group interleave)"
+                f"extensible audio with {valid_bits} valid of {bits} "
+                "container bits (sample re-justification)"
             )
-        return rate, 16, [decode_ima_adpcm(data, ba)]
-    if tag == 0x07:  # G.711 mu-law — real table-free expansion
+    if tag == 0x11:  # IMA ADPCM — real integer state-machine decode
         if ch < 1:
             raise ValueError("zero channels")
+        if ch == 1:
+            return rate, 16, [decode_ima_adpcm(data, ba)]
+        return rate, 16, decode_ima_adpcm_multi(data, ba, ch)
+    if tag in (0x06, 0x07):  # G.711 A-law / mu-law — real expansion
+        if ch < 1:
+            raise ValueError("zero channels")
+        expand = _alaw_expand if tag == 0x06 else _mulaw_expand
         out = [[] for _ in range(ch)]
         for idx, byte in enumerate(data):
-            out[idx % ch].append(_mulaw_expand(byte))
+            out[idx % ch].append(expand(byte))
         return rate, 16, out
     if tag == 0x03:  # IEEE float32 — real decode, scaled to 16-bit ints
         if bits != 32:
@@ -116,8 +133,8 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
         return rate, 16, out
     if tag != 1:
         raise NotImplementedError(
-            f"format tag {tag} (PCM=1, float=3, mu-law=7, IMA ADPCM=0x11; "
-            "A-law/extensible need codecs)"
+            f"format tag {tag} (PCM=1, float=3, A-law=6, mu-law=7, "
+            "IMA ADPCM=0x11, extensible=0xFFFE are the real decode paths)"
         )
     if bits not in (8, 16):
         raise NotImplementedError(f"bit depth {bits} (only 8/16)")
@@ -136,6 +153,26 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 v = data[o] - 128
             out[c].append(v)
     return rate, bits, out
+
+
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs: Data1 = the classic format
+# tag; Data2..Data4 are this fixed KSDATAFORMAT tail.
+_KSDATAFORMAT_TAIL = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def _alaw_expand(byte: int) -> int:
+    """G.711 A-law byte -> linear 16-bit sample (ITU-T G.711 / CCITT
+    alaw2linear: XOR 0x55, segment shift; sign bit SET means positive)."""
+    a = byte ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
 
 
 def _mulaw_expand(byte: int) -> int:
@@ -296,3 +333,126 @@ def decode_ima_adpcm(data: bytes, block_align: int) -> list[int]:
                 predictor, index = _ima_decode_nibble(nib, predictor, index)
                 out.append(predictor)
     return out
+
+
+def decode_ima_adpcm_multi(data: bytes, block_align: int,
+                           ch: int) -> list[list[int]]:
+    """Multi-channel IMA-ADPCM `data` chunk -> per-channel int16 samples.
+
+    Block layout per the Microsoft WAV mapping (format tag 0x11): one
+    4-byte header per channel (int16 predictor, step index, reserved),
+    then 4-byte nibble GROUPS round-robin across channels — each group
+    carries 8 consecutive samples of ITS channel (low nibble first).
+    The decoded stream for each channel is therefore bit-identical to a
+    mono decode of that channel's own header + regrouped nibbles — the
+    identity tests/test_adpcm.py pins.
+    """
+    if ch < 2:
+        raise ValueError("use decode_ima_adpcm for mono")
+    if block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError("block_align not a whole nibble-group multiple")
+    out: list[list[int]] = [[] for _ in range(ch)]
+    for b in range(0, len(data) - (len(data) % block_align), block_align):
+        blk = data[b:b + block_align]
+        preds: list[int] = []
+        idxs: list[int] = []
+        for c in range(ch):
+            predictor, index, _res = struct.unpack(
+                "<hBB", blk[4 * c:4 * c + 4]
+            )
+            if index > 88:
+                raise ValueError("corrupt IMA block (step index > 88)")
+            preds.append(predictor)
+            idxs.append(index)
+            out[c].append(predictor)
+        for g, off in enumerate(range(4 * ch, block_align, 4)):
+            c = g % ch
+            predictor, index = preds[c], idxs[c]
+            for byte in blk[off:off + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    predictor, index = _ima_decode_nibble(
+                        nib, predictor, index
+                    )
+                    out[c].append(predictor)
+            preds[c], idxs[c] = predictor, index
+    return out
+
+
+def encode_ima_adpcm_multi(channels: list[list[int]], sample_rate: int,
+                           block_frames: int = 64) -> bytes:
+    """Multi-channel IMA-ADPCM WAV writer (format tag 0x11). Per block:
+    one 4-byte header per channel, then 4-byte nibble groups round-robin
+    (block_frames samples per channel after the header sample; must be a
+    multiple of 8 for whole groups)."""
+    ch = len(channels)
+    if ch < 2:
+        raise ValueError("use encode_ima_adpcm for mono")
+    if block_frames % 8 != 0 or block_frames < 8:
+        raise ValueError("block_frames must be a positive multiple of 8")
+    n = len(channels[0])
+    if any(len(c) != n for c in channels):
+        raise ValueError("channels must be equal length")
+    block_align = 4 * ch + block_frames * ch // 2
+    blocks = []
+    idxs = [0] * ch
+    i = 0
+    while i < n:
+        hdr = bytearray()
+        nibs: list[list[int]] = []
+        preds: list[int] = []
+        for c in range(ch):
+            chunk = channels[c][i:i + 1 + block_frames]
+            first = _clamp16(chunk[0])
+            hdr += struct.pack("<hBB", first, idxs[c], 0)
+            predictor = first
+            cn: list[int] = []
+            for s in chunk[1:]:
+                nib, predictor, idxs[c] = _ima_encode_sample(
+                    _clamp16(s), predictor, idxs[c]
+                )
+                cn.append(nib)
+            while len(cn) < block_frames:  # pad the final block
+                nib, predictor, idxs[c] = _ima_encode_sample(
+                    predictor, predictor, idxs[c]
+                )
+                cn.append(nib)
+            nibs.append(cn)
+            preds.append(predictor)
+        body = bytearray(hdr)
+        for g in range(block_frames // 8):
+            for c in range(ch):
+                grp = nibs[c][g * 8:(g + 1) * 8]
+                for lo, hi in zip(grp[0::2], grp[1::2]):
+                    body.append(lo | (hi << 4))
+        blocks.append(bytes(body))
+        i += 1 + block_frames
+    data = b"".join(blocks)
+    frames_per_block = block_frames + 1
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, ch, sample_rate,
+        sample_rate * block_align // frames_per_block, block_align, 4,
+    ) + struct.pack("<HH", 2, frames_per_block)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def encode_wav_extensible(samples: list[list[int]], sample_rate: int,
+                          bits: int = 16) -> bytes:
+    """PCM writer using the WAVE_FORMAT_EXTENSIBLE (0xFFFE) container —
+    same frames as encode_wav, fmt chunk carries the SubFormat GUID."""
+    plain = encode_wav(samples, sample_rate, bits)
+    ch = len(samples)
+    block_align = ch * bits // 8
+    # data chunk starts after RIFF(12) + "fmt "(8+16) in the plain writer
+    data_chunk = plain[12 + 8 + 16:]
+    guid = struct.pack("<I", 1) + _KSDATAFORMAT_TAIL
+    fmt = struct.pack(
+        "<HHIIHH", 0xFFFE, ch, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    ) + struct.pack("<HHI", 22, bits, (1 << ch) - 1) + guid
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -1,6 +1,7 @@
 """IMA-ADPCM codec (operators/wav.py): golden-vector decode pin,
-encode/decode roundtrip error bound, container dispatch, and seam
-behavior (stereo raises)."""
+encode/decode roundtrip error bound, container dispatch, and the
+multi-channel nibble-group interleave (stereo decode must bit-match a
+per-channel mono decode)."""
 
 from __future__ import annotations
 
@@ -65,14 +66,43 @@ def test_multi_block_stream():
     assert err <= 1000  # post-adaptation tracking bound
 
 
-def test_stereo_and_corrupt_raise():
-    payload = bytearray(encode_ima_adpcm(_sine(100), 8000))
-    struct.pack_into("<H", payload, 22, 2)  # channels = 2
-    with pytest.raises(NotImplementedError):
-        decode_wav_samples(bytes(payload))
+def test_corrupt_index_raises():
     blk = struct.pack("<hBB", 0, 99, 0) + b"\x00\x00"  # index 99 > 88
     with pytest.raises(ValueError):
         decode_ima_adpcm(blk, len(blk))
+
+
+def test_stereo_matches_per_channel_mono():
+    """The channel-interleave identity: each channel of a multi-channel
+    IMA stream runs its OWN predictor/index state machine, so stereo
+    decode of channel c must be bit-identical to a mono encode+decode
+    of that channel alone (same block_frames => same nibble sequence)."""
+    from kinesyslog_spark.operators.wav import encode_ima_adpcm_multi
+
+    left = _sine(500, amp=9000, period=41)
+    right = _sine(500, amp=15000, period=23)
+    stereo = encode_ima_adpcm_multi([left, right], 8000, block_frames=64)
+    rate, bits, chans = decode_wav_samples(stereo)
+    assert (rate, bits, len(chans)) == (8000, 16, 2)
+    for c, src in enumerate((left, right)):
+        mono = decode_wav_samples(
+            encode_ima_adpcm(src, 8000, block_frames=64)
+        )[2][0]
+        assert chans[c] == mono
+
+
+def test_three_channel_roundtrip_tracks():
+    from kinesyslog_spark.operators.wav import encode_ima_adpcm_multi
+
+    srcs = [_sine(800, amp=a, period=p)
+            for a, p in ((8000, 31), (12000, 47), (5000, 19))]
+    _, _, chans = decode_wav_samples(
+        encode_ima_adpcm_multi(srcs, 16000, block_frames=32)
+    )
+    assert len(chans) == 3
+    for got, src in zip(chans, srcs):
+        err = max(abs(a - b) for a, b in zip(got[100:len(src)], src[100:]))
+        assert err <= 1200  # post-adaptation tracking bound
 
 
 def test_audio_features_flow_through_adpcm():

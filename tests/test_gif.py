@@ -222,3 +222,171 @@ def test_resize_batches_gif_real_pixels():
     gray = to_gray(rgb, 3)
     expect = hashlib.md5(box_downscale(gray, w, h, 64, 51)).hexdigest()
     assert row.thumb_md5 == expect
+
+
+# ---------------------------------------------------------------------------
+# Animated-GIF composition (decode_gif_frames)
+# ---------------------------------------------------------------------------
+
+
+def animated_gif_bytes(sw, sh, palette, frames, bg=0):
+    """Independent multi-frame GIF writer. Each frame is a dict:
+    left/top/w/h, indices (bytes), disposal (int), tindex (int or None).
+    """
+    bits = max(1, _pal_bits(len(palette)))
+    size = 1 << bits
+    pal = b"".join(bytes(c) for c in palette)
+    pal += b"\x00" * (3 * size - len(pal))
+    min_code = max(2, bits)
+    out = b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), bg, 0)
+    out += pal
+    for f in frames:
+        packed = (f.get("disposal", 0) & 0x07) << 2
+        tindex = f.get("tindex")
+        if tindex is not None:
+            packed |= 0x01
+        out += b"\x21\xf9\x04" + bytes([packed, 0, 0, tindex or 0, 0])
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", f.get("left", 0), f.get("top", 0), f["w"], f["h"], 0
+        )
+        out += bytes([min_code])
+        data = lzw_compress(min_code, f["indices"])
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return out + b"\x3b"
+
+
+def _canvas(palette, sw, sh, fill):
+    return bytearray(bytes(palette[fill]) * (sw * sh))
+
+
+def _paint(canvas, palette, sw, left, top, w, h, indices, tindex=None):
+    for r in range(h):
+        for c in range(w):
+            ci = indices[r * w + c]
+            if ci == tindex:
+                continue
+            o = ((top + r) * sw + left + c) * 3
+            canvas[o:o + 3] = bytes(palette[ci])
+
+
+def test_animation_overlay_with_transparency():
+    from kinesyslog_spark.operators.gif import decode_gif_frames
+
+    sw, sh = 4, 3
+    f1 = bytes([0] * 12)                       # full red
+    f2 = bytes([1, 3, 3, 1])                   # 2x2 at (1,1), index 3 clear
+    payload = animated_gif_bytes(sw, sh, PAL4, [
+        {"w": 4, "h": 3, "indices": f1},
+        {"left": 1, "top": 1, "w": 2, "h": 2, "indices": f2, "tindex": 3},
+    ])
+    w, h, ch, frames = decode_gif_frames(payload)
+    assert (w, h, ch, len(frames)) == (4, 3, 3, 2)
+    exp1 = _canvas(PAL4, sw, sh, 0)
+    assert frames[0] == bytes(exp1)
+    exp2 = bytearray(exp1)
+    _paint(exp2, PAL4, sw, 1, 1, 2, 2, f2, tindex=3)
+    assert frames[1] == bytes(exp2)
+    # transparent cells kept frame-1 red
+    assert frames[1][(1 * 4 + 2) * 3:(1 * 4 + 2) * 3 + 3] == bytes(PAL4[0])
+
+
+def test_animation_disposal_background():
+    from kinesyslog_spark.operators.gif import decode_gif_frames
+
+    sw, sh = 4, 2
+    f1 = bytes([1] * 8)                        # full green
+    f2 = bytes([2, 2])                         # 2x1 at (0,0), disposal 2
+    f3 = bytes([3])                            # 1x1 at (3,1)
+    payload = animated_gif_bytes(sw, sh, PAL4, [
+        {"w": 4, "h": 2, "indices": f1},
+        {"w": 2, "h": 1, "indices": f2, "disposal": 2},
+        {"left": 3, "top": 1, "w": 1, "h": 1, "indices": f3},
+    ], bg=0)
+    _, _, _, frames = decode_gif_frames(payload)
+    exp2 = _canvas(PAL4, sw, sh, 1)
+    _paint(exp2, PAL4, sw, 0, 0, 2, 1, f2)
+    assert frames[1] == bytes(exp2)
+    # frame 3: the disposal-2 rect went back to BACKGROUND red, then f3 drew
+    exp3 = _canvas(PAL4, sw, sh, 1)
+    _paint(exp3, PAL4, sw, 0, 0, 2, 1, bytes([0, 0]))
+    _paint(exp3, PAL4, sw, 3, 1, 1, 1, f3)
+    assert frames[2] == bytes(exp3)
+
+
+def test_animation_disposal_previous():
+    from kinesyslog_spark.operators.gif import decode_gif_frames
+
+    sw, sh = 3, 3
+    f1 = bytes([0] * 9)
+    f2 = bytes([2] * 9)                        # full blue, disposal 3
+    f3 = bytes([1])                            # 1x1 green at (2,2)
+    payload = animated_gif_bytes(sw, sh, PAL4, [
+        {"w": 3, "h": 3, "indices": f1},
+        {"w": 3, "h": 3, "indices": f2, "disposal": 3},
+        {"left": 2, "top": 2, "w": 1, "h": 1, "indices": f3},
+    ])
+    _, _, _, frames = decode_gif_frames(payload)
+    assert frames[1] == bytes(_canvas(PAL4, sw, sh, 2))
+    # frame 3 starts from the PRE-frame-2 canvas (all red), then draws f3
+    exp3 = _canvas(PAL4, sw, sh, 0)
+    _paint(exp3, PAL4, sw, 2, 2, 1, 1, f3)
+    assert frames[2] == bytes(exp3)
+
+
+def test_animation_max_frames_and_first_frame_parity():
+    from kinesyslog_spark.operators.gif import decode_gif_frames
+
+    idx = bytes([0, 1, 2, 3])
+    payload = animated_gif_bytes(2, 2, PAL4, [
+        {"w": 2, "h": 2, "indices": idx},
+        {"w": 2, "h": 2, "indices": bytes([3, 2, 1, 0])},
+    ])
+    _, _, _, one = decode_gif_frames(payload, max_frames=1)
+    assert len(one) == 1
+    # no transparency => composed frame 0 == the single-frame decoder
+    assert one[0] == decode_gif(payload)[3]
+
+
+def test_animation_malformed():
+    from kinesyslog_spark.operators.gif import decode_gif_frames
+
+    with pytest.raises(ValueError):
+        decode_gif_frames(b"GIF89a" + b"\x00" * 3)
+    # frame rect escaping the logical screen
+    bad = animated_gif_bytes(2, 2, PAL4, [
+        {"left": 1, "top": 1, "w": 2, "h": 2, "indices": bytes(4)},
+    ])
+    with pytest.raises(ValueError):
+        decode_gif_frames(bad)
+    with pytest.raises(ValueError):
+        decode_gif_frames(animated_gif_bytes(2, 2, PAL4, []))
+
+
+def test_frame_sample_batches_gif_real_frames():
+    """The q62 fan-out operator digests REAL composed animation frames
+    for GIF payloads (not the byte-slice stub)."""
+    import hashlib
+
+    import pandas as pd
+
+    from kinesyslog_spark.operators.gif import decode_gif_frames
+    from kinesyslog_spark.operators.multimodal import frame_sample_batches
+
+    payload = animated_gif_bytes(3, 2, PAL4, [
+        {"w": 3, "h": 2, "indices": bytes([0, 1, 2, 3, 0, 1])},
+        {"left": 1, "top": 0, "w": 2, "h": 2,
+         "indices": bytes([2, 3, 3, 2]), "tindex": 3},
+        {"w": 1, "h": 1, "indices": bytes([1]), "disposal": 2},
+    ])
+    [out] = list(frame_sample_batches(iter([
+        pd.DataFrame({"doc_id": [7], "payload": [payload]})
+    ])))
+    frames = decode_gif_frames(payload)[3]
+    assert len(out) == len(frames) == 3
+    for j, px in enumerate(frames):
+        row = out.iloc[j]
+        assert (row.doc_id, row.frame_idx) == (7, j)
+        assert row.frame_md5 == hashlib.md5(px).hexdigest()

@@ -46,13 +46,54 @@ def test_decode_8bit_centering():
 
 
 def test_decode_rejects_non_pcm_and_malformed():
-    fmt_alaw = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    # MS ADPCM (tag 2) remains behind the documented seam
+    fmt_ms = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
     with pytest.raises(NotImplementedError):
-        decode_wav_samples(_riff([(b"fmt ", fmt_alaw), (b"data", b"")]))
+        decode_wav_samples(_riff([(b"fmt ", fmt_ms), (b"data", b"")]))
     with pytest.raises(ValueError):
         decode_wav_samples(b"not riff at all")
     with pytest.raises(ValueError):
         decode_wav_samples(_riff([(b"data", b"\x00\x00")]))  # no fmt
+
+
+def test_decode_alaw_reference_points():
+    # G.711 A-law expansion pinned at the canonical extremes: 0xD5 -> +8
+    # (quietest positive), 0x55 -> -8, 0xAA -> +32256 (max), 0x2A -> min.
+    fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    data = bytes([0xD5, 0x55, 0xAA, 0x2A, 0x95, 0x15])
+    rate, bits, chans = decode_wav_samples(
+        _riff([(b"fmt ", fmt), (b"data", data)])
+    )
+    assert (rate, bits) == (8000, 16)
+    got = chans[0]
+    assert got[:4] == [8, -8, 32256, -32256]
+    assert got[4] == -got[5]  # sign symmetry at an interior code
+    # segment monotonicity: positive codes span strictly rising magnitude
+    _, _, (mono,) = decode_wav_samples(
+        _riff([(b"fmt ", fmt), (b"data", bytes(b ^ 0x55 for b in range(0x80, 0x100)))])
+    )
+    assert mono == sorted(mono) and mono[0] > 0  # strictly positive, rising
+
+
+def test_decode_extensible_pcm_roundtrip():
+    from kinesyslog_spark.operators.wav import encode_wav_extensible
+
+    chans = [[100, -200, 300], [-100, 200, -300]]
+    rate, bits, got = decode_wav_samples(
+        encode_wav_extensible(chans, 22050, 16)
+    )
+    assert (rate, bits) == (22050, 16)
+    assert got == chans
+
+
+def test_decode_extensible_bad_guid_rejected():
+    fmt = struct.pack(
+        "<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16
+    ) + struct.pack("<HHI", 22, 16, 1) + b"\x01\x00\x00\x00" + b"\xde" * 12
+    with pytest.raises(ValueError):
+        decode_wav_samples(
+            _riff([(b"fmt ", fmt), (b"data", b"\x00\x00")])
+        )
 
 
 def test_decode_float32_scaled_and_clamped():
