@@ -87,3 +87,6 @@ from kinesyslog_spark.queries import textqual  # noqa: E402,F401
 from kinesyslog_spark.queries import aqp  # noqa: E402,F401
 from kinesyslog_spark.queries import ml  # noqa: E402,F401
 from kinesyslog_spark.queries import profiler  # noqa: E402,F401
+from kinesyslog_spark.queries import mlops  # noqa: E402,F401
+from kinesyslog_spark.queries import chunking  # noqa: E402,F401
+from kinesyslog_spark.queries import splits  # noqa: E402,F401

@@ -199,11 +199,13 @@ def _mh_expr(i: int, src: str = "sh") -> str:
     )
 
 
-def _minhash_oracle() -> str:
+def minhash_vpairs_cte() -> str:
+    """CTE chain ending in `vpairs(doc_a, doc_b, jaccard)` — the
+    VERIFIED MinHash near-dup pairs. Shared by the q26 oracle and any
+    oracle that composes near-dup pairs (q163's split-leakage audit)."""
     sig = ",\n      ".join(_mh_expr(i) for i in range(MINHASH_K))
     bands = ", ".join(str(b) for b in range(LSH_BANDS))
-    return f"""
-    WITH tk AS (
+    return f"""tk AS (
       SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
     ), docs AS (
       SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -220,13 +222,20 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
         ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-    )
-    SELECT doc_a, doc_b, jaccard FROM (
-      SELECT doc_a, doc_b,
-        ROUND(len(list_intersect(a.sh, b.sh)) /
-          CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4) AS jaccard
-      FROM cand JOIN docs a ON a.doc_id = cand.doc_a JOIN docs b ON b.doc_id = cand.doc_b
-    ) WHERE jaccard >= {JACCARD_THR}
+    ), vpairs AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+          ROUND(len(list_intersect(a.sh, b.sh)) /
+            CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4) AS jaccard
+        FROM cand JOIN docs a ON a.doc_id = cand.doc_a JOIN docs b ON b.doc_id = cand.doc_b
+      ) WHERE jaccard >= {JACCARD_THR}
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {minhash_vpairs_cte()}
+    SELECT doc_a, doc_b, jaccard FROM vpairs
     ORDER BY doc_a, doc_b
     """
 

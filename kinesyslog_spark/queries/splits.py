@@ -1,0 +1,152 @@
+"""Q163 — train/val/test split with cross-split near-dup LEAKAGE audit.
+
+The split every training pipeline needs, plus the audit most skip: a
+deterministic hash split (md5 of doc_id -> 90/5/5) is leak-proof only
+for EXACT duplicates of the same doc_id; near-duplicate pairs land on
+opposite sides of the split boundary at the background near-dup rate,
+silently inflating eval scores. This query assigns the split AND counts
+the verified MinHash near-dup pairs (the q26 candidate->verify
+machinery, shared signatures via hot_shingle_sigs) that cross each
+split boundary — the number a leakage-aware pipeline must drive to
+zero (by re-assigning near-dup CLUSTERS, not documents, to splits).
+
+Output: one row per unordered split pair (train/val, train/test,
+val/test) with both split sizes and the leaking pair count — rows are
+built from a literal 3-row frame so zero-leak pairs still report 0
+(absence-of-evidence must be visible, the q145 audit convention).
+
+Plan shape: the candidate/verify stages are exactly q26's (bucket-keyed
+shuffles, hot-bucket cap, candidate-only verify join); the split map is
+a map-only projection of `documents`; split sizes are a 3-row broadcast.
+Nothing here adds a shuffle beyond the dedup family itself.
+
+Reference parity: none (training-data-ops family; composes q26 with
+q44's deterministic-hash bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesyslog_spark.operators.text import md5_int60
+from kinesyslog_spark.queries import query
+from kinesyslog_spark.queries.dedup import (
+    JACCARD_THR,
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    _pair_candidates,
+    _verify_jaccard,
+    hot_shingle_sigs,
+    minhash_vpairs_cte,
+)
+from kinesyslog_spark.operators.text import lsh_band_keys
+from kinesyslog_spark.tables import hot_table
+
+TRAIN_PCT = 90  # buckets 0..89 -> train, 90..94 -> val, 95..99 -> test
+VAL_PCT = 5
+
+_SPLIT_SQL = (
+    "CASE WHEN CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    f"AS BIGINT) % 100 < {TRAIN_PCT} THEN 'train' "
+    "WHEN CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    f"AS BIGINT) % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+)
+
+_Q163_ORACLE = f"""
+WITH {minhash_vpairs_cte()},
+sp AS MATERIALIZED (
+  SELECT doc_id, {_SPLIT_SQL} AS split FROM documents
+),
+sizes AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM sp GROUP BY split
+),
+leaks AS (
+  SELECT LEAST(sa.split, sb.split) AS split_a,
+         GREATEST(sa.split, sb.split) AS split_b,
+         CAST(COUNT(*) AS BIGINT) AS n_leak_pairs
+  FROM vpairs v
+  JOIN sp sa ON sa.doc_id = v.doc_a
+  JOIN sp sb ON sb.doc_id = v.doc_b
+  WHERE sa.split <> sb.split
+  GROUP BY 1, 2
+),
+shape AS (
+  SELECT * FROM (VALUES ('test', 'train'), ('train', 'val'), ('test', 'val'))
+    AS t(split_a, split_b)
+)
+SELECT s.split_a, s.split_b,
+       COALESCE(na.n, 0) AS n_docs_a,
+       COALESCE(nb.n, 0) AS n_docs_b,
+       COALESCE(l.n_leak_pairs, 0) AS n_leak_pairs
+FROM shape s
+LEFT JOIN sizes na ON na.split = s.split_a
+LEFT JOIN sizes nb ON nb.split = s.split_b
+LEFT JOIN leaks l ON l.split_a = s.split_a AND l.split_b = s.split_b
+ORDER BY s.split_a, s.split_b
+"""
+
+
+def split_assignment(doc_id: Column) -> Column:
+    """Deterministic 90/5/5 split from md5('split:' || doc_id)."""
+    b = md5_int60(doc_id.cast("string"), "split:") % 100
+    return (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@query("q163_split_leakage", oracle=_Q163_ORACLE)
+def q163_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh, sigs = hot_shingle_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            lsh_band_keys(
+                [f"mh{i}" for i in range(MINHASH_K)], LSH_BANDS, LSH_ROWS
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_idx", "bd.band_key")
+    cand = _pair_candidates(bands, ["band_idx", "band_key"])
+    ver = _verify_jaccard(cand, sh, JACCARD_THR)
+    sp = hot_table(spark, sf_dir, "documents").select(
+        "doc_id", split_assignment(F.col("doc_id")).alias("split")
+    )
+    sizes = sp.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    sa = sp.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    leaks = (
+        ver.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_leak_pairs"))
+    )
+    shape = spark.createDataFrame(
+        [("test", "train"), ("train", "val"), ("test", "val")],
+        ["split_a", "split_b"],
+    )
+    na = sizes.select(F.col("split").alias("split_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("split").alias("split_b"), F.col("n").alias("_nb"))
+    return (
+        shape.join(F.broadcast(na), "split_a", "left")
+        .join(F.broadcast(nb), "split_b", "left")
+        .join(F.broadcast(leaks), ["split_a", "split_b"], "left")
+        .select(
+            "split_a", "split_b",
+            F.coalesce("_na", F.lit(0)).cast("long").alias("n_docs_a"),
+            F.coalesce("_nb", F.lit(0)).cast("long").alias("n_docs_b"),
+            F.coalesce("n_leak_pairs", F.lit(0)).cast("long")
+            .alias("n_leak_pairs"),
+        )
+        .orderBy("split_a", "split_b")
+    )

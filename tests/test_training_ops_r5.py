@@ -1,0 +1,203 @@
+"""Independent pins for the round-5 training-ops additions
+(q161 logistic GD, q162 CDC chunking, q163 split leakage, q164
+calibration): pure-Python models that share NO code with either the
+Spark implementation or the DuckDB oracle, run on the real sf0.001
+corpus, and must agree with the engine's output."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from kinesyslog_spark.queries import QUERIES
+
+_TOK = re.compile(r"[a-z0-9]+")
+
+
+def _docs(duck):
+    return duck.sql(
+        "SELECT doc_id, lang, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+
+
+def _md5i(prefix: str, s: str) -> int:
+    return int(hashlib.md5((prefix + s).encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# q162 — CDC chunking
+# ---------------------------------------------------------------------------
+
+
+def _py_chunks(toks: list[str], mod: int = 8) -> list[str]:
+    chunks, cur = [], []
+    for t in toks:
+        cur.append(t)
+        if _md5i("cdc:", t) % mod == 0:
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_q162_chunks_match_pure_python(spark, sf_dir, duck):
+    from kinesyslog_spark.queries.chunking import cdc_chunks
+
+    got = {}
+    for r in cdc_chunks(spark, sf_dir).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = r.ctext
+    checked = 0
+    for doc_id, _lang, text in _docs(duck)[:50]:
+        toks = _TOK.findall(text.lower())
+        if not toks:
+            assert doc_id not in got
+            continue
+        expect = _py_chunks(toks)
+        rows = got[doc_id]
+        assert [rows[k] for k in sorted(rows)] == expect
+        checked += 1
+    assert checked >= 40
+
+
+def test_cdc_shift_resistance_model():
+    """The property fixed-size chunking lacks: a prefix edit only
+    perturbs chunks up to the first boundary after the edit — every
+    later chunk re-aligns identically."""
+    import random
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    toks = [rnd.choice(vocab) for _ in range(400)]
+    base = _py_chunks(toks)
+    edited = _py_chunks([rnd.choice(vocab) for _ in range(9)] + toks)
+    # every base chunk after the first boundary survives the edit
+    assert len(base) > 10
+    surviving = set(edited) & set(base)
+    assert len(surviving) >= len(base) - 2
+    # and a FIXED-size chunker would have lost everything (9 % 8 != 0)
+    fixed_base = [" ".join(toks[i:i + 8]) for i in range(0, len(toks), 8)]
+    fixed_edit = [" ".join((["x"] * 9 + toks)[i:i + 8])
+                  for i in range(0, len(toks) + 9, 8)]
+    assert len(set(fixed_base) & set(fixed_edit)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# q163 — split assignment + leakage counting
+# ---------------------------------------------------------------------------
+
+
+def _py_split(doc_id: int) -> str:
+    b = _md5i("split:", str(doc_id)) % 100
+    return "train" if b < 90 else ("val" if b < 95 else "test")
+
+
+def test_q163_sizes_and_leaks_match_pure_python(spark, sf_dir, duck):
+    rows = QUERIES["q163_split_leakage"](spark, sf_dir).collect()
+    assert [(r.split_a, r.split_b) for r in rows] == [
+        ("test", "train"), ("test", "val"), ("train", "val")
+    ]
+    sizes: dict[str, int] = {"train": 0, "val": 0, "test": 0}
+    for doc_id, _lang, _text in _docs(duck):
+        sizes[_py_split(doc_id)] += 1
+    for r in rows:
+        assert r.n_docs_a == sizes[r.split_a]
+        assert r.n_docs_b == sizes[r.split_b]
+    # leakage counts must agree with re-classifying q26's verified pairs
+    leaks: dict[tuple[str, str], int] = {}
+    for p in QUERIES["q26_minhash_lsh"](spark, sf_dir).collect():
+        sa, sb = _py_split(p.doc_a), _py_split(p.doc_b)
+        if sa != sb:
+            key = (min(sa, sb), max(sa, sb))
+            leaks[key] = leaks.get(key, 0) + 1
+    for r in rows:
+        assert r.n_leak_pairs == leaks.get((r.split_a, r.split_b), 0)
+
+
+# ---------------------------------------------------------------------------
+# q161 — logistic regression GD
+# ---------------------------------------------------------------------------
+
+
+def _fq(x: float, scale: int) -> float:
+    p = 10 ** scale
+    return math.floor(x * p + 0.5) / p
+
+
+def test_q161_weights_match_pure_python(spark, sf_dir, duck):
+    """Re-derive the full GD trajectory in pure Python (features,
+    quantized sigmoid, per-row gradient, weight steps) and require the
+    engine's reported weights/accuracy to land within one quantization
+    quantum."""
+    feats = []
+    for doc_id, lang, text in _docs(duck):
+        toks = _TOK.findall(text.lower())
+        if not toks:
+            continue
+        nt = float(len(toks))
+        feats.append((
+            1 if lang == "en" else 0,
+            [1.0, len(text) / 1000.0, len(toks) / 100.0,
+             len(set(toks)) / nt, sum(map(len, toks)) / nt / 10.0],
+        ))
+    w = [0.0] * 5
+    for _ in range(3):
+        g = [0.0] * 5
+        for y, x in feats:
+            z = 0.0
+            for j in range(5):
+                z += w[j] * x[j]
+            s = _fq(1.0 / (1.0 + math.exp(-max(min(z, 30.0), -30.0))), 6)
+            for j in range(5):
+                g[j] += round((s - y) * x[j], 10)
+        w = [w[j] - _fq(g[j] / len(feats), 9) for j in range(5)]
+    [r] = QUERIES["q161_logreg_gd"](spark, sf_dir).collect()
+    assert r.n_iters == 3 and r.n_docs == len(feats)
+    for j in range(5):
+        assert abs(getattr(r, f"w{j}") - _fq(w[j], 6)) <= 2e-6, (j, w)
+    correct = 0
+    for y, x in feats:
+        z = sum(w[j] * x[j] for j in range(5))
+        s = _fq(1.0 / (1.0 + math.exp(-max(min(z, 30.0), -30.0))), 6)
+        correct += 1 if (s > 0.5) == (y == 1) else 0
+    assert abs(r.n_correct - correct) <= 2
+    assert 0.0 <= r.accuracy <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q164 — calibration bins
+# ---------------------------------------------------------------------------
+
+
+def test_q164_bins_internally_consistent(spark, sf_dir):
+    rows = QUERIES["q164_calibration_bins"](spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.n for r in rows)
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0 <= r.n_pos <= r.n
+        # mean confidence must sit inside its bin (quantization slack)
+        assert r.bin / 10 - 1e-6 <= r.mean_conf <= (r.bin + 1) / 10 + 1e-6
+        assert abs(
+            r.ece_contrib
+            - _fq(r.n / n_total * abs(r.mean_conf - r.emp_rate), 6)
+        ) <= 2e-6
+        assert abs(r.emp_rate - _fq(r.n_pos / r.n, 6)) <= 1e-9
+    # ECE is bounded by the worst bin gap
+    ece = sum(r.ece_contrib for r in rows)
+    assert 0.0 <= ece <= max(abs(r.mean_conf - r.emp_rate) for r in rows) + 1e-6
+
+
+def test_q161_q164_schemas(spark, sf_dir):
+    df = QUERIES["q161_logreg_gd"](spark, sf_dir)
+    assert df.columns == [
+        "n_iters", "n_docs", "w0", "w1", "w2", "w3", "w4",
+        "n_correct", "accuracy",
+    ]
+    df4 = QUERIES["q164_calibration_bins"](spark, sf_dir)
+    assert df4.columns == [
+        "bin", "n", "n_pos", "mean_conf", "emp_rate", "ece_contrib"
+    ]
