@@ -85,10 +85,26 @@ ORDER BY source
 
 
 def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, chunk_id, ctext) — the CDC chunk stream (shared with the
-    q162 aggregate and the chunk-store shape a real pipeline persists)."""
+    """(doc_id, chunk_id, ctext) over the corpus — the shared-token-pass
+    form of `chunks_from_tokens` (q162 and the batch side of W30)."""
+    return chunks_from_tokens(hot_tokens(spark, sf_dir))
+
+
+def chunk_texts(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, ctext) from any (doc_id, text) frame — the
+    entry point W30's streaming chunk-store ingestion folds per batch
+    (same tokenizer, same boundary rule as q162)."""
+    from kinesyslog_spark.operators.text import tokens
+
+    return chunks_from_tokens(
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    )
+
+
+def chunks_from_tokens(tok_df: DataFrame) -> DataFrame:
+    """Core CDC pass over a (doc_id, toks array) frame."""
     tok = (
-        hot_tokens(spark, sf_dir)
+        tok_df
         .filter(F.size("toks") > 0)
         .select("doc_id", F.posexplode("toks").alias("pos", "w"))
     )
