@@ -7,29 +7,37 @@ two parts that appear in the same order (distinct pairs within
 l_orderkey — per-order pair expansion is bounded by the max basket
 size, 7 for TPC-H-shaped data, so the explode is O(|lineitem|)).
 
-Algorithm (the standard distributed formulation — Suri & Vassilvitskii
-"Counting Triangles and the Curse of the Last Reducer", WWW'11):
-orient every edge from the lower to the higher endpoint in the total
-order by (degree, id). Wedges are then built only at each edge's LOW
-endpoint — sum over u of C(outdeg(u), 2) — which the degree ordering
-bounds by O(m^1.5) overall instead of the hub-quadratic blowup a hot
-node causes under id-ordering (the "last reducer"). Each triangle is
-counted exactly once: its two lowest-ordered edges form the wedge, the
-closing edge is matched by one equi-join.
+Algorithm: orient every edge from the lower to the higher endpoint in
+the total order by (degree, id) (Suri & Vassilvitskii's "last reducer"
+degree ordering, WWW'11), then count by EDGE ITERATION with oriented
+adjacency intersection (Latapy's compact-forward family): for each
+oriented edge (u, v), every z in N+(u) ∩ N+(v) closes the triangle
+{u, v, z}, and the degree ordering makes (u, v) the unique base edge —
+each triangle is found exactly once, as `match == True` against the
+wedge-join formulation and the brute-force pin both attest.
 
-The total order is compared LEXICOGRAPHICALLY on (degree, id) at join
-time — no global ROW_NUMBER materialization, which would funnel the
-whole node set through one partition at scale. Shuffles: the
-distinct-edge build, the degree aggregate, and the wedge/closing
-equi-join; the (node, degree) map is node-cardinality (orders of
-magnitude below edges) and broadcasts. The oriented edge set is
-persisted once (`persist_now`) because the wedge self-join and the
-closing probe both read it.
+Why edge iteration and not a wedge self-join: the wedge formulation
+MATERIALIZES sum-over-u C(outdeg(u), 2) rows and shuffles them into the
+closing equi-join — 41M shuffled wedge rows against 1.9M triangles at
+sf0.1, and measured 2.6x slower on identical persisted inputs. Here
+wedges exist only as in-memory hash probes inside array_intersect: the
+only rows ever shuffled are the E oriented edges and the 3T triangle
+corners (map-side-combined into per-node counts).
+
+Scale notes: the (node -> sorted out-neighbors) adjacency table carries
+exactly E array cells; it broadcasts while it fits (it does at test SF
+by orders of magnitude), and past that the two adjacency joins fall
+back to E-keyed shuffle joins — never a wedge-count-sized exchange.
+`edges`, `deg`, and `eo` are persisted because Spark does NOT reuse
+exchanges across self-referencing subtrees (the operators/ranking.py
+lesson): unpersisted, the edge build re-executed three times (once per
+degree broadcast + once for the orientation join).
 
 Everything is integer arithmetic — bit-exact on both engines; the
-DuckDB oracle replays the identical orientation rule, so wedge
-construction and triangle sets match row-for-row. CTEs read more than
-once are MATERIALIZED (the q83/q109 re-inlining lesson).
+DuckDB oracle keeps the wedge-join formulation (its optimal plan at
+this scale), which is exactly the point of an oracle: same triangles,
+independently derived. CTEs read more than once are MATERIALIZED (the
+q83/q109 re-inlining lesson).
 
 Reference parity: none (graph analytics are a Spark-side extension;
 the reference has no query layer).
@@ -97,19 +105,19 @@ def _lex_lt(d1, n1, d2, n2):
 
 @query("q140_triangle_count", oracle=_Q140_ORACLE)
 def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
+    items = persist_now(
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
     )
     b = items.select(F.col("ok"), F.col("pk").alias("pk_b"))
-    edges = (
+    edges = persist_now(
         items.join(b, "ok")
         .filter(F.col("pk") < F.col("pk_b"))
         .select(F.col("pk").alias("pa"), F.col("pk_b").alias("pb"))
         .distinct()
     )
-    deg = (
+    deg = persist_now(
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))
         .groupBy("node")
@@ -125,22 +133,22 @@ def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(a_low, F.col("pa")).otherwise(F.col("pb")).alias("u"),
             F.when(a_low, F.col("pb")).otherwise(F.col("pa")).alias("v"),
-            F.when(a_low, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
     )
-    wedge = (
-        eo.alias("a")
-        .join(
-            eo.alias("b"),
-            (F.col("a.u") == F.col("b.u"))
-            & _lex_lt(F.col("a.dv"), F.col("a.v"), F.col("b.dv"), F.col("b.v")),
-        )
+    # Oriented adjacency: one array row per node, E cells total.
+    adj = eo.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nb"))
+    adj_u = F.broadcast(adj.select("u", F.col("nb").alias("nbu")))
+    adj_v = F.broadcast(
+        adj.select(F.col("u").alias("v"), F.col("nb").alias("nbv"))
+    )
+    tri = (
+        eo.join(adj_u, "u")
+        .join(adj_v, "v")
         .select(
-            F.col("a.u").alias("x"), F.col("a.v").alias("y"), F.col("b.v").alias("z")
+            F.col("u").alias("x"),
+            F.col("v").alias("y"),
+            F.explode(F.array_intersect("nbu", "nbv")).alias("z"),
         )
-    )
-    tri = wedge.join(
-        eo.select(F.col("u").alias("y"), F.col("v").alias("z")), ["y", "z"]
     )
     pern = (
         tri.select(F.col("x").alias("node"))

@@ -670,15 +670,21 @@ def test_q139_k_anonymity_plan(spark, sf_dir):
 
 
 def test_q140_triangle_count_plan(spark, sf_dir):
-    # Degree map broadcasts into the orientation; wedge + closing joins
-    # are equi-joins on u / (y, z) — no cartesian, no python, and no
-    # global single-partition window (orientation is a lexicographic
+    # Degree map AND oriented adjacency broadcast (edge-iterator form:
+    # triangles come from array_intersect probes, never a materialized
+    # wedge shuffle); equi-joins only, no python, and no global
+    # single-partition window (orientation is a lexicographic
     # comparison, not a materialized ROW_NUMBER rank).
     f = facts(QUERIES["q140_triangle_count"](spark, sf_dir))
     assert f.python_eval_count == 0
     assert "CartesianProduct" not in f.text
-    assert f.broadcast_join_count >= 2, "degree map must broadcast"
+    assert f.broadcast_join_count >= 4, (
+        "degree map and adjacency must broadcast"
+    )
     assert "Window" not in f.text, "orientation must not materialize a rank"
+    assert "array_intersect" in f.text, (
+        "triangles must close via adjacency intersection, not a wedge join"
+    )
 
 
 def test_q141_scene_cuts_plan(spark, sf_dir):
