@@ -1,4 +1,5 @@
-"""Q163 — train/val/test split with cross-split near-dup LEAKAGE audit.
+"""Q163/Q165 — train/val/test splits and the near-dup leakage they do
+(q163) or don't (q165) admit.
 
 The split every training pipeline needs, plus the audit most skip: a
 deterministic hash split (md5 of doc_id -> 90/5/5) is leak-proof only
@@ -20,8 +21,20 @@ shuffles, hot-bucket cap, candidate-only verify join); the split map is
 a map-only projection of `documents`; split sizes are a 3-row broadcast.
 Nothing here adds a shuffle beyond the dedup family itself.
 
+q165 is the FIX the q163 audit calls for: hash the near-dup CLUSTER
+(q40's connected components over the verified pair graph; singletons
+are their own cluster) instead of the document, so both members of
+every near-dup pair land in the same split by construction. The query
+re-runs the q163 leakage audit against its own assignment and reports
+it — the count is provably zero because split is a function of
+cluster_id and both endpoints of a verified pair share a cluster (every
+verified pair is an edge of the component graph). Same 90/5/5 bucket
+rule and 'split:' hash prefix as q163, so singleton documents (the
+overwhelming majority) keep their q163 assignment — only clustered
+docs move, which the per-split cluster/doc counts make visible.
+
 Reference parity: none (training-data-ops family; composes q26 with
-q44's deterministic-hash bucketing).
+q44's deterministic-hash bucketing and q40's clustering).
 """
 
 from __future__ import annotations
@@ -149,4 +162,89 @@ def q163_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_leak_pairs"),
         )
         .orderBy("split_a", "split_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q165 — cluster-aware (leakage-free) split
+# ---------------------------------------------------------------------------
+
+_UNIT_SPLIT_SQL = (
+    "CASE WHEN CAST('0x' || substring(md5('split:' || CAST(unit AS VARCHAR)), 1, 15) "
+    f"AS BIGINT) % 100 < {TRAIN_PCT} THEN 'train' "
+    "WHEN CAST('0x' || substring(md5('split:' || CAST(unit AS VARCHAR)), 1, 15) "
+    f"AS BIGINT) % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+)
+
+
+def _q165_oracle() -> str:
+    from kinesyslog_spark.queries.cluster import _q40_oracle
+
+    return f"""
+WITH RECURSIVE clu AS ({_q40_oracle()}),
+pairs AS ({{pairs_sql}}),
+unit AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS unit
+  FROM documents d LEFT JOIN clu c ON c.doc_id = d.doc_id
+),
+sp AS MATERIALIZED (
+  SELECT doc_id, unit, {_UNIT_SPLIT_SQL} AS split FROM unit
+),
+leaks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs p
+  JOIN sp a ON a.doc_id = p.doc_a
+  JOIN sp b ON b.doc_id = p.doc_b
+  WHERE a.split <> b.split
+)
+SELECT split,
+       CAST(COUNT(DISTINCT unit) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       leaks.n AS n_leak_pairs
+FROM sp CROSS JOIN leaks
+GROUP BY split, leaks.n
+ORDER BY split
+"""
+
+
+@query(
+    "q165_cluster_split",
+    oracle=_q165_oracle().format(
+        pairs_sql=f"WITH {minhash_vpairs_cte()} SELECT doc_a, doc_b FROM vpairs"
+    ),
+)
+def q165_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.queries.cluster import cluster_labels
+    from kinesyslog_spark.queries.dedup import q26_minhash_lsh
+
+    clu = cluster_labels(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = hot_table(spark, sf_dir, "documents").select("doc_id")
+    unit = docs.join(clu, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("unit"),
+    )
+    sp = unit.select(
+        "doc_id", "unit", split_assignment(F.col("unit")).alias("split")
+    )
+    pairs = q26_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    leaks = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.countDistinct("unit").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split", "n_clusters", "n_docs",
+            F.col("n").alias("n_leak_pairs"),
+        )
+        .orderBy("split")
     )

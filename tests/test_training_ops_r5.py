@@ -201,3 +201,35 @@ def test_q161_q164_schemas(spark, sf_dir):
     assert df4.columns == [
         "bin", "n", "n_pos", "mean_conf", "emp_rate", "ece_contrib"
     ]
+
+
+# ---------------------------------------------------------------------------
+# q165 — cluster-aware split
+# ---------------------------------------------------------------------------
+
+
+def test_q165_leak_free_and_conserves_docs(spark, sf_dir):
+    rows = QUERIES["q165_cluster_split"](spark, sf_dir).collect()
+    assert [r.split for r in rows] == ["test", "train", "val"]
+    # the audit the query carries: zero cross-split verified pairs
+    assert all(r.n_leak_pairs == 0 for r in rows)
+    # doc conservation vs the document-hash split (q163 reports sizes)
+    q163 = QUERIES["q163_split_leakage"](spark, sf_dir).collect()
+    n_total_163 = {r.split_a: r.n_docs_a for r in q163}
+    n_total_163.update({r.split_b: r.n_docs_b for r in q163})
+    assert sum(r.n_docs for r in rows) == sum(n_total_163.values())
+    # every near-dup cluster lands in ONE split (pure-python recheck)
+    clu = {}
+    for r in QUERIES["q40_dedup_clusters"](spark, sf_dir).collect():
+        clu[r.doc_id] = r.cluster_id
+    unit_split = {}
+    for r in QUERIES["q26_minhash_lsh"](spark, sf_dir).collect():
+        ua, ub = clu[r.doc_a], clu[r.doc_b]
+        assert ua == ub or _py_split_unit(ua) == _py_split_unit(ub)
+    # a singleton doc's unit is itself => it keeps its q163 assignment
+    assert _py_split_unit(12345) == _py_split(12345)
+
+
+def _py_split_unit(unit: int) -> str:
+    b = _md5i("split:", str(unit)) % 100
+    return "train" if b < 90 else ("val" if b < 95 else "test")
