@@ -254,25 +254,28 @@ ORDER BY bin
 """
 
 
-@query("q164_calibration_bins", oracle=_Q164_ORACLE)
-def q164_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scores = _nb_scores(spark, sf_dir)
-    sc = F.greatest(
-        F.least(F.col("score").cast("double"), F.lit(30.0)), F.lit(-30.0)
-    )
-    p = _q6(1.0 / (1.0 + F.pow(F.lit(10.0), -sc))).cast("decimal(10,6)")
-    b = scores.select(
-        "y",
-        p.alias("p"),
+def conf_bins(conf: DataFrame) -> DataFrame:
+    """(bin, n, n_pos, sum_p) fixed-bin calibration histogram from a
+    (p DECIMAL(10,6) confidence, y label) frame — every column is
+    SUM-mergeable across shards/epochs: the state W31
+    (streaming/calibration.py) folds per micro-batch."""
+    b = conf.select(
+        "y", "p",
         F.least(
-            F.floor(p * CAL_BINS).cast("long"), F.lit(CAL_BINS - 1).cast("long")
+            F.floor(F.col("p") * CAL_BINS).cast("long"),
+            F.lit(CAL_BINS - 1).cast("long"),
         ).alias("bin"),
     )
-    h = b.groupBy("bin").agg(
+    return b.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").cast("long").alias("n_pos"),
         F.sum("p").alias("sum_p"),
     )
+
+
+def calibration_from_hist(h: DataFrame) -> DataFrame:
+    """Per-bin reliability report + ECE contributions from a conf_bins
+    histogram (1-row broadcast total; window-free)."""
     tot = h.agg(F.sum("n").cast("long").alias("nn"))
     mean_conf = _q6(F.col("sum_p").cast("double") / F.col("n"))
     emp_rate = _q6(F.col("n_pos").cast("double") / F.col("n"))
@@ -289,3 +292,19 @@ def q164_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def nb_confidences(scores: DataFrame) -> DataFrame:
+    """(doc_id, y, p) — q157 log10-odds scores to quantized-probability
+    confidences."""
+    sc = F.greatest(
+        F.least(F.col("score").cast("double"), F.lit(30.0)), F.lit(-30.0)
+    )
+    p = _q6(1.0 / (1.0 + F.pow(F.lit(10.0), -sc))).cast("decimal(10,6)")
+    return scores.select("doc_id", "y", p.alias("p"))
+
+
+@query("q164_calibration_bins", oracle=_Q164_ORACLE)
+def q164_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = _nb_scores(spark, sf_dir)
+    return calibration_from_hist(conf_bins(nb_confidences(scores)))
