@@ -7,13 +7,15 @@ modality's SAMPLE-level path can be real in this container:
 - `encode_wav`  — minimal PCM writer (8-bit unsigned / 16-bit signed,
   any channel count / rate).
 - `decode_wav_samples` — RIFF chunk walk -> per-channel int sample
-  matrix; PCM (tag 1), IEEE float32 (tag 3), G.711 A-law (tag 6) and
-  mu-law (tag 7), IMA ADPCM mono AND multi-channel (tag 0x11, real
-  integer state-machine decode with the 4-byte nibble-group channel
+  matrix; PCM (tag 1), MS ADPCM (tag 2, predictor/coefficient codec),
+  IEEE float32 (tag 3), G.711 A-law (tag 6) and mu-law (tag 7),
+  IMA ADPCM mono AND multi-channel (tag 0x11, real integer
+  state-machine decode with the 4-byte nibble-group channel
   interleave), and WAVE_FORMAT_EXTENSIBLE (0xFFFE, SubFormat GUID
   resolution to any of the above) are all decoded for real; the
-  remaining seam is reduced-valid-bits extensible audio, which raises
-  NotImplementedError, and malformed containers raise ValueError.
+  remaining seams are GSM/other exotic tags and reduced-valid-bits
+  extensible audio (NotImplementedError); malformed containers raise
+  ValueError.
 - `audio_features` — the feature-extraction step of a training
   pipeline, all exactly reproducible in SQL: sample/channel counts,
   integer peak (max |s|), sum of squared samples (exact int; RMS is
@@ -131,10 +133,15 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
                 s = int(v * 32767.0)  # truncate toward zero (deterministic)
                 out[c].append(max(-32768, min(32767, s)))
         return rate, 16, out
+    if tag == 0x02:  # MS ADPCM — real predictor/coefficient decode
+        if ch < 1:
+            raise ValueError("zero channels")
+        return rate, 16, decode_ms_adpcm(data, ba, ch)
     if tag != 1:
         raise NotImplementedError(
-            f"format tag {tag} (PCM=1, float=3, A-law=6, mu-law=7, "
-            "IMA ADPCM=0x11, extensible=0xFFFE are the real decode paths)"
+            f"format tag {tag} (PCM=1, MS ADPCM=2, float=3, A-law=6, "
+            "mu-law=7, IMA ADPCM=0x11, extensible=0xFFFE are the real "
+            "decode paths)"
         )
     if bits not in (8, 16):
         raise NotImplementedError(f"bit depth {bits} (only 8/16)")
@@ -456,3 +463,140 @@ def encode_wav_extensible(samples: list[list[int]], sample_rate: int,
     ) + struct.pack("<HHI", 22, bits, (1 << ch) - 1) + guid
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + data_chunk
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM (WAV format tag 0x02) — predictor/coefficient codec
+# ---------------------------------------------------------------------------
+#
+# The other classic 4-bit WAV codec: each block opens with a per-channel
+# coefficient-pair index + initial delta + two seed samples; every later
+# sample is pred = (s1*c1 + s2*c2) >> 8 plus a signed nibble scaled by
+# the adapting delta. Pure integer arithmetic — bit-exact decode.
+# Nibbles run HIGH-first within each byte and interleave one nibble per
+# channel per sample frame (unlike IMA's 4-byte per-channel groups).
+
+MS_COEFFS = ((256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232))
+MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+            768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _ms_step(nib: int, s1: int, s2: int, c1: int, c2: int,
+             delta: int) -> tuple[int, int]:
+    """One MS-ADPCM sample from a 4-bit code: (sample, next_delta)."""
+    signed = nib - 16 if nib & 8 else nib
+    pred = (s1 * c1 + s2 * c2) >> 8
+    sample = _clamp16(pred + signed * delta)
+    delta = max(16, (MS_ADAPT[nib] * delta) >> 8)
+    return sample, delta
+
+
+def decode_ms_adpcm(data: bytes, block_align: int,
+                    ch: int) -> list[list[int]]:
+    """MS-ADPCM `data` chunk -> per-channel int16 samples (bit-exact)."""
+    header = 7 * ch  # per channel: predictor byte + 3 int16s
+    if block_align <= header:
+        raise ValueError("block_align too small for MS ADPCM")
+    out: list[list[int]] = [[] for _ in range(ch)]
+    for b in range(0, len(data) - (len(data) % block_align), block_align):
+        blk = data[b:b + block_align]
+        preds = []
+        for c in range(ch):
+            p = blk[c]
+            if p >= len(MS_COEFFS):
+                raise ValueError(f"MS ADPCM predictor {p} out of range")
+            preds.append(MS_COEFFS[p])
+        deltas = [
+            struct.unpack("<h", blk[ch + 2 * c:ch + 2 * c + 2])[0]
+            for c in range(ch)
+        ]
+        s1 = [
+            struct.unpack("<h", blk[3 * ch + 2 * c:3 * ch + 2 * c + 2])[0]
+            for c in range(ch)
+        ]
+        s2 = [
+            struct.unpack("<h", blk[5 * ch + 2 * c:5 * ch + 2 * c + 2])[0]
+            for c in range(ch)
+        ]
+        for c in range(ch):
+            out[c] += [s2[c], s1[c]]
+        frame = 0  # one nibble per channel per frame, high nibble first
+        for byte in blk[header:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                c = frame % ch
+                samp, deltas[c] = _ms_step(
+                    nib, s1[c], s2[c], preds[c][0], preds[c][1], deltas[c]
+                )
+                s2[c], s1[c] = s1[c], samp
+                out[c].append(samp)
+                frame += 1
+    return out
+
+
+def encode_ms_adpcm(channels: list[list[int]], sample_rate: int,
+                    block_frames: int = 64) -> bytes:
+    """MS-ADPCM WAV writer (format tag 0x02): per block, per channel the
+    best coefficient pair is chosen by trial encode (the spec's
+    recommendation); block_frames is the nibble-coded samples per
+    channel after the two seeds (ch*block_frames must be even)."""
+    ch = len(channels)
+    n = len(channels[0]) if ch else 0
+    if ch < 1 or any(len(c) != n for c in channels):
+        raise ValueError("channels must be non-empty and equal length")
+    if (ch * block_frames) % 2:
+        raise ValueError("ch * block_frames must be even")
+    block_align = 7 * ch + ch * block_frames // 2
+    blocks = []
+    i = 0
+    while i < n:
+        seg = [c[i:i + 2 + block_frames] for c in channels]
+        seg = [s + [s[-1] if s else 0] * (2 + block_frames - len(s))
+               for s in seg]
+        chosen = []  # (pred_idx, delta0, nibbles, err)
+        for c in range(ch):
+            best = None
+            for pi, (c1, c2) in enumerate(MS_COEFFS):
+                s2v, s1v = _clamp16(seg[c][0]), _clamp16(seg[c][1])
+                delta = max(16, abs(s1v - s2v) // 4)
+                d0 = delta
+                nibs, err = [], 0
+                for t in seg[c][2:]:
+                    pred = (s1v * c1 + s2v * c2) >> 8
+                    diff = _clamp16(t) - pred
+                    nib = max(-8, min(7, int(round(diff / delta))
+                                      if delta else 0)) & 0x0F
+                    samp, delta = _ms_step(nib, s1v, s2v, c1, c2, delta)
+                    err += (samp - _clamp16(t)) ** 2
+                    s2v, s1v = s1v, samp
+                    nibs.append(nib)
+                if best is None or err < best[3]:
+                    best = (pi, d0, nibs, err)
+            chosen.append(best)
+        blk = bytearray(bytes(b[0] for b in chosen))
+        for c in range(ch):
+            blk += struct.pack("<h", chosen[c][1])
+        for c in range(ch):
+            blk += struct.pack("<h", _clamp16(seg[c][1]))  # sample1
+        for c in range(ch):
+            blk += struct.pack("<h", _clamp16(seg[c][0]))  # sample2
+        stream = []
+        for f in range(block_frames):
+            for c in range(ch):
+                stream.append(chosen[c][2][f])
+        for hi, lo in zip(stream[0::2], stream[1::2]):
+            blk.append((hi << 4) | lo)
+        blocks.append(bytes(blk))
+        i += 2 + block_frames
+    data = b"".join(blocks)
+    frames_per_block = block_frames + 2
+    fmt = struct.pack(
+        "<HHIIHH", 0x02, ch, sample_rate,
+        sample_rate * block_align // frames_per_block, block_align, 4,
+    ) + struct.pack("<HH", 32, frames_per_block)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )

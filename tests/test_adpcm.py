@@ -145,3 +145,81 @@ def test_hypothesis_decode_total_on_random_blocks():
         assert all(-32768 <= v <= 32767 for v in out)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM (tag 0x02)
+# ---------------------------------------------------------------------------
+
+
+def test_ms_golden_vector_decode():
+    """Hand-walked block: predictor 0 (c1=256, c2=0), delta 16,
+    s1=100, s2=50, nibble byte 0x21 (high-first: 2 then 1).
+      out seeds: [50, 100]
+      nib 2: pred=100, sample=100+2*16=132, delta=max(16,(230*16)>>8)=16
+      nib 1: pred=132, sample=132+16=148"""
+    from kinesyslog_spark.operators.wav import decode_ms_adpcm
+
+    blk = bytes([0]) + struct.pack("<hhh", 16, 100, 50) + bytes([0x21])
+    assert decode_ms_adpcm(blk, len(blk), 1) == [[50, 100, 132, 148]]
+
+
+def test_ms_golden_negative_nibble():
+    from kinesyslog_spark.operators.wav import decode_ms_adpcm
+
+    # nib 9 -> signed -7; nib 0xF -> signed -1
+    blk = bytes([0]) + struct.pack("<hhh", 20, 0, 0) + bytes([0x9F])
+    # nib 9: pred=0, sample=0-7*20=-140, delta=max(16,(614*20)>>8=47)=47
+    # nib F: pred=-140, sample=-140-47=-187, delta=max(16,(230*47)>>8)=42
+    assert decode_ms_adpcm(blk, len(blk), 1) == [[0, 0, -140, -187]]
+
+
+def test_ms_roundtrip_tracks_mono_and_stereo():
+    from kinesyslog_spark.operators.wav import encode_ms_adpcm
+
+    mono = _sine(500, amp=9000, period=40)
+    _, bits, chans = decode_wav_samples(encode_ms_adpcm([mono], 8000))
+    assert bits == 16
+    err = max(abs(a - b) for a, b in zip(chans[0][4:len(mono)], mono[4:]))
+    assert err <= 600
+    right = _sine(500, amp=5000, period=23)
+    _, _, st = decode_wav_samples(encode_ms_adpcm([mono, right], 8000))
+    for got, src in zip(st, (mono, right)):
+        err = max(abs(a - b) for a, b in zip(got[4:len(src)], src[4:]))
+        assert err <= 800
+
+
+def test_ms_corrupt_predictor_raises():
+    from kinesyslog_spark.operators.wav import decode_ms_adpcm
+
+    blk = bytes([9]) + struct.pack("<hhh", 16, 0, 0) + bytes([0x00])
+    with pytest.raises(ValueError):
+        decode_ms_adpcm(blk, len(blk), 1)
+
+
+def test_ms_hypothesis_decode_total():
+    """decode_ms_adpcm never crashes on well-framed blocks with valid
+    predictor bytes; output length is exact: 2 seeds + 2 nibbles/byte."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesyslog_spark.operators.wav import decode_ms_adpcm
+
+    @settings(max_examples=25, deadline=None)
+    @given(body=st.integers(1, 12), data=st.data())
+    def run(body, data):
+        blk = bytes([data.draw(st.integers(0, 6))])
+        blk += struct.pack(
+            "<hhh",
+            data.draw(st.integers(-32768, 32767)),
+            data.draw(st.integers(-32768, 32767)),
+            data.draw(st.integers(-32768, 32767)),
+        )
+        blk += bytes(data.draw(
+            st.lists(st.integers(0, 255), min_size=body, max_size=body)
+        ))
+        out = decode_ms_adpcm(blk, len(blk), 1)
+        assert len(out[0]) == 2 + 2 * body
+        assert all(-32768 <= v <= 32767 for v in out[0])
+
+    run()

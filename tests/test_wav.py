@@ -46,10 +46,10 @@ def test_decode_8bit_centering():
 
 
 def test_decode_rejects_non_pcm_and_malformed():
-    # MS ADPCM (tag 2) remains behind the documented seam
-    fmt_ms = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
+    # GSM 6.10 (tag 0x31) remains behind the documented seam
+    fmt_gsm = struct.pack("<HHIIHH", 0x31, 1, 8000, 1625, 65, 0)
     with pytest.raises(NotImplementedError):
-        decode_wav_samples(_riff([(b"fmt ", fmt_ms), (b"data", b"")]))
+        decode_wav_samples(_riff([(b"fmt ", fmt_gsm), (b"data", b"")]))
     with pytest.raises(ValueError):
         decode_wav_samples(b"not riff at all")
     with pytest.raises(ValueError):
