@@ -233,3 +233,43 @@ def test_q165_leak_free_and_conserves_docs(spark, sf_dir):
 def _py_split_unit(unit: int) -> str:
     b = _md5i("split:", str(unit)) % 100
     return "train" if b < 90 else ("val" if b < 95 else "test")
+
+
+# ---------------------------------------------------------------------------
+# q166 — power-iteration principal component
+# ---------------------------------------------------------------------------
+
+
+def test_q166_matches_numpy_power_iteration(spark, sf_dir, duck):
+    """Re-run the same 4-iteration power method in numpy (float64, same
+    start vector) and require the engine's eigval/eigvector to agree;
+    also sanity-check against numpy's exact eigendecomposition."""
+    import numpy as np
+
+    X = np.array(
+        duck.sql("SELECT embedding FROM embeddings ORDER BY vec_id")
+        .fetchnumpy()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    n, d = X.shape
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    v = np.full(d, 0.125)
+    for _ in range(4):
+        u = Xc.T @ (Xc @ v) / n
+        v = u / np.linalg.norm(u)
+    [r] = QUERIES["q166_power_iteration_pc"](spark, sf_dir).collect()
+    assert r.n == n
+    assert abs(r.eigval - np.linalg.norm(u)) < 1e-3
+    assert abs(r.total_var - (Xc * Xc).sum() / n) < 1e-3
+    for j in range(8):
+        assert abs(getattr(r, f"v{j}") - v[j]) < 1e-4
+    # vs the exact spectrum: ||Cv|| approaches the top eigenvalue from
+    # below. The synthetic embeddings are near-isotropic (tiny spectral
+    # gap), so 4 rounds land close but not converged — the contract is
+    # the distributed matvec machinery, not spectral-gap luck.
+    C = Xc.T @ Xc / n
+    w = np.linalg.eigvalsh(C)
+    assert r.eigval <= w[-1] + 1e-6
+    assert r.eigval >= 0.8 * w[-1], (r.eigval, w[-1])
+    assert r.evr >= 1.0 / d  # top component explains >= average share
