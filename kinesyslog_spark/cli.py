@@ -163,6 +163,18 @@ def _parser() -> argparse.ArgumentParser:
                     default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     qr.add_argument("--cpus", default=None)
 
+    tr = sub.add_parser(
+        "training-report",
+        help="materialize the training-data readiness report (split "
+             "leakage + cluster fix, CDC dedup stats, classifier/"
+             "calibration/AUC, embedding spectrum) as parquet tables "
+             "+ JSON summary",
+    )
+    tr.add_argument("out_dir", help="report artifact root")
+    tr.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    tr.add_argument("--cpus", default=None)
+
     pg = sub.add_parser(
         "purge",
         help="delete keys from a partitioned parquet table, rewriting "
@@ -484,6 +496,17 @@ def quality_report_cmd(args) -> int:
     return 0
 
 
+def training_report_cmd(args) -> int:
+    import json
+
+    from kinesyslog_spark.report import training_report
+    from kinesyslog_spark.session import get_spark
+
+    spark = get_spark("kinesyslog-spark-training", cpus=args.cpus)
+    print(json.dumps(training_report(spark, args.sf_dir, args.out_dir)), flush=True)
+    return 0
+
+
 def purge_cmd(args) -> int:
     import json
 
@@ -523,6 +546,8 @@ def main(argv: list[str] | None = None) -> int:
         return privacy_report_cmd(args)
     if args.command == "quality-report":
         return quality_report_cmd(args)
+    if args.command == "training-report":
+        return training_report_cmd(args)
     if args.command == "purge":
         return purge_cmd(args)
     if args.command == "explain":

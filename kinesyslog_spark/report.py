@@ -163,3 +163,64 @@ def quality_report(
         "all_passed": int(agg["n"]) == int(agg["ok"]),
         "hll_merge_identical": bool(merge_ok == 1),
     }
+
+
+def training_report(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, Any]:
+    """Training-data readiness in one artifact tree: the split-leakage
+    audit (q163) and its cluster-aware fix (q165), CDC dedup-store
+    statistics (q162), the in-engine classifier + its calibration
+    (q161/q164) and AUC (q159), and the embedding spectrum (q166) —
+    the numbers a dataset card / training gate reads before a run.
+    Headline indicators: leakage before vs after the cluster fix, the
+    corpus dedup ratio, model accuracy/AUC/ECE, and the top component's
+    explained-variance ratio."""
+    from pyspark.sql import functions as F
+
+    from kinesyslog_spark.queries import QUERIES
+
+    counts: dict[str, int] = {}
+    for qname, art in (
+        ("q163_split_leakage", "split_leakage"),
+        ("q165_cluster_split", "cluster_split"),
+        ("q162_cdc_chunk_dedup", "cdc_dedup"),
+        ("q161_logreg_gd", "classifier_gd"),
+        ("q164_calibration_bins", "calibration"),
+        ("q159_binned_auc", "auc"),
+        ("q166_power_iteration_pc", "spectrum"),
+    ):
+        QUERIES[qname](spark, sf_dir).write.mode("overwrite").parquet(
+            f"{out_dir}/{art}"
+        )
+        counts[art] = spark.read.parquet(f"{out_dir}/{art}").count()
+
+    leak = spark.read.parquet(f"{out_dir}/split_leakage").agg(
+        F.sum("n_leak_pairs").alias("n")
+    ).collect()[0]
+    cleak = spark.read.parquet(f"{out_dir}/cluster_split").agg(
+        F.max("n_leak_pairs").alias("n")
+    ).collect()[0]
+    dd = spark.read.parquet(f"{out_dir}/cdc_dedup").agg(
+        F.sum("unique_bytes").alias("u"), F.sum("total_bytes").alias("t")
+    ).collect()[0]
+    gd = spark.read.parquet(f"{out_dir}/classifier_gd").collect()[0]
+    cal = spark.read.parquet(f"{out_dir}/calibration").agg(
+        F.sum("ece_contrib").alias("ece"),
+        F.max(F.abs(F.col("mean_conf") - F.col("emp_rate"))).alias("worst"),
+    ).collect()[0]
+    auc = spark.read.parquet(f"{out_dir}/auc").collect()[0]
+    spec = spark.read.parquet(f"{out_dir}/spectrum").collect()[0]
+    return {
+        "tables": counts,
+        "doc_split_leak_pairs": int(leak["n"]),
+        "cluster_split_leak_pairs": int(cleak["n"]),
+        "leakage_eliminated": int(cleak["n"]) == 0,
+        "dedup_ratio": round(float(dd["u"]) / float(dd["t"]), 6),
+        "gd_accuracy": float(gd["accuracy"]),
+        "auc_exact": float(auc["auc_exact"]),
+        "auc_binned_abs_err": float(auc["abs_err"]),
+        "ece": round(float(cal["ece"]), 6),
+        "worst_bin_gap": float(cal["worst"]),
+        "top_component_evr": float(spec["evr"]),
+    }

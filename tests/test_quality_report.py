@@ -31,3 +31,36 @@ def test_quality_report_cli(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["all_passed"] is True
+
+
+def test_training_report_artifacts(spark, sf_dir, tmp_path):
+    from kinesyslog_spark.report import training_report
+
+    out = str(tmp_path / "training")
+    s = training_report(spark, sf_dir, out)
+    assert set(s["tables"]) == {
+        "split_leakage", "cluster_split", "cdc_dedup", "classifier_gd",
+        "calibration", "auc", "spectrum",
+    }
+    assert all(n > 0 for n in s["tables"].values())
+    assert s["cluster_split_leak_pairs"] == 0
+    assert s["leakage_eliminated"] is True
+    assert s["doc_split_leak_pairs"] >= 0
+    assert 0.0 < s["dedup_ratio"] <= 1.0
+    assert 0.0 <= s["gd_accuracy"] <= 1.0
+    assert 0.0 <= s["auc_exact"] <= 1.0
+    assert s["auc_binned_abs_err"] < 0.05
+    assert 0.0 <= s["ece"] <= 1.0
+    assert 0.0 < s["top_component_evr"] <= 1.0
+
+
+def test_training_report_cli(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from kinesyslog_spark.cli import main
+
+    out = str(tmp_path / "tr")
+    rc = main(["training-report", out, "--sf-dir", sf_dir])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["leakage_eliminated"] is True
