@@ -429,6 +429,22 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                     continue
                 except DECODE_ERRORS:
                     pass  # malformed GIF: fall through to stub
+            elif raw[:8] == _PNG_SIG:
+                try:
+                    from kinesyslog_spark.operators.apng import (
+                        decode_apng_frames,
+                    )
+
+                    frames = decode_apng_frames(raw, MJPEG_SAMPLE_FRAMES)[3]
+                    for j, px in enumerate(frames):
+                        rows.append({
+                            "doc_id": d,
+                            "frame_idx": j,
+                            "frame_md5": hashlib.md5(px).hexdigest(),
+                        })
+                    continue
+                except DECODE_ERRORS:
+                    pass  # plain/malformed PNG: fall through to stub
             n = len(raw)
             k = n % 4 + 1
             step = max(n // k, 1)
