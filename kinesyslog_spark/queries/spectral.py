@@ -97,12 +97,15 @@ v{k + 1} AS (
     chain = ",".join(iter_cte(k) for k in range(PI_ITERS))
     last_u = f"u{PI_ITERS - 1}"
     eig = " + ".join(f"u.u{j} * u.u{j}" for j in range(EMB_DIM))
-    tv = " + ".join(
-        f"CAST(t.t{j} AS DOUBLE)" for j in range(EMB_DIM)
+    # total variance from the SAME pass's second moments:
+    # tv = sum_j (S2_j/n - mu_j^2), left-associated (the Spark driver
+    # replicates this exact association).
+    q_sums = ",\n      ".join(
+        f"SUM(CAST(emb[{j + 1}] * emb[{j + 1}] AS DECIMAL(30,12))) AS q{j}"
+        for j in range(EMB_DIM)
     )
-    tv_sums = ",\n      ".join(
-        f"SUM(CAST((e.emb[{j + 1}] - mu.m{j}) * (e.emb[{j + 1}] - mu.m{j})"
-        f" AS DECIMAL(30,12))) AS t{j}"
+    tv = " + ".join(
+        f"(CAST(ms.q{j} AS DOUBLE) / ms.n - mu.m{j} * mu.m{j})"
         for j in range(EMB_DIM)
     )
     vout = ", ".join(
@@ -112,8 +115,9 @@ v{k + 1} AS (
 WITH data AS MATERIALIZED (
   SELECT embedding::DOUBLE[] AS emb FROM embeddings
 ),
-ms AS (
+ms AS MATERIALIZED (
   SELECT {mu_sums},
+      {q_sums},
       CAST(COUNT(*) AS BIGINT) AS n
   FROM data
 ),
@@ -124,15 +128,11 @@ mu AS MATERIALIZED (
 ),
 v0 AS (SELECT {v0}),
 {chain},
-tvar AS (
-  SELECT {tv_sums}
-  FROM data e CROSS JOIN mu
-),
 fin AS (
   SELECT CAST(mu.n AS BIGINT) AS n,
          FLOOR(sqrt({eig}) * 1000000 + 0.5) / 1000000 AS eigval,
-         FLOOR(({tv}) / mu.n * 1000000 + 0.5) / 1000000 AS total_var
-  FROM {last_u} u CROSS JOIN tvar t CROSS JOIN mu
+         FLOOR(({tv}) * 1000000 + 0.5) / 1000000 AS total_var
+  FROM {last_u} u CROSS JOIN ms CROSS JOIN mu
 )
 SELECT f.n, f.eigval, f.total_var,
        FLOOR(f.eigval / f.total_var * 1000000 + 0.5) / 1000000 AS evr,
@@ -157,61 +157,67 @@ def _dot_lit(vec: list[float], mu: list[float]) -> Column:
 
 @query("q166_power_iteration_pc", oracle=_q166_oracle())
 def q166_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All corpus aggregates run NARROW (posexplode -> groupBy dimension
+    # -> decimal sums): a 64-wide decimal aggregate generates a huge
+    # codegen method (measured 2-4 s of compile per pass at sf0.1);
+    # the narrow shape is one tiny hash aggregate over D groups with
+    # map-side combine, and decimal sums are grouping-shape-free, so
+    # the oracle's wide form produces the identical values.
+    import math
+
     from pyspark import StorageLevel
 
     data = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_ONLY)
-    ms = data.agg(
-        *[
-            F.sum(F.col("emb")[j].cast("decimal(30,12)")).alias(f"s{j}")
-            for j in range(EMB_DIM)
-        ],
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    n = ms["n"]
-    mu = [_floor_q(float(ms[f"s{j}"]) / n, 9) for j in range(EMB_DIM)]
+    n = data.count()
+    ms = (
+        data.select(F.posexplode("emb").alias("j", "x"))
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("x").cast("decimal(30,12)")).alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)"))
+            .alias("s2"),
+        )
+        .collect()
+    )
+    s1 = [0.0] * EMB_DIM
+    s2 = [0.0] * EMB_DIM
+    for r in ms:
+        s1[r.j], s2[r.j] = float(r.s1), float(r.s2)
+    mu = [_floor_q(s1[j] / n, 9) for j in range(EMB_DIM)]
     v = [_V0] * EMB_DIM
-    u = None
+    u = [0.0] * EMB_DIM
     for _ in range(PI_ITERS):
-        rows = data.select("emb", _dot_lit(v, mu).alias("s"))
-        g = rows.agg(
-            *[
-                F.sum(
-                    (F.col("s") * (F.col("emb")[j] - F.lit(mu[j])))
-                    .cast("decimal(30,12)")
-                ).alias(f"g{j}")
-                for j in range(EMB_DIM)
-            ]
-        ).collect()[0]
-        u = [float(g[f"g{j}"]) / n for j in range(EMB_DIM)]
+        mu_arr = F.array(*[F.lit(x) for x in mu])
+        rows = data.select(
+            _dot_lit(v, mu).alias("s"), F.posexplode("emb").alias("j", "x")
+        )
+        g = (
+            rows.select(
+                "j",
+                (
+                    F.col("s")
+                    * (F.col("x") - F.element_at(mu_arr, F.col("j") + 1))
+                ).cast("decimal(30,12)").alias("t"),
+            )
+            .groupBy("j")
+            .agg(F.sum("t").alias("g"))
+            .collect()
+        )
+        for r in g:
+            u[r.j] = float(r.g) / n
         norm = u[0] * u[0]
         for j in range(1, EMB_DIM):
             norm = norm + u[j] * u[j]
-        import math
-
         nr = math.sqrt(norm)
         v = [_floor_q(u[j] / nr, 9) for j in range(EMB_DIM)]
     eig2 = u[0] * u[0]
     for j in range(1, EMB_DIM):
         eig2 = eig2 + u[j] * u[j]
-    import math
-
     eigval = _floor_q(math.sqrt(eig2), 6)
-    t = data.agg(
-        *[
-            F.sum(
-                ((F.col("emb")[j] - F.lit(mu[j]))
-                 * (F.col("emb")[j] - F.lit(mu[j])))
-                .cast("decimal(30,12)")
-            ).alias(f"t{j}")
-            for j in range(EMB_DIM)
-        ]
-    ).collect()[0]
-    tv = float(t["t0"])
-    tvs = [float(t[f"t{j}"]) for j in range(EMB_DIM)]
-    tvd = tvs[0]
+    tvd = s2[0] / n - mu[0] * mu[0]
     for j in range(1, EMB_DIM):
-        tvd = tvd + tvs[j]
-    total_var = _floor_q(tvd / n, 6)
+        tvd = tvd + (s2[j] / n - mu[j] * mu[j])
+    total_var = _floor_q(tvd, 6)
     return spark.createDataFrame(
         [(
             int(n), eigval, total_var,
