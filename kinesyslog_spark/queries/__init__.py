@@ -91,3 +91,4 @@ from kinesyslog_spark.queries import mlops  # noqa: E402,F401
 from kinesyslog_spark.queries import chunking  # noqa: E402,F401
 from kinesyslog_spark.queries import splits  # noqa: E402,F401
 from kinesyslog_spark.queries import spectral  # noqa: E402,F401
+from kinesyslog_spark.queries import overlap  # noqa: E402,F401

@@ -273,3 +273,46 @@ def test_q166_matches_numpy_power_iteration(spark, sf_dir, duck):
     assert r.eigval <= w[-1] + 1e-6
     assert r.eigval >= 0.8 * w[-1], (r.eigval, w[-1])
     assert r.evr >= 1.0 / d  # top component explains >= average share
+
+
+# ---------------------------------------------------------------------------
+# q167 — HLL audience overlap
+# ---------------------------------------------------------------------------
+
+
+def test_q167_matches_pure_python_hll(spark, sf_dir, duck):
+    """Recompute the register tables, inclusion-exclusion estimates and
+    exact intersections in pure Python from the raw events."""
+    ev = duck.sql("SELECT event_type, user_id FROM events").fetchall()
+    regs: dict[str, list[int]] = {}
+    users: dict[str, set[int]] = {}
+    for et, uid in ev:
+        hv = _md5i("ovl:", str(uid))
+        j, rest = hv % 64, hv >> 6
+        r = 55 if rest == 0 else 55 - rest.bit_length()
+        regs.setdefault(et, [0] * 64)
+        regs[et][j] = max(regs[et][j], r)
+        users.setdefault(et, set()).add(uid)
+
+    def est(m):
+        zs = sum(1 << (55 - x) for x in m)
+        return math.floor(0.709 * 64 * 64 * (1 << 55) / zs)
+
+    rows = QUERIES["q167_hll_audience_overlap"](spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r.et_a < r.et_b
+        seen.add((r.et_a, r.et_b))
+        assert r.n_exact_a == len(users[r.et_a])
+        assert r.n_exact_b == len(users[r.et_b])
+        assert r.n_exact_both == len(users[r.et_a] & users[r.et_b])
+        union = [max(a, b) for a, b in zip(regs[r.et_a], regs[r.et_b])]
+        expect = max(
+            0, est(regs[r.et_a]) + est(regs[r.et_b]) - est(union)
+        )
+        assert r.est_both == expect
+        assert r.est_err == expect - r.n_exact_both
+    ets = sorted(users)
+    assert seen == {
+        (a, b) for i, a in enumerate(ets) for b in ets[i + 1:]
+    }
