@@ -183,3 +183,72 @@ def test_frame_sampler_takes_apng_real_path():
     assert len(out) == len(frames) == 3
     for j, px in enumerate(frames):
         assert out.iloc[j].frame_md5 == hashlib.md5(px).hexdigest()
+
+
+def test_random_animation_matches_independent_compositor():
+    """Property: random frame sequences (regions, disposal, blend,
+    alpha) decode to exactly what an INDEPENDENT numpy RGBA compositor
+    produces (integer Porter-Duff, same spec semantics)."""
+    import random
+
+    import numpy as np
+
+    def compose(sw, sh, frames):
+        canvas = np.zeros((sh, sw, 4), dtype=np.int64)
+        out = []
+        for k, f in enumerate(frames):
+            x, y, w, h = f.get("x", 0), f.get("y", 0), f["w"], f["h"]
+            src = np.frombuffer(f["rgba"], dtype=np.uint8).astype(
+                np.int64
+            ).reshape(h, w, 4)
+            disp = f.get("dispose", 0)
+            if k == 0 and disp == 2:
+                disp = 1
+            saved = canvas.copy() if disp == 2 else None
+            reg = canvas[y:y + h, x:x + w]
+            if f.get("blend", 0) == 0:
+                reg[:] = src
+            else:
+                sa = src[..., 3:4]
+                da = reg[..., 3:4]
+                oa255 = sa * 255 + da * (255 - sa)
+                num = src[..., :3] * sa * 255 + reg[..., :3] * da * (255 - sa)
+                rgb = np.where(oa255 > 0, num // np.maximum(oa255, 1), 0)
+                a = (oa255 + 127) // 255
+                full = sa == 255
+                reg[..., :3] = np.where(full, src[..., :3], rgb)
+                reg[..., 3:4] = np.where(full, 255, np.where(sa == 0, da, a))
+                zero = (sa == 0)
+                reg[..., :3] = np.where(zero, canvas[y:y + h, x:x + w][..., :3], reg[..., :3])
+            out.append(canvas[..., :3].astype(np.uint8).tobytes())
+            if disp == 1:
+                canvas[y:y + h, x:x + w] = 0
+            elif disp == 2:
+                canvas = saved
+        return out
+
+    rnd = random.Random(11)
+    for trial in range(8):
+        sw, sh = rnd.randint(2, 6), rnd.randint(2, 6)
+        frames = [{
+            "w": sw, "h": sh,
+            "rgba": bytes(rnd.randrange(256) for _ in range(sw * sh * 4)),
+        }]
+        for _ in range(rnd.randint(1, 5)):
+            w = rnd.randint(1, sw)
+            h = rnd.randint(1, sh)
+            frames.append({
+                "x": rnd.randint(0, sw - w), "y": rnd.randint(0, sh - h),
+                "w": w, "h": h,
+                "rgba": bytes(
+                    rnd.randrange(256) for _ in range(w * h * 4)
+                ),
+                "dispose": rnd.choice([0, 1, 2]),
+                "blend": rnd.choice([0, 1]),
+            })
+        payload = apng_bytes(sw, sh, frames)
+        _, _, _, got = decode_apng_frames(payload)
+        expect = compose(sw, sh, frames)
+        assert len(got) == len(expect), trial
+        for k, (g, e) in enumerate(zip(got, expect)):
+            assert g == e, (trial, k, sw, sh)
