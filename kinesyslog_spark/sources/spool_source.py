@@ -11,6 +11,8 @@ the full reader surface:
     spark.dataSource.register(SpoolDataSource)
     spark.read.format("kinesyslogspool").load(spool_dir)          # batch
     spark.readStream.format("kinesyslogspool").load(spool_dir)    # stream
+    env_df.write.format("kinesyslogspool").mode("append").save(spool_dir)
+                                                                  # sink
 
 Batch: one InputPartition per spool file — a multi-TB prefix fans out
 one task per record blob, same layout binaryFile would produce, minus
@@ -41,7 +43,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -174,9 +178,58 @@ class _SpoolStreamReader(DataSourceStreamReader):
         pass  # spool retention is the uploader's job, not the reader's
 
 
+class _SpoolCommit(WriterCommitMessage):
+    def __init__(self, n_files: int):
+        self.n_files = n_files
+
+
+class _SpoolWriter(DataSourceWriter):
+    """`df.write.format("kinesyslogspool")`: envelope rows -> gzip-9
+    JSON record files through the SAME split/compress/atomic-link path
+    as the relay sink (sinks/records.py G4/G5 + K1).
+
+    Each file becomes visible only through the temp+link publish, so a
+    crashed task leaves no partial file; a RETRIED task re-links new
+    uuid names, so delivery is at-least-once — exactly the reference
+    spool's contract (its uploader dedups downstream, K3)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kinesyslogspool requires a path (.save(dir))")
+
+    def write(self, iterator) -> "_SpoolCommit":
+        from kinesyslog_spark.sinks.records import _split_serialize, spool_write
+
+        n = 0
+        for row in iterator:
+            rec = {
+                "owner": row.owner,
+                "logGroup": row.logGroup,
+                "logStream": row.logStream,
+                "subscriptionFilters": list(row.subscriptionFilters or []),
+                "messageType": row.messageType,
+                "logEvents": [
+                    {"id": e.id, "timestamp": e.timestamp, "message": e.message}
+                    for e in (row.logEvents or [])
+                ],
+            }
+            for blob in _split_serialize(rec):
+                spool_write(blob, self.path)
+                n += 1
+        return _SpoolCommit(n)
+
+    def commit(self, messages) -> None:
+        pass  # files were atomically published per-part in write()
+
+    def abort(self, messages) -> None:
+        pass  # temp files never became visible; linked parts stay
+        # (at-least-once, see class docstring)
+
+
 class SpoolDataSource(DataSource):
     """`format("kinesyslogspool")`: the engine's record format as a
-    native batch + streaming source."""
+    native batch + streaming source AND a batch sink."""
 
     @classmethod
     def name(cls) -> str:
@@ -190,6 +243,14 @@ class SpoolDataSource(DataSource):
 
     def streamReader(self, schema: "StructType") -> DataSourceStreamReader:  # noqa: N802
         return _SpoolStreamReader(self.options)
+
+    def writer(self, schema: "StructType", overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise ValueError(
+                "kinesyslogspool is append-only (a spool directory is a "
+                "queue; retention belongs to the uploader)"
+            )
+        return _SpoolWriter(self.options)
 
 
 def register_spool_source(spark) -> None:

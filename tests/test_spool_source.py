@@ -104,3 +104,58 @@ def test_stream_read_picks_up_new_files(registered, tmp_path):
 def test_source_name_and_schema():
     assert SpoolDataSource.name() == "kinesyslogspool"
     assert "logEvents" in SpoolDataSource(options={}).schema()
+
+
+def test_writer_round_trips(registered, tmp_path):
+    """df.write.format('kinesyslogspool') -> atomic spool files that the
+    batch reader inverts exactly (same split/compress/link path as the
+    relay sink)."""
+    spark = registered
+    spool_dir = str(tmp_path / "wspool")
+    env = spark.createDataFrame(
+        [
+            ("me", "grp-a", "stream-1", ["all"], "DATA_MESSAGE",
+             [(f"{i:056d}", 1700000000000 + i, f"w msg {i}")
+              for i in range(4)]),
+            ("me", "grp-b", "stream-2", [], "DATA_MESSAGE",
+             [("x" * 56, 1700000009999, "solo")]),
+        ],
+        "owner string, logGroup string, logStream string, "
+        "subscriptionFilters array<string>, messageType string, "
+        "logEvents array<struct<id: string, timestamp: long, "
+        "message: string>>",
+    )
+    env.write.format("kinesyslogspool").mode("append").save(spool_dir)
+    back = spark.read.format("kinesyslogspool").load(spool_dir)
+    got = {
+        (r.owner, r.logGroup, r.logStream, tuple(r.subscriptionFilters),
+         r.messageType, tuple((e.id, e.timestamp, e.message)
+                              for e in r.logEvents))
+        for r in back.collect()
+    }
+    want = {
+        (r.owner, r.logGroup, r.logStream, tuple(r.subscriptionFilters),
+         r.messageType, tuple((e.id, e.timestamp, e.message)
+                              for e in r.logEvents))
+        for r in env.collect()
+    }
+    assert got == want
+    # every visible file is a complete record (no temp residue)
+    assert all(
+        n.startswith("firehose_event-") for n in os.listdir(spool_dir)
+    )
+
+
+def test_writer_rejects_overwrite(registered, tmp_path):
+    spark = registered
+    env = spark.createDataFrame(
+        [("me", "g", "s", [], "DATA_MESSAGE", [])],
+        "owner string, logGroup string, logStream string, "
+        "subscriptionFilters array<string>, messageType string, "
+        "logEvents array<struct<id: string, timestamp: long, "
+        "message: string>>",
+    )
+    with pytest.raises(Exception, match="append-only"):
+        env.write.format("kinesyslogspool").mode("overwrite").save(
+            str(tmp_path / "ow")
+        )
