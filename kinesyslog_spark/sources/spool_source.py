@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -227,9 +228,29 @@ class _SpoolWriter(DataSourceWriter):
         # (at-least-once, see class docstring)
 
 
+class _SpoolStreamWriter(DataSourceStreamWriter):
+    """`df.writeStream.format("kinesyslogspool")`: the native streaming
+    form of the relay's foreachBatch spool sink (sinks/records.py:
+    spool_batch). Same per-part atomic publish; a replayed micro-batch
+    re-links new uuid names, so delivery is at-least-once — the spool's
+    contract (K3's uploader acks per record downstream)."""
+
+    def __init__(self, options: dict):
+        self._w = _SpoolWriter(options)
+
+    def write(self, iterator) -> "_SpoolCommit":
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId) -> None:  # noqa: N803
+        pass  # parts were atomically published in write()
+
+    def abort(self, messages, batchId) -> None:  # noqa: N803
+        pass
+
+
 class SpoolDataSource(DataSource):
     """`format("kinesyslogspool")`: the engine's record format as a
-    native batch + streaming source AND a batch sink."""
+    native batch + streaming source AND batch + streaming sink."""
 
     @classmethod
     def name(cls) -> str:
@@ -251,6 +272,11 @@ class SpoolDataSource(DataSource):
                 "queue; retention belongs to the uploader)"
             )
         return _SpoolWriter(self.options)
+
+    def streamWriter(  # noqa: N802
+        self, schema: "StructType", overwrite: bool
+    ) -> DataSourceStreamWriter:
+        return _SpoolStreamWriter(self.options)
 
 
 def register_spool_source(spark) -> None:

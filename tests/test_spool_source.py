@@ -159,3 +159,69 @@ def test_writer_rejects_overwrite(registered, tmp_path):
         env.write.format("kinesyslogspool").mode("overwrite").save(
             str(tmp_path / "ow")
         )
+
+
+def test_stream_writer_spools_micro_batches(registered, tmp_path):
+    """writeStream.format('kinesyslogspool'): each micro-batch's
+    envelopes land as atomic spool files the batch reader inverts."""
+    import json as _json
+
+    spark = registered
+    in_dir = str(tmp_path / "in")
+    spool_dir = str(tmp_path / "sspool")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def write_batch(name, k):
+        tmp = os.path.join(in_dir, name + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(_json.dumps({
+                "owner": "me", "logGroup": f"g{k}", "logStream": "s",
+                "subscriptionFilters": [], "messageType": "DATA_MESSAGE",
+                "logEvents": [
+                    {"id": f"{k:056d}", "timestamp": 1700000000000 + k,
+                     "message": f"stream msg {k}"}
+                ],
+            }) + "\n")
+        os.rename(tmp, os.path.join(in_dir, name))
+
+    write_batch("b1.json", 1)
+    stream = spark.readStream.schema(
+        "owner string, logGroup string, logStream string, "
+        "subscriptionFilters array<string>, messageType string, "
+        "logEvents array<struct<id: string, timestamp: long, "
+        "message: string>>"
+    ).json(in_dir)
+    q = (
+        stream.writeStream.format("kinesyslogspool")
+        .option("path", spool_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+
+        def groups():
+            try:
+                return {
+                    r.logGroup for r in spark.read.format(
+                        "kinesyslogspool"
+                    ).load(spool_dir).collect()
+                }
+            except Exception:
+                return set()
+
+        while time.time() < deadline and groups() != {"g1"}:
+            time.sleep(0.5)
+        write_batch("b2.json", 2)
+        while time.time() < deadline and groups() != {"g1", "g2"}:
+            time.sleep(0.5)
+        assert groups() == {"g1", "g2"}
+    finally:
+        q.stop()
+    back = spark.read.format("kinesyslogspool").load(spool_dir)
+    msgs = {
+        e.message for r in back.collect() for e in r.logEvents
+    }
+    assert msgs == {"stream msg 1", "stream msg 2"}
