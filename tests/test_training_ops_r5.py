@@ -316,3 +316,34 @@ def test_q167_matches_pure_python_hll(spark, sf_dir, duck):
     assert seen == {
         (a, b) for i, a in enumerate(ets) for b in ets[i + 1:]
     }
+
+
+# ---------------------------------------------------------------------------
+# q168 — Benford audit
+# ---------------------------------------------------------------------------
+
+
+def test_q168_matches_pure_python(spark, sf_dir, duck):
+    rows = QUERIES["q168_benford_audit"](spark, sf_dir).collect()
+    for table, col in (("lineitem", "l_extendedprice"),
+                       ("orders", "o_totalprice")):
+        vals = [v for (v,) in duck.sql(
+            f"SELECT {col} FROM {table} WHERE {col} > 0"
+        ).fetchall()]
+        counts = {d: 0 for d in range(1, 10)}
+        for v in vals:
+            counts[int(str(int(v * 100))[0])] += 1
+        n = sum(counts.values())
+        exp = {d: math.floor(math.log10(1 + 1 / d) * 1e6 + 0.5) / 1e6
+               for d in range(1, 10)}
+        chi2 = sum(
+            round((counts[d] - n * exp[d]) ** 2 / (n * exp[d]), 10)
+            for d in range(1, 10)
+        )
+        mine = [r for r in rows if r.src == f"{table}.{col}"]
+        assert [r.digit for r in mine] == list(range(1, 10))
+        for r in mine:
+            assert r.n_obs == counts[r.digit]
+            assert r.benford_p == exp[r.digit]
+            assert abs(r.frac - _fq(counts[r.digit] / n, 6)) <= 1e-9
+            assert abs(r.chi2 - _fq(chi2, 4)) <= 2e-4
