@@ -347,3 +347,26 @@ def test_q168_matches_pure_python(spark, sf_dir, duck):
             assert r.benford_p == exp[r.digit]
             assert abs(r.frac - _fq(counts[r.digit] / n, 6)) <= 1e-9
             assert abs(r.chi2 - _fq(chi2, 4)) <= 2e-4
+
+
+# ---------------------------------------------------------------------------
+# q169 — split-disciplined AUC
+# ---------------------------------------------------------------------------
+
+
+def test_q169_split_disciplined_auc(spark, sf_dir, duck):
+    rows = QUERIES["q169_split_disciplined_auc"](spark, sf_dir).collect()
+    assert [r.split for r in rows] == ["test", "train", "val"]
+    sizes = {"train": 0, "val": 0, "test": 0}
+    pos = {"train": 0, "val": 0, "test": 0}
+    for doc_id, lang, text in _docs(duck):
+        if not _TOK.findall(text.lower()):
+            continue
+        s = _py_split(doc_id)
+        sizes[s] += 1
+        pos[s] += 1 if lang == "en" else 0
+    for r in rows:
+        assert 0.0 <= r.auc_binned <= 1.0
+        # scored docs are labeled docs minus those with no trained token
+        assert 0 < r.n_pos <= pos[r.split]
+        assert 0 < r.n_neg <= sizes[r.split] - pos[r.split]
