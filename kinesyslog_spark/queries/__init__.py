@@ -94,3 +94,4 @@ from kinesyslog_spark.queries import spectral  # noqa: E402,F401
 from kinesyslog_spark.queries import overlap  # noqa: E402,F401
 from kinesyslog_spark.queries import forensics  # noqa: E402,F401
 from kinesyslog_spark.queries import evalsplit  # noqa: E402,F401
+from kinesyslog_spark.queries import versioning  # noqa: E402,F401
