@@ -188,7 +188,10 @@ def training_report(
         ("q161_logreg_gd", "classifier_gd"),
         ("q164_calibration_bins", "calibration"),
         ("q159_binned_auc", "auc"),
+        ("q169_split_disciplined_auc", "split_auc"),
         ("q166_power_iteration_pc", "spectrum"),
+        ("q168_benford_audit", "benford"),
+        ("q170_snapshot_diff", "snapshot_diff"),
     ):
         QUERIES[qname](spark, sf_dir).write.mode("overwrite").parquet(
             f"{out_dir}/{art}"
@@ -211,6 +214,18 @@ def training_report(
     ).collect()[0]
     auc = spark.read.parquet(f"{out_dir}/auc").collect()[0]
     spec = spark.read.parquet(f"{out_dir}/spectrum").collect()[0]
+    sauc = {
+        r["split"]: float(r["auc_binned"])
+        for r in spark.read.parquet(f"{out_dir}/split_auc").collect()
+    }
+    chi = {
+        r["src"]: float(r["chi2"])
+        for r in spark.read.parquet(f"{out_dir}/benford").collect()
+    }
+    snap = {
+        r["diff_class"]: int(r["n_users"])
+        for r in spark.read.parquet(f"{out_dir}/snapshot_diff").collect()
+    }
     return {
         "tables": counts,
         "doc_split_leak_pairs": int(leak["n"]),
@@ -220,7 +235,13 @@ def training_report(
         "gd_accuracy": float(gd["accuracy"]),
         "auc_exact": float(auc["auc_exact"]),
         "auc_binned_abs_err": float(auc["abs_err"]),
+        "auc_train": sauc.get("train", 0.0),
+        "auc_heldout": round(
+            (sauc.get("val", 0.0) + sauc.get("test", 0.0)) / 2, 6
+        ),
         "ece": round(float(cal["ece"]), 6),
         "worst_bin_gap": float(cal["worst"]),
         "top_component_evr": float(spec["evr"]),
+        "benford_worst_chi2": max(chi.values()) if chi else 0.0,
+        "snapshot_changed_users": snap.get("changed", 0),
     }

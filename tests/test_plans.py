@@ -806,3 +806,61 @@ def test_q158_distributed_rank_auc(spark, sf_dir):
     assert f.python_eval_count == 0
     df.count()
     assert unpartitioned_window_count(df) == 0
+
+
+def test_q161_gd_no_python_no_sort_agg(spark, sf_dir):
+    # the final-scan plan: broadcast-free map + hash aggregates only
+    f = facts(QUERIES["q161_logreg_gd"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.sort_aggregate_count == 0
+    assert "CartesianProduct" not in f.text
+
+
+def test_q163_q165_broadcast_audit_sides(spark, sf_dir):
+    # split sizes / leak counts / cluster stats are tiny — broadcast;
+    # the only big shuffles are q26's bucket-keyed candidate stages
+    for name in ("q163_split_leakage", "q165_cluster_split"):
+        f = facts(QUERIES[name](spark, sf_dir))
+        assert f.python_eval_count == 0, name
+        assert f.broadcast_any_count >= 2, name
+        assert "CartesianProduct" not in f.text, name
+
+
+def test_q167_overlap_plan(spark, sf_dir):
+    # register tables and exact counts broadcast into the pair report;
+    # the register pair join keys on j (64 rows per type)
+    f = facts(QUERIES["q167_hll_audience_overlap"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert f.broadcast_any_count >= 4
+    assert f.sort_aggregate_count == 0
+
+
+def test_q168_benford_plan(spark, sf_dir):
+    # one projection + 9-group hash agg per column; Benford table and
+    # chi-square rows broadcast; no window, no join against the facts
+    df = QUERIES["q168_benford_audit"](spark, sf_dir)
+    f = facts(df)
+    assert f.python_eval_count == 0
+    assert f.broadcast_any_count >= 2
+    assert "Window" not in f.text
+    df.count()
+    assert unpartitioned_window_count(df) == 0
+
+
+def test_q169_split_auc_plan(spark, sf_dir):
+    # model + prior + bin bounds broadcast; per-split AUC is window-free
+    df = QUERIES["q169_split_disciplined_auc"](spark, sf_dir)
+    f = facts(df)
+    assert f.python_eval_count == 0
+    assert f.broadcast_any_count >= 3
+    df.count()
+    assert unpartitioned_window_count(df) == 0
+
+
+def test_q170_snapshot_diff_plan(spark, sf_dir):
+    # two predicates over ONE persisted history + a full-outer equi-join
+    f = facts(QUERIES["q170_snapshot_diff"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "FullOuter" in f.text or "full_outer" in f.text.lower()
+    assert "CartesianProduct" not in f.text
+    assert "InMemoryTableScan" in f.text, "history must be persisted"

@@ -40,8 +40,13 @@ def test_training_report_artifacts(spark, sf_dir, tmp_path):
     s = training_report(spark, sf_dir, out)
     assert set(s["tables"]) == {
         "split_leakage", "cluster_split", "cdc_dedup", "classifier_gd",
-        "calibration", "auc", "spectrum",
+        "calibration", "auc", "split_auc", "spectrum", "benford",
+        "snapshot_diff",
     }
+    assert 0.0 <= s["auc_train"] <= 1.0
+    assert 0.0 <= s["auc_heldout"] <= 1.0
+    assert s["benford_worst_chi2"] >= 0.0
+    assert s["snapshot_changed_users"] >= 0
     assert all(n > 0 for n in s["tables"].values())
     assert s["cluster_split_leak_pairs"] == 0
     assert s["leakage_eliminated"] is True
