@@ -8,8 +8,10 @@ and stays behind the documented `NotImplementedError` seam.
 
 Pieces (all deterministic, all exact integer arithmetic):
 - `decode_png`  — signature/chunk walk, zlib inflate, filters 0-4
-  (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6 at bit depth 8,
-  non-interlaced (Adam7 raises: a narrow, documented gap).
+  (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6 at EVERY legal
+  bit depth (1/2/4 unpack MSB-first and scale by replication, 16-bit
+  keeps the high byte), and Adam7 interlace (seven independently
+  filtered passes scattered into the output grid).
 - `encode_png`  — minimal grayscale-8 writer (filter 0 rows). Only
   the DECODED pixels are contract: zlib's compressed bytes may vary
   across zlib builds, so nothing downstream ever hashes the encoded
@@ -128,14 +130,88 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+# Valid bit depths per color type (PNG spec §11.2.2).
+_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+    4: (8, 16), 6: (8, 16),
+}
+
+
+def _defilter(raw: bytes, off: int, height: int, stride: int,
+              bpp: int) -> tuple[bytearray, int]:
+    """Undo filters 0-4 over `height` scanlines of `stride` bytes each
+    (bpp = filter-unit bytes per pixel, >= 1). Returns (raw pixel
+    bytes, next offset into `raw`)."""
+    need = (stride + 1) * height
+    if off + need > len(raw):
+        raise ValueError("pixel data length mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        o = off + y * (stride + 1)
+        ftype = raw[o]
+        line = bytearray(raw[o + 1:o + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return out, off + need
+
+
+def _unpack_samples(rowbytes: bytes, width: int, ch: int, depth: int,
+                    scale: bool) -> bytes:
+    """One defiltered scanline -> width*ch 8-bit samples. Sub-byte
+    depths unpack MSB-first and (for gray) scale by replication
+    (v * 255 / (2^d - 1), exact for these depths); 16-bit keeps the
+    high byte (the consumers are 8-bit luma)."""
+    n = width * ch
+    if depth == 8:
+        return bytes(rowbytes[:n])
+    if depth == 16:
+        return bytes(rowbytes[2 * k] for k in range(n))
+    out = bytearray(n)
+    maxv = (1 << depth) - 1
+    per_byte = 8 // depth
+    for k in range(n):
+        byte = rowbytes[k // per_byte]
+        shift = 8 - depth * (k % per_byte + 1)
+        v = (byte >> shift) & maxv
+        out[k] = v * 255 // maxv if scale else v
+    return bytes(out)
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL PNG pixel decode: (width, height, channels, pixels).
 
-    Pixels are row-major interleaved channel bytes (palette images are
-    expanded to RGB through PLTE). Raises ValueError on malformed input
-    and NotImplementedError for the unsupported corners (bit depth != 8,
-    Adam7 interlace) — callers at corpus scale catch both and null the
-    row rather than fail the task (see queries/imagehash.py).
+    Pixels are row-major interleaved 8-bit channel bytes (palette
+    images are expanded to RGB through PLTE; 16-bit samples keep their
+    high byte; 1/2/4-bit grayscale scales by replication). All five
+    filters, all five color types, every legal bit depth, and Adam7
+    interlace (seven independently-filtered passes scattered into the
+    output grid) decode for real. Raises ValueError on malformed input
+    — callers at corpus scale catch and null the row rather than fail
+    the task (see queries/imagehash.py).
     """
     buf = bytes(payload)
     if buf[:8] != _PNG_SIG:
@@ -164,47 +240,61 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         i += 12 + clen  # len + type + data + crc
     if width is None:
         raise ValueError("missing IHDR")
-    if bitdepth != 8:
-        raise NotImplementedError(f"bit depth {bitdepth} (only 8)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlace")
     if colortype not in _CHANNELS:
         raise ValueError(f"bad color type {colortype}")
+    if bitdepth not in _VALID_DEPTHS[colortype]:
+        raise ValueError(f"bit depth {bitdepth} invalid for type {colortype}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    if width == 0 or height == 0:
+        raise ValueError("zero dimensions")
     ch = _CHANNELS[colortype]
-    raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("pixel data length mismatch")
-    out = bytearray(stride * height)
-    prev = bytearray(stride)
-    for y in range(height):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1:off + 1 + stride])
-        if ftype == 1:  # Sub
-            for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = line[x - ch] if x >= ch else 0
-                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = line[x - ch] if x >= ch else 0
-                ul = prev[x - ch] if x >= ch else 0
-                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad filter type {ftype}")
-        out[y * stride:(y + 1) * stride] = line
-        prev = line
+    scale = colortype != 3  # palette indices are never scaled
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    bpp = max(1, ch * bitdepth // 8)
+    out = bytearray(width * ch * height)
+    if interlace == 0:
+        stride = (width * ch * bitdepth + 7) // 8
+        flat, off = _defilter(raw, 0, height, stride, bpp)
+        if off != len(raw):
+            raise ValueError("pixel data length mismatch")
+        for y in range(height):
+            row = _unpack_samples(
+                flat[y * stride:(y + 1) * stride], width, ch, bitdepth, scale
+            )
+            out[y * width * ch:(y + 1) * width * ch] = row
+    else:  # Adam7: seven independently filtered sub-images
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * ch * bitdepth + 7) // 8
+            flat, off = _defilter(raw, off, ph, stride, bpp)
+            for r in range(ph):
+                row = _unpack_samples(
+                    flat[r * stride:(r + 1) * stride], pw, ch, bitdepth,
+                    scale,
+                )
+                y = y0 + r * dy
+                for c in range(pw):
+                    x = x0 + c * dx
+                    o = (y * width + x) * ch
+                    out[o:o + ch] = row[c * ch:(c + 1) * ch]
+        if off != len(raw):
+            raise ValueError("pixel data length mismatch")
     if colortype == 3:  # expand palette indices to RGB
         if not plte:
             raise ValueError("palette image without PLTE")
+        npal = len(plte) // 3
         rgb = bytearray(width * height * 3)
         for p, idx in enumerate(out):
+            if idx >= npal:
+                raise ValueError(f"palette index {idx} out of range")
             rgb[p * 3:p * 3 + 3] = plte[idx * 3:idx * 3 + 3]
         return width, height, 3, bytes(rgb)
     return width, height, ch, bytes(out)

@@ -100,16 +100,180 @@ def test_decode_palette_expands_to_rgb():
 def test_decode_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
-    # bit depth 16 -> NotImplementedError
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    buf = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
-    with pytest.raises(NotImplementedError):
-        decode_png(buf + _chunk(b"IEND", b""))
-    # Adam7 interlace -> NotImplementedError
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    buf = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
-    with pytest.raises(NotImplementedError):
-        decode_png(buf + _chunk(b"IEND", b""))
+    # truncated streams (no IDAT payload) -> ValueError, any depth
+    for depth, interlace in ((16, 0), (8, 1)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+        buf = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        with pytest.raises(ValueError):
+            decode_png(buf + _chunk(b"IEND", b""))
+    # illegal depth/type combination (16-bit palette)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    with pytest.raises(ValueError):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IEND", b"")
+        )
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlace + non-8 bit depths (round-5 seam closures)
+# ---------------------------------------------------------------------------
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _filter_rows(rows: list[bytes], stride: int, bpp: int,
+                 filter_type: int) -> bytearray:
+    raw = bytearray()
+    prev = bytes(stride)
+    for line in rows:
+        raw.append(filter_type)
+        for x in range(stride):
+            left = line[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if filter_type == 0:
+                f = line[x]
+            elif filter_type == 1:
+                f = (line[x] - left) & 0xFF
+            elif filter_type == 2:
+                f = (line[x] - up) & 0xFF
+            elif filter_type == 3:
+                f = (line[x] - ((left + up) >> 1)) & 0xFF
+            else:
+                f = (line[x] - _paeth_ref(left, up, ul)) & 0xFF
+            raw.append(f)
+        prev = line
+    return raw
+
+
+def adam7_encode(pixels: bytes, w: int, h: int, colortype: int,
+                 filter_type: int = 4) -> bytes:
+    """Independent Adam7 encoder (depth 8): split into the seven
+    passes, filter each pass independently, concat."""
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        rows = []
+        for r in range(ph):
+            y = y0 + r * dy
+            line = bytearray()
+            for c in range(pw):
+                x = x0 + c * dx
+                o = (y * w + x) * ch
+                line += pixels[o:o + ch]
+            rows.append(bytes(line))
+        raw += _filter_rows(rows, pw * ch, ch, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 3), (8, 8), (9, 5), (17, 11)])
+@pytest.mark.parametrize("colortype,ch", [(0, 1), (6, 4)])
+def test_decode_adam7(w, h, colortype, ch):
+    pixels = _pat(w * h * ch)
+    got = decode_png(adam7_encode(pixels, w, h, colortype))
+    assert got == (w, h, ch, pixels)
+
+
+def _pack_bits(vals: list[int], depth: int) -> bytes:
+    out = bytearray()
+    acc = nbits = 0
+    for v in vals:
+        acc = (acc << depth) | v
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc = nbits = 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return bytes(out)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_decode_low_bitdepth_gray(depth):
+    w, h = 9, 3  # non-byte-aligned rows
+    maxv = (1 << depth) - 1
+    vals = [(x * 7 + y) % (maxv + 1) for y in range(h) for x in range(w)]
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += _pack_bits(vals[y * w:(y + 1) * w], depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    dw, dh, dch, px = decode_png(payload)
+    assert (dw, dh, dch) == (w, h, 1)
+    assert list(px) == [v * 255 // maxv for v in vals]
+
+
+def test_decode_low_bitdepth_palette_unscaled():
+    w, h, depth = 5, 2, 2
+    idx = [0, 1, 2, 3, 0, 3, 2, 1, 0, 1]
+    plte = bytes(range(12))
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += _pack_bits(idx[y * w:(y + 1) * w], depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    dw, dh, dch, px = decode_png(payload)
+    assert (dw, dh, dch) == (w, h, 3)
+    assert px == b"".join(plte[i * 3:i * 3 + 3] for i in idx)
+
+
+@pytest.mark.parametrize("colortype,ch", [(0, 1), (2, 3)])
+def test_decode_16bit_keeps_high_byte(colortype, ch):
+    w, h = 4, 3
+    his = _pat(w * h * ch)
+    samples = bytearray()
+    for k, hi in enumerate(his):
+        samples += bytes((hi, (k * 37) & 0xFF))  # low byte is noise
+    stride = w * ch * 2
+    rows = [bytes(samples[y * stride:(y + 1) * stride]) for y in range(h)]
+    raw = _filter_rows(rows, stride, ch * 2, 2)  # Up filter, 16-bit bpp
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, colortype, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    dw, dh, dch, px = decode_png(payload)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert px == his
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    ftype=st.integers(0, 4), seed=st.integers(0, 2**31 - 1),
+)
+def test_adam7_roundtrip_random(w, h, ftype, seed):
+    import random
+
+    rnd = random.Random(seed)
+    pixels = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    got = decode_png(adam7_encode(pixels, w, h, 2, filter_type=ftype))
+    assert got == (w, h, 3, pixels)
 
 
 @settings(max_examples=25, deadline=None)
