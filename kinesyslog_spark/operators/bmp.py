@@ -1,12 +1,16 @@
-"""Zero-dependency BMP (Windows DIB) codec: uncompressed 24-bit and
-8-bit-palette decode + a 24-bit encoder for tests.
+"""Zero-dependency BMP (Windows DIB) codec: every classic BI_RGB bit
+depth (1/4/8-bit palette, 16-bit RGB555, 24-bit, 32-bit BGRX) plus the
+two RLE compressions (BI_RLE8/BI_RLE4 with end-of-line, end-of-bitmap,
+delta, and absolute-mode escapes) + a 24-bit encoder for tests.
 
 Same interface contract as operators/png.py: decode returns
 (width, height, channels, row-major interleaved pixel bytes), raises
-ValueError on malformed input and NotImplementedError for unsupported
-corners (compression, other bit depths) so corpus-scale callers can
-null the row and continue. BMP stores rows BOTTOM-UP, BGR order, each
-row padded to 4 bytes — the decoder normalizes to top-down RGB.
+ValueError on malformed input and NotImplementedError for the
+remaining corners (BI_BITFIELDS masks, core headers) so corpus-scale
+callers can null the row and continue. BMP stores rows BOTTOM-UP, BGR
+order, each row padded to 4 bytes — the decoder normalizes to
+top-down RGB; RLE-skipped pixels read as palette entry 0 (the
+convention viewers use for the undefined cells).
 
 Reference parity: none (the reference relay has no media surface);
 this narrows the multimodal codec seam (operators/multimodal.py)
@@ -46,11 +50,62 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     return hdr + info + body
 
 
+def _decode_rle(data: bytes, width: int, height: int,
+                bits: int) -> list[bytearray]:
+    """BI_RLE8/BI_RLE4 -> index rows in STORED (bottom-up) order.
+    Undefined (skipped) cells stay 0."""
+    rows = [bytearray(width) for _ in range(height)]
+    x = y = 0
+    i = 0
+    nib = bits == 4
+    while i + 2 <= len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            if y >= height or x + n > width:
+                raise ValueError("RLE run outside the bitmap")
+            for k in range(n):
+                val = ((v >> 4) if k % 2 == 0 else (v & 0x0F)) if nib else v
+                rows[y][x + k] = val
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return rows
+        elif v == 2:  # delta
+            if i + 2 > len(data):
+                raise ValueError("truncated RLE delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > width or y > height:
+                raise ValueError("RLE delta outside the bitmap")
+        else:  # absolute mode: v literal pixels, word-aligned
+            cnt = v
+            if y >= height or x + cnt > width:
+                raise ValueError("RLE absolute run outside the bitmap")
+            nbytes = ((cnt + 1) // 2 if nib else cnt)
+            nbytes += nbytes % 2  # pad to 16-bit boundary
+            if i + nbytes > len(data):
+                raise ValueError("truncated RLE absolute run")
+            for k in range(cnt):
+                if nib:
+                    byte = data[i + k // 2]
+                    val = (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
+                else:
+                    val = data[i + k]
+                rows[y][x + k] = val
+            x += cnt
+            i += nbytes
+    return rows
+
+
 def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL BMP pixel decode: (width, height, channels, pixels).
 
-    Supports BI_RGB 24-bit and 8-bit palette (expanded to RGB);
-    top-down (negative height) and bottom-up row orders."""
+    BI_RGB at 1/4/8 (palette), 16 (RGB555), 24, 32 (BGRX) bits plus
+    BI_RLE8/BI_RLE4; top-down (negative height) and bottom-up orders.
+    """
     buf = bytes(payload)
     if len(buf) < _FILE_HDR + _INFO_HDR or buf[:2] != b"BM":
         raise ValueError("not a BMP file")
@@ -59,19 +114,25 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     if hdr_size < _INFO_HDR:
         raise NotImplementedError(f"BITMAPCOREHEADER size {hdr_size}")
     planes, bits, comp = struct.unpack("<HHI", buf[26:34])
-    if comp != 0:
-        raise NotImplementedError(f"BMP compression {comp} (only BI_RGB)")
-    if bits not in (8, 24):
-        raise NotImplementedError(f"BMP bit depth {bits} (only 8/24)")
+    if comp not in (0, 1, 2):
+        raise NotImplementedError(
+            f"BMP compression {comp} (BI_RGB/BI_RLE8/BI_RLE4 supported)"
+        )
+    if comp == 1 and bits != 8 or comp == 2 and bits != 4:
+        raise ValueError(f"RLE{comp} with {bits}-bit pixels is illegal")
+    if bits not in (1, 4, 8, 16, 24, 32):
+        raise NotImplementedError(f"BMP bit depth {bits}")
     if width <= 0 or height_raw == 0 or planes != 1:
         raise ValueError("bad BMP dimensions")
     top_down = height_raw < 0
     height = -height_raw if top_down else height_raw
+    if top_down and comp != 0:
+        raise ValueError("top-down RLE bitmaps are illegal")
 
     palette: list[tuple[int, int, int]] | None = None
-    if bits == 8:
+    if bits in (1, 4, 8):
         (n_colors,) = struct.unpack("<I", buf[46:50])
-        n_colors = n_colors or 256
+        n_colors = n_colors or (1 << bits)
         pstart = _FILE_HDR + hdr_size
         if pstart + 4 * n_colors > len(buf):
             raise ValueError("truncated BMP palette")
@@ -80,25 +141,54 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
             for i in range(n_colors)
         ]
 
-    bpp = bits // 8
-    stride = (width * bpp + 3) & ~3
+    out = bytearray(width * height * 3)
+
+    def put_idx(base: int, x: int, idx: int) -> None:
+        if idx >= len(palette):  # type: ignore[arg-type]
+            raise ValueError("palette index out of range")
+        out[base + 3 * x: base + 3 * x + 3] = bytes(palette[idx])
+
+    if comp:  # RLE: stored rows are bottom-up index rows
+        rows = _decode_rle(buf[off:], width, height, bits)
+        for oy in range(height):
+            base = oy * width * 3
+            row = rows[height - 1 - oy]
+            for x in range(width):
+                put_idx(base, x, row[x])
+        return width, height, 3, bytes(out)
+
+    stride = ((width * bits + 31) // 32) * 4
     if off + stride * height > len(buf):
         raise ValueError("truncated BMP pixel data")
-    out = bytearray(width * height * 3)
     for oy in range(height):
         sy = oy if top_down else height - 1 - oy
-        row = buf[off + sy * stride: off + sy * stride + width * bpp]
+        row = buf[off + sy * stride: off + sy * stride + stride]
         base = oy * width * 3
         if bits == 24:
             for x in range(width):
                 b, g, r = row[3 * x: 3 * x + 3]
                 out[base + 3 * x: base + 3 * x + 3] = bytes((r, g, b))
-        else:
+        elif bits == 32:
             for x in range(width):
-                idx = row[x]
-                if idx >= len(palette):  # type: ignore[arg-type]
-                    raise ValueError("palette index out of range")
-                out[base + 3 * x: base + 3 * x + 3] = bytes(palette[idx])
+                b, g, r = row[4 * x: 4 * x + 3]
+                out[base + 3 * x: base + 3 * x + 3] = bytes((r, g, b))
+        elif bits == 16:  # RGB555, scale 5 bits by replication
+            for x in range(width):
+                (v,) = struct.unpack("<H", row[2 * x: 2 * x + 2])
+                r = ((v >> 10) & 31) * 255 // 31
+                g = ((v >> 5) & 31) * 255 // 31
+                b = (v & 31) * 255 // 31
+                out[base + 3 * x: base + 3 * x + 3] = bytes((r, g, b))
+        elif bits == 8:
+            for x in range(width):
+                put_idx(base, x, row[x])
+        else:  # 1/4-bit packed palette indices, MSB-first
+            per_byte = 8 // bits
+            maxv = (1 << bits) - 1
+            for x in range(width):
+                byte = row[x // per_byte]
+                shift = 8 - bits * (x % per_byte + 1)
+                put_idx(base, x, (byte >> shift) & maxv)
     return width, height, 3, bytes(out)
 
 

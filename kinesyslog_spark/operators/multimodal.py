@@ -12,11 +12,13 @@ channels-rate-bits-duration (`parse_audio_header`), and ISO-BMFF (MP4)
 brand + mvhd duration / Matroska sniff (`parse_video_header`).
 
 PIXELS and SAMPLES are real for the stdlib-feasible codecs: PNG
-(zlib + unfilter, operators/png.py), GIF (LZW, gif.py), baseline JPEG
-(Huffman + IDCT, jpeg.py), BMP (bmp.py), WAV PCM + mono IMA ADPCM
-(wav.py), and MJPEG-in-AVI frame extraction (avi.py). What remains
-behind the clearly-marked seam: arithmetic-coded JPEG,
-inter-frame video codecs (H.264 etc.), A-law/stereo-ADPCM audio — those paths raise NotImplementedError or run
+(zlib + unfilter at every legal depth + Adam7, operators/png.py), GIF
+incl. animation (LZW + GCE composition, gif.py), APNG (apng.py),
+baseline + progressive JPEG (Huffman + IDCT, jpeg.py), BMP incl. RLE
+(bmp.py), WAV PCM/float/G.711/IMA/MS-ADPCM (wav.py), and MJPEG/DIB-AVI
+frame extraction (avi.py). What remains behind the clearly-marked
+seam: arithmetic-coded JPEG, inter-frame video codecs (H.264 etc.),
+GSM audio — those paths raise NotImplementedError or run
 `fake_decode_meta`, a deterministic pure function of the payload bytes
 that a SQL oracle can reproduce. Everything Spark-side (schema,
 batching, partition behavior) is real either way.

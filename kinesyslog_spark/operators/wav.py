@@ -119,17 +119,19 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
         for idx, byte in enumerate(data):
             out[idx % ch].append(expand(byte))
         return rate, 16, out
-    if tag == 0x03:  # IEEE float32 — real decode, scaled to 16-bit ints
-        if bits != 32:
+    if tag == 0x03:  # IEEE float32/float64 — real decode, 16-bit ints
+        if bits not in (32, 64):
             raise NotImplementedError(f"float WAV with {bits}-bit samples")
         if ch < 1:
             raise ValueError("zero channels")
-        n = len(data) // (ch * 4)
+        width_f, code = (4, "<f") if bits == 32 else (8, "<d")
+        n = len(data) // (ch * width_f)
         out = [[] for _ in range(ch)]
         for f in range(n):
-            base = f * ch * 4
+            base = f * ch * width_f
             for c in range(ch):
-                (v,) = struct.unpack("<f", data[base + c * 4:base + c * 4 + 4])
+                o = base + c * width_f
+                (v,) = struct.unpack(code, data[o:o + width_f])
                 s = int(v * 32767.0)  # truncate toward zero (deterministic)
                 out[c].append(max(-32768, min(32767, s)))
         return rate, 16, out

@@ -77,9 +77,13 @@ def test_malformed_rejected():
     with pytest.raises(ValueError):
         decode_bmp(encode_bmp(3, 3, _gradient(3, 3))[:30])  # truncated
     rle = bytearray(encode_bmp(2, 2, _gradient(2, 2)))
-    struct.pack_into("<I", rle, 30, 1)  # compression = BI_RLE8
-    with pytest.raises(NotImplementedError):
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8 on 24-bit: illegal
+    with pytest.raises(ValueError):
         decode_bmp(bytes(rle))
+    bf = bytearray(encode_bmp(2, 2, _gradient(2, 2)))
+    struct.pack_into("<I", bf, 30, 3)  # BI_BITFIELDS: still a seam
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bf))
 
 
 def test_resize_path_uses_real_pixels():
@@ -128,3 +132,117 @@ def test_hypothesis_roundtrip_random_images():
         assert (ww, hh, ch, px) == (w, h, 3, rgb)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: 1/4/16/32-bit + RLE8/RLE4
+# ---------------------------------------------------------------------------
+
+
+def _bmp(w, h, bits, comp, body, palette=()):
+    off = 14 + 40 + 4 * len(palette)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bits, comp, len(body),
+        0, 0, len(palette), 0,
+    )
+    pal = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    return hdr + info + pal + bytes(body)
+
+
+PAL4C = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+
+
+def test_decode_32bit_drops_filler():
+    w, h = 3, 2
+    # stored bottom-up BGRX
+    body = bytearray()
+    for y in (1, 0):
+        for x in range(w):
+            body += bytes((10 + x, 20 + y, 30, 0xEE))  # B, G, R, X
+    ww, hh, ch, px = decode_bmp(_bmp(w, h, 32, 0, body))
+    assert (ww, hh, ch) == (w, h, 3)
+    # top row of output is stored LAST (y=0)
+    assert px[:3] == bytes((30, 20, 10))
+    assert px[3:6] == bytes((30, 20, 11))
+
+
+def test_decode_16bit_rgb555():
+    w, h = 2, 1
+    v1 = (31 << 10) | (0 << 5) | 15   # r=31, g=0, b=15
+    v2 = (1 << 10) | (16 << 5) | 31
+    body = struct.pack("<HH", v1, v2)  # stride 4, already aligned
+    _, _, _, px = decode_bmp(_bmp(w, h, 16, 0, body))
+    assert px[:3] == bytes((255, 0, 15 * 255 // 31))
+    assert px[3:6] == bytes((1 * 255 // 31, 16 * 255 // 31, 255))
+
+
+def test_decode_1bit_and_4bit_packed():
+    # 1-bit: 9 pixels per row -> 2 bytes data + pad to 4
+    w, h = 9, 2
+    row0 = bytes((0b10110001, 0b10000000)) + b"\x00\x00"
+    row1 = bytes((0b01001110, 0b00000000)) + b"\x00\x00"
+    body = row1 + row0  # bottom-up
+    _, _, _, px = decode_bmp(
+        _bmp(w, h, 1, 0, body, palette=PAL4C[:2])
+    )
+    bits0 = [1, 0, 1, 1, 0, 0, 0, 1, 1]
+    assert px[:27] == b"".join(bytes(PAL4C[b]) for b in bits0)
+    # 4-bit: 3 pixels -> 2 bytes (nibbles MSB-first) + pad
+    w2 = 3
+    body4 = bytes((0x01, 0x20)) + b"\x00\x00"
+    _, _, _, px4 = decode_bmp(_bmp(w2, 1, 4, 0, body4, palette=PAL4C))
+    assert px4 == bytes(PAL4C[0]) + bytes(PAL4C[1]) + bytes(PAL4C[2])
+
+
+def test_decode_rle8():
+    w, h = 6, 2
+    # bottom row: 3x idx1 then absolute literals (2,3,2); top: 6x idx2
+    stream = bytes((
+        3, 1,              # run of 3 idx1
+        0, 3, 2, 3, 2, 0,  # absolute mode: 3 literals + 1 pad byte
+        0, 0,              # EOL
+        6, 2,              # top row run
+        0, 1,              # EOB
+    ))
+    _, _, _, px = decode_bmp(_bmp(w, h, 8, 1, stream, palette=PAL4C))
+    top = px[:w * 3]
+    bot = px[w * 3:]
+    assert top == bytes(PAL4C[2]) * 6
+    assert bot == b"".join(bytes(PAL4C[i]) for i in (1, 1, 1, 2, 3, 2))
+
+
+def test_decode_rle4_and_delta_skip():
+    w, h = 6, 2
+    stream = bytes((
+        4, 0x12,        # run of 4 alternating 1,2,1,2
+        0, 2, 2, 1,     # delta: skip 2 right, 1 up
+        3, 0x33,        # on top row at x=... 4+2=6?? -> new row x=6 invalid
+    ))
+    # the delta lands x=6 == width -> next run overflows -> ValueError
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(_bmp(w, h, 4, 2, stream, palette=PAL4C))
+    ok = bytes((
+        4, 0x12,
+        0, 0,           # EOL
+        2, 0x30,        # top row: 3,0
+        0, 1,           # EOB
+    ))
+    _, _, _, px = decode_bmp(_bmp(w, h, 4, 2, ok, palette=PAL4C))
+    top = px[:w * 3]
+    bot = px[w * 3:]
+    assert bot[:12] == b"".join(bytes(PAL4C[i]) for i in (1, 2, 1, 2))
+    assert bot[12:] == bytes(PAL4C[0]) * 2  # undefined cells -> entry 0
+    assert top[:6] == bytes(PAL4C[3]) + bytes(PAL4C[0])
+
+
+def test_rle_with_topdown_rejected():
+    body = bytes((1, 0, 0, 1))
+    buf = bytearray(_bmp(2, 2, 8, 1, body, palette=PAL4C))
+    struct.pack_into("<i", buf, 22, -2)  # height = -2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(buf))

@@ -186,3 +186,15 @@ def test_q126_registry(spark, sf_dir):
         assert r.n_samples > 0 and r.peak > 0
         assert r.rms > 0 and r.sum_sq > 0
         assert 0 <= r.zero_crossings < r.n_samples
+
+
+def test_decode_float64():
+    vals = [0.0, 0.25, -0.5, 1.5, -2.0]
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 8, 8, 64)
+    data = b"".join(struct.pack("<d", v) for v in vals)
+    rate, bits, chans = decode_wav_samples(
+        _riff([(b"fmt ", fmt), (b"data", data)])
+    )
+    assert (rate, bits) == (8000, 16)
+    expect = [max(-32768, min(32767, int(v * 32767.0))) for v in vals]
+    assert chans[0] == expect
