@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.ann import EMB_DIM
-from kinesyslog_spark.queries.mlops import _floor_q, _q6
+from kinesyslog_spark.queries.mlops import _floor_q
 from kinesyslog_spark.tables import hot_table
 
 PI_ITERS = 4
