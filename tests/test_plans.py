@@ -858,9 +858,15 @@ def test_q169_split_auc_plan(spark, sf_dir):
 
 
 def test_q170_snapshot_diff_plan(spark, sf_dir):
-    # two predicates over ONE persisted history + a full-outer equi-join
+    # two predicates over ONE localCheckpoint-ed history + a full-outer
+    # equi-join. localCheckpoint (not persist): a persist would register
+    # q81's plan in the CacheManager and rewrite every later q81 call's
+    # executed plan session-wide (the contamination this test's q81
+    # sibling caught).
     f = facts(QUERIES["q170_snapshot_diff"](spark, sf_dir))
     assert f.python_eval_count == 0
     assert "FullOuter" in f.text or "full_outer" in f.text.lower()
     assert "CartesianProduct" not in f.text
-    assert "InMemoryTableScan" in f.text, "history must be persisted"
+    assert "ExistingRDD" in f.text or "LogicalRDD" in f.text, (
+        "history must be materialized once (localCheckpoint scan)"
+    )
