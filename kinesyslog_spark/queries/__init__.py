@@ -95,3 +95,4 @@ from kinesyslog_spark.queries import overlap  # noqa: E402,F401
 from kinesyslog_spark.queries import forensics  # noqa: E402,F401
 from kinesyslog_spark.queries import evalsplit  # noqa: E402,F401
 from kinesyslog_spark.queries import versioning  # noqa: E402,F401
+from kinesyslog_spark.queries import robust  # noqa: E402,F401

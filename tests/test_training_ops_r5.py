@@ -370,3 +370,38 @@ def test_q169_split_disciplined_auc(spark, sf_dir, duck):
         # scored docs are labeled docs minus those with no trained token
         assert 0 < r.n_pos <= pos[r.split]
         assert 0 < r.n_neg <= sizes[r.split] - pos[r.split]
+
+
+# ---------------------------------------------------------------------------
+# q171 — robust outlier audit
+# ---------------------------------------------------------------------------
+
+
+def test_q171_matches_pure_python(spark, sf_dir, duck):
+    import statistics
+
+    rows = {r.src: r for r in
+            QUERIES["q171_robust_outlier_audit"](spark, sf_dir).collect()}
+    for table, col in (("lineitem", "l_extendedprice"),
+                       ("orders", "o_totalprice")):
+        vals = sorted(
+            float(v) for (v,) in duck.sql(
+                f"SELECT CAST({col} AS DECIMAL(12,2)) FROM {table}"
+            ).fetchall()
+        )
+        n = len(vals)
+        med = (vals[(n - 1) // 2] + vals[n // 2]) / 2
+        devs = sorted(abs(v - med) for v in vals)
+        mad = (devs[(n - 1) // 2] + devs[n // 2]) / 2
+        n_out = sum(
+            1 for d in devs
+            if math.floor(d / (1.4826 * mad) * 1e6 + 0.5) / 1e6 > 3.5
+        )
+        r = rows[f"{table}.{col}"]
+        assert r.n == n
+        assert abs(r.median - med) < 1e-6
+        assert abs(r.mad - mad) < 1e-6
+        assert r.n_outliers == n_out
+        assert abs(r.outlier_frac - _fq(n_out / n, 6)) < 1e-9
+        # a robust audit on clean TPC-H money columns flags few rows
+        assert r.outlier_frac < 0.05
