@@ -96,3 +96,4 @@ from kinesyslog_spark.queries import forensics  # noqa: E402,F401
 from kinesyslog_spark.queries import evalsplit  # noqa: E402,F401
 from kinesyslog_spark.queries import versioning  # noqa: E402,F401
 from kinesyslog_spark.queries import robust  # noqa: E402,F401
+from kinesyslog_spark.queries import lshaudit  # noqa: E402,F401

@@ -405,3 +405,42 @@ def test_q171_matches_pure_python(spark, sf_dir, duck):
         assert abs(r.outlier_frac - _fq(n_out / n, 6)) < 1e-9
         # a robust audit on clean TPC-H money columns flags few rows
         assert r.outlier_frac < 0.05
+
+
+# ---------------------------------------------------------------------------
+# q172 — LSH recall audit
+# ---------------------------------------------------------------------------
+
+
+def test_q172_matches_pure_python(spark, sf_dir, duck):
+    """Recompute the sampled ground truth (shingle Jaccard) and the
+    sample-restricted q26 pair set in pure Python."""
+    [r] = QUERIES["q172_lsh_recall_audit"](spark, sf_dir).collect()
+    sh = {}
+    for doc_id, _lang, text in _docs(duck):
+        toks = _TOK.findall(text.lower())
+        if len(toks) < 3:
+            continue
+        if _md5i("rs:", str(doc_id)) % 8 == 0:
+            sh[doc_id] = {
+                " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+            }
+    assert r.n_sample_docs == len(sh)
+    ids = sorted(sh)
+    true_pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 4)
+            if j >= 0.5:
+                true_pairs.add((a, b))
+    assert r.n_true_pairs == len(true_pairs)
+    found = {
+        (p.doc_a, p.doc_b)
+        for p in QUERIES["q26_minhash_lsh"](spark, sf_dir).collect()
+        if p.doc_a in sh and p.doc_b in sh
+    }
+    assert r.n_found_pairs == len(true_pairs & found)
+    assert 0.0 <= r.recall <= 1.0
+    assert abs(r.band_model_at_threshold
+               - _fq(1 - (1 - 0.5 ** 3) ** 4, 6)) < 1e-9
