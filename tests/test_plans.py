@@ -870,3 +870,19 @@ def test_q170_snapshot_diff_plan(spark, sf_dir):
     assert "ExistingRDD" in f.text or "LogicalRDD" in f.text, (
         "history must be materialized once (localCheckpoint scan)"
     )
+
+
+def test_q171_distributed_median_plan(spark, sf_dir):
+    # two rank passes per column, zero unpartitioned windows anywhere
+    df = QUERIES["q171_robust_outlier_audit"](spark, sf_dir)
+    df.count()
+    assert unpartitioned_window_count(df) == 0
+
+
+def test_q172_sample_bounded_quadratic(spark, sf_dir):
+    # the all-pairs ground truth must run on the broadcast SAMPLE (a
+    # nested-loop over the sampled side is the audit's documented cost),
+    # never as a corpus-sized cartesian
+    f = facts(QUERIES["q172_lsh_recall_audit"](spark, sf_dir))
+    assert f.python_eval_count == 0
+    assert "CartesianProduct" not in f.text
