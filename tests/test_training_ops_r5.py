@@ -444,3 +444,33 @@ def test_q172_matches_pure_python(spark, sf_dir, duck):
     assert 0.0 <= r.recall <= 1.0
     assert abs(r.band_model_at_threshold
                - _fq(1 - (1 - 0.5 ** 3) ** 4, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q173 — dedup threshold sweep
+# ---------------------------------------------------------------------------
+
+
+def test_q173_monotone_and_matches_q26(spark, sf_dir, duck):
+    rows = QUERIES["q173_dedup_threshold_sweep"](spark, sf_dir).collect()
+    assert [r.tau for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    # monotone: raising tau never flags MORE
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_dropped >= b.n_docs_dropped
+        assert a.n_tokens_dropped >= b.n_tokens_dropped
+    # tau=0.5 row re-derived from q26's verified pairs + token counts
+    pairs = QUERIES["q26_minhash_lsh"](spark, sf_dir).collect()
+    toks = {
+        doc_id: len(_TOK.findall(text.lower()))
+        for doc_id, _lang, text in _docs(duck)
+    }
+    drop = {p.doc_b for p in pairs if p.jaccard >= 0.5}
+    assert rows[0].n_pairs == sum(1 for p in pairs if p.jaccard >= 0.5)
+    assert rows[0].n_docs_dropped == len(drop)
+    assert rows[0].n_tokens_dropped == sum(toks[d] for d in drop)
+    total = sum(toks.values())
+    assert abs(
+        rows[0].token_frac_dropped
+        - _fq(rows[0].n_tokens_dropped / total, 6)
+    ) < 1e-9
