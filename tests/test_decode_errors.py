@@ -75,3 +75,68 @@ def test_resize_batches_survives_truncated_png():
     )
     rows = pd.concat(out)
     assert len(rows) == 1 and int(rows.iloc[0]["doc_id"]) == 7
+
+
+def test_new_decoders_corrupt_payloads_raise_only_decode_errors():
+    """Round-5-continuation decode paths under the same contract:
+    animated GIF, APNG, RLE BMP, MS/multi-channel ADPCM WAV, and the
+    low-depth/interlaced PNG paths survive truncation + bit flips."""
+    import struct
+    import zlib
+
+    from kinesyslog_spark.operators.apng import decode_apng_frames
+    from kinesyslog_spark.operators.gif import decode_gif_frames
+    from kinesyslog_spark.operators.wav import (
+        decode_wav_samples,
+        encode_ima_adpcm_multi,
+        encode_ms_adpcm,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    apng = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0))
+        + chunk(b"acTL", struct.pack(">II", 1, 0))
+        + chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, 4, 4, 0, 0, 1, 10, 0, 0))
+        + chunk(b"IDAT", zlib.compress(
+            b"".join(b"\x00" + bytes(16) for _ in range(4))
+        ))
+        + chunk(b"IEND", b"")
+    )
+    # interlaced PNG with real pass data
+    adam = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 5, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(80)))
+        + chunk(b"IEND", b"")
+    )
+    rle_bmp = (
+        b"BM" + struct.pack("<IHHI", 200, 0, 0, 70)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, 100, 0, 0, 4, 0)
+        + bytes(16)  # palette
+        + bytes((4, 1, 0, 0, 4, 2, 0, 1))
+    )
+    ms = encode_ms_adpcm([[i % 199 - 99 for i in range(300)]], 8000)
+    ima2 = encode_ima_adpcm_multi(
+        [[i % 99 for i in range(200)], [-(i % 77) for i in range(200)]],
+        8000,
+    )
+    cases = [
+        (lambda b: decode_gif_frames(b), b"GIF89a" + bytes(30)),
+        (lambda b: decode_apng_frames(b), apng),
+        (decode_png, adam),
+        (decode_bmp, rle_bmp),
+        (decode_wav_samples, ms),
+        (decode_wav_samples, ima2),
+    ]
+    for decoder, payload in cases:
+        for bad in _truncations(payload):
+            try:
+                decoder(bad)
+            except DECODE_ERRORS:
+                pass  # contained — the dispatch sites catch these
