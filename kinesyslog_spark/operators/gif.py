@@ -197,6 +197,8 @@ def decode_gif_frames(
             label = buf[i + 1]
             j = i + 2
             if label == 0xF9 and j < len(buf) and buf[j] == 4:
+                if j + 5 > len(buf):
+                    raise ValueError("truncated graphic control extension")
                 packed = buf[j + 1]
                 disposal = (packed >> 2) & 0x07
                 tindex = buf[j + 4] if packed & 0x01 else -1

@@ -132,8 +132,16 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
             for c in range(ch):
                 o = base + c * width_f
                 (v,) = struct.unpack(code, data[o:o + width_f])
-                s = int(v * 32767.0)  # truncate toward zero (deterministic)
-                out[c].append(max(-32768, min(32767, s)))
+                # Clamp in the FLOAT domain: int(inf * 32767.0) raises
+                # OverflowError, which is not a DECODE_ERRORS member, so an
+                # adversarial ±inf payload would escape the containment
+                # catch and kill the task. NaN compares false → map to 0.
+                f_scaled = v * 32767.0
+                if f_scaled != f_scaled:  # NaN
+                    s = 0
+                else:
+                    s = int(max(-32768.0, min(32767.0, f_scaled)))
+                out[c].append(s)
         return rate, 16, out
     if tag == 0x02:  # MS ADPCM — real predictor/coefficient decode
         if ch < 1:

@@ -25,9 +25,13 @@ only rows ever shuffled are the E oriented edges and the 3T triangle
 corners (map-side-combined into per-node counts).
 
 Scale notes: the (node -> sorted out-neighbors) adjacency table carries
-exactly E array cells; it broadcasts while it fits (it does at test SF
-by orders of magnitude), and past that the two adjacency joins fall
-back to E-keyed shuffle joins — never a wedge-count-sized exchange.
+exactly E array cells; the broadcast hint is applied ONLY when a real
+edge count (one pass over the already-persisted oriented-edge frame,
+so effectively free) says it fits under _ADJ_BROADCAST_MAX_EDGES —
+past that the two adjacency joins genuinely run as E-keyed shuffle
+joins, never a wedge-count-sized exchange. (A mandatory F.broadcast
+would NOT fall back — it fails the job past the broadcast limit — so
+the hint is conditional, not forced; round-5 ADVICE.)
 `edges`, `deg`, and `eo` are persisted because Spark does NOT reuse
 exchanges across self-referencing subtrees (the operators/ranking.py
 lesson): unpersisted, the edge build re-executed three times (once per
@@ -98,6 +102,11 @@ LIMIT {TRI_TOPK}
 """
 
 
+# ~64 bytes/edge in the collected adjacency arrays -> ~3 GiB at this
+# cap, the upper end of what a per-executor broadcast table should be.
+_ADJ_BROADCAST_MAX_EDGES = 50_000_000
+
+
 def _lex_lt(d1, n1, d2, n2):
     """(d1, n1) < (d2, n2) lexicographically."""
     return (d1 < d2) | ((d1 == d2) & (n1 < n2))
@@ -135,10 +144,15 @@ def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_low, F.col("pb")).otherwise(F.col("pa")).alias("v"),
         )
     )
-    # Oriented adjacency: one array row per node, E cells total.
+    # Oriented adjacency: one array row per node, E cells total.  The
+    # count runs over the persisted eo (it doubles as the persist
+    # materialization), so the broadcast decision is driven by a real
+    # size, not a hope: hint only while the whole adjacency fits.
+    n_edges = eo.count()
     adj = eo.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nb"))
-    adj_u = F.broadcast(adj.select("u", F.col("nb").alias("nbu")))
-    adj_v = F.broadcast(
+    hint = F.broadcast if n_edges <= _ADJ_BROADCAST_MAX_EDGES else (lambda d: d)
+    adj_u = hint(adj.select("u", F.col("nb").alias("nbu")))
+    adj_v = hint(
         adj.select(F.col("u").alias("v"), F.col("nb").alias("nbv"))
     )
     tri = (

@@ -140,3 +140,48 @@ def test_new_decoders_corrupt_payloads_raise_only_decode_errors():
                 decoder(bad)
             except DECODE_ERRORS:
                 pass  # contained — the dispatch sites catch these
+
+
+def test_float_wav_inf_nan_never_escapes():
+    """Round-5 ADVICE: ±inf float samples raised OverflowError (not a
+    DECODE_ERRORS member) out of the float-WAV path. The decoder now
+    saturates in the float domain, so the adversarial blob decodes."""
+    import struct
+
+    from kinesyslog_spark.operators.wav import decode_wav_samples
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    data = b"".join(
+        struct.pack("<I", b)
+        for b in (0x7F800000, 0xFF800000, 0x7FC00000, 0xFFC00000)
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, bits, chans = decode_wav_samples(blob)  # must not raise
+    assert chans[0] == [32767, -32768, 0, 0]
+    # and the feature path survives it too
+    feats = audio_features(blob)
+    assert feats["n_samples"] == 4
+
+
+def test_gif_truncated_gce_raises_valueerror():
+    """Round-5 ADVICE: a GIF cut inside the Graphic Control Extension
+    raised IndexError (contained only by luck); the documented contract
+    is ValueError on malformed input."""
+    from kinesyslog_spark.operators.gif import decode_gif_frames
+
+    import struct as _s
+
+    # header + logical screen descriptor + 2-entry GCT, then an
+    # extension introducer + GCE label + size byte 4 — and nothing else.
+    blob = (
+        b"GIF89a" + _s.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+        + bytes(6)  # 2-entry global color table
+        + b"\x21\xf9\x04"  # extension, GCE, block size 4, TRUNCATED
+    )
+    with pytest.raises(ValueError):
+        decode_gif_frames(blob)

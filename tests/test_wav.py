@@ -198,3 +198,19 @@ def test_decode_float64():
     assert (rate, bits) == (8000, 16)
     expect = [max(-32768, min(32767, int(v * 32767.0))) for v in vals]
     assert chans[0] == expect
+
+
+def test_decode_float_inf_nan_contained():
+    # Adversarial float WAV: ±inf used to hit int(inf * 32767.0) ->
+    # OverflowError, which is NOT in multimodal.DECODE_ERRORS, so one
+    # corrupt blob escaped the containment catch and killed the task
+    # (round-5 ADVICE). Clamp happens in the float domain now: inf ->
+    # ±32767/-32768 saturation, NaN -> 0, never an exception.
+    vals_bits = [0x7F800000, 0xFF800000, 0x7FC00000, 0x3F000000]
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    data = b"".join(struct.pack("<I", b) for b in vals_bits)
+    rate, bits, chans = decode_wav_samples(
+        _riff([(b"fmt ", fmt), (b"data", data)])
+    )
+    assert (rate, bits) == (8000, 16)
+    assert chans[0] == [32767, -32768, 0, int(0.5 * 32767.0)]
