@@ -26,8 +26,9 @@ corners (map-side-combined into per-node counts).
 
 Scale notes: the (node -> sorted out-neighbors) adjacency table carries
 exactly E array cells; the broadcast hint is applied ONLY when a real
-edge count (one pass over the already-persisted oriented-edge frame,
-so effectively free) says it fits under _ADJ_BROADCAST_MAX_EDGES —
+edge count (the same count that materializes the persisted
+oriented-edge frame — persist_counted — so literally zero extra
+actions) says it fits under _ADJ_BROADCAST_MAX_EDGES —
 past that the two adjacency joins genuinely run as E-keyed shuffle
 joins, never a wedge-count-sized exchange. (A mandatory F.broadcast
 would NOT fall back — it fails the job past the broadcast limit — so
@@ -54,7 +55,7 @@ from pyspark.sql import functions as F
 
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.relational import _t
-from kinesyslog_spark.tables import persist_now
+from kinesyslog_spark.tables import persist_counted, persist_now
 
 TRI_TOPK = 20
 
@@ -136,7 +137,11 @@ def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     dega = F.broadcast(deg.select(F.col("node").alias("pa"), F.col("d").alias("da")))
     degb = F.broadcast(deg.select(F.col("node").alias("pb"), F.col("d").alias("db")))
     a_low = _lex_lt(F.col("da"), F.col("pa"), F.col("db"), F.col("pb"))
-    eo = persist_now(
+    # Oriented adjacency: one array row per node, E cells total.  The
+    # edge count IS the persist-materializing action (persist_counted),
+    # so the broadcast decision is driven by a real size at zero extra
+    # scans: hint only while the whole adjacency fits.
+    eo, n_edges = persist_counted(
         edges.join(dega, "pa")
         .join(degb, "pb")
         .select(
@@ -144,11 +149,6 @@ def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_low, F.col("pb")).otherwise(F.col("pa")).alias("v"),
         )
     )
-    # Oriented adjacency: one array row per node, E cells total.  The
-    # count runs over the persisted eo (it doubles as the persist
-    # materialization), so the broadcast decision is driven by a real
-    # size, not a hope: hint only while the whole adjacency fits.
-    n_edges = eo.count()
     adj = eo.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nb"))
     hint = F.broadcast if n_edges <= _ADJ_BROADCAST_MAX_EDGES else (lambda d: d)
     adj_u = hint(adj.select("u", F.col("nb").alias("nbu")))

@@ -6,10 +6,16 @@ banding (4 bands x 3 rows) finds a near-dup pair with probability
 and a production dedup service audits that recall continuously. The
 audit takes a deterministic hash sample of documents (making the
 all-pairs ground truth affordable: the quadratic runs on the SAMPLE,
-never the corpus — m^2 pairs at a sampling rate chosen so m stays
-bounded at any corpus size), computes exact all-pairs Jaccard over it,
-and reports what fraction of the true >= threshold pairs q26's
-candidate generation actually surfaced.
+never the corpus — the modulus is DERIVED from the corpus count as
+ceil(n_docs / TARGET_SAMPLE), so the expected sample size n_docs/mod
+is <= TARGET_SAMPLE and the ground truth is <= TARGET_SAMPLE^2/2 pairs
+at ANY corpus size; `tests/test_lshaudit_bound.py` pins the bound),
+computes exact all-pairs Jaccard over it, and reports what fraction of
+the true >= threshold pairs q26's candidate generation actually
+surfaced. The count that sizes the modulus is one action on the
+session-hot shingle frame (already persisted by hot_shingle_sigs); the
+oracle derives the identical modulus in-plan via a scalar subquery
+over the same `docs` CTE.
 
 Output: one row — sample size, true pairs, found pairs, recall — plus
 the band-model expectation at the threshold for context (both
@@ -40,11 +46,31 @@ from kinesyslog_spark.queries.dedup import (
     q26_minhash_lsh,
 )
 
-SAMPLE_MOD = 8  # ~1/8 of docs; tune down as the corpus grows
+# Expected ground-truth sample size cap.  mod = ceil(n_docs / TARGET)
+# gives n_docs / mod <= TARGET docs in expectation, so the all-pairs
+# ground truth is <= TARGET^2/2 Jaccard evaluations no matter how big
+# the corpus is (1e9 docs -> mod ~2e6 -> still ~512 sampled docs).
+TARGET_SAMPLE = 512
+
+
+def sample_mod(n_docs: int) -> int:
+    """Corpus-count-derived sampling modulus: smallest mod with
+    n_docs / mod <= TARGET_SAMPLE (and >= 1 for tiny corpora)."""
+    import math
+
+    return max(1, math.ceil(n_docs / TARGET_SAMPLE))
+
+
+# The oracle derives the same modulus in-plan: a scalar subquery over
+# the same `docs` CTE the sample reads.
+_MOD_SQL = (
+    "(SELECT GREATEST(1, CAST(CEIL(COUNT(*) / "
+    f"CAST({TARGET_SAMPLE} AS DOUBLE)) AS BIGINT)) FROM docs)"
+)
 
 _SAMPLE_SQL = (
     "CAST('0x' || substring(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 15) "
-    f"AS BIGINT) % {SAMPLE_MOD} = 0"
+    f"AS BIGINT) % {_MOD_SQL} = 0"
 )
 
 # band-model expected recall at exactly the threshold:
@@ -93,10 +119,13 @@ def q172_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesyslog_spark.tables import persist_now
 
     sh, _sigs = hot_shingle_sigs(spark, sf_dir)
+    # One cheap action on the already-persisted shingle frame sizes the
+    # modulus; the quadratic below then touches <= TARGET_SAMPLE docs in
+    # expectation regardless of corpus size.
+    mod = sample_mod(sh.count())
     samp = persist_now(
         sh.filter(
-            md5_int60(F.col("doc_id").cast("string"), "rs:") % SAMPLE_MOD
-            == 0
+            md5_int60(F.col("doc_id").cast("string"), "rs:") % mod == 0
         )
     )
     a = samp.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -238,6 +238,18 @@ def persist_now(df: DataFrame) -> DataFrame:
     return df
 
 
+def persist_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """persist_now variant that returns the materializing count.
+
+    For callers whose plan branches on the intermediate's size (e.g.
+    q140's conditional adjacency broadcast): the count that populates
+    the cache IS the size signal, so exposing it avoids paying a second
+    full scan of the cached partitions just to re-derive it."""
+    df = df.persist()
+    n = df.count()
+    return df, n
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -415,16 +415,22 @@ def test_q171_matches_pure_python(spark, sf_dir, duck):
 def test_q172_matches_pure_python(spark, sf_dir, duck):
     """Recompute the sampled ground truth (shingle Jaccard) and the
     sample-restricted q26 pair set in pure Python."""
+    from kinesyslog_spark.queries.lshaudit import sample_mod
+
     [r] = QUERIES["q172_lsh_recall_audit"](spark, sf_dir).collect()
-    sh = {}
+    eligible = {}
     for doc_id, _lang, text in _docs(duck):
         toks = _TOK.findall(text.lower())
         if len(toks) < 3:
             continue
-        if _md5i("rs:", str(doc_id)) % 8 == 0:
-            sh[doc_id] = {
-                " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
-            }
+        eligible[doc_id] = {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        }
+    mod = sample_mod(len(eligible))
+    sh = {
+        d: s for d, s in eligible.items()
+        if _md5i("rs:", str(d)) % mod == 0
+    }
     assert r.n_sample_docs == len(sh)
     ids = sorted(sh)
     true_pairs = set()
