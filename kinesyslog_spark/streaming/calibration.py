@@ -30,9 +30,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kinesyslog_spark.queries.mlops import calibration_from_hist, conf_bins
-from kinesyslog_spark.streaming.hll import (
-    _latest_state_epoch,
-    _prune_state_epochs,
+from kinesyslog_spark.streaming.epoch_state import (
+    latest_state_epoch,
+    prune_state_epochs,
 )
 
 _HIST_SCHEMA = "bin long, n long, n_pos long, sum_p decimal(20,6)"
@@ -64,7 +64,7 @@ def make_fold(out_dir: str, state_dir: str):
             "bin", "n", "n_pos",
             F.col("sum_p").cast("decimal(20,6)").alias("sum_p"),
         )
-        latest = _latest_state_epoch(spark, state_dir, before=int(epoch_id))
+        latest = latest_state_epoch(spark, state_dir, before=int(epoch_id))
         if latest is not None:
             cum = merge_hists(
                 spark.read.parquet(f"{state_dir}/epoch={latest}"), new
@@ -76,7 +76,7 @@ def make_fold(out_dir: str, state_dir: str):
         snap.coalesce(1).write.mode("overwrite").parquet(
             f"{state_dir}/epoch={epoch_id}"
         )
-        _prune_state_epochs(
+        prune_state_epochs(
             spark, state_dir,
             keep=latest if latest is not None else int(epoch_id),
         )

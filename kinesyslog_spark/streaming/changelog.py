@@ -38,9 +38,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from kinesyslog_spark.streaming.hll import (
-    _latest_state_epoch,
-    _prune_state_epochs,
+from kinesyslog_spark.streaming.epoch_state import (
+    latest_state_epoch,
+    prune_state_epochs,
 )
 
 _VIEW_SCHEMA = "key string, cnt long, total long"
@@ -136,7 +136,7 @@ def make_fold(out_dir: str, state_dir: str, key_col: str, val_col: str):
         spark = batch.sparkSession
         delta = batch_view(batch, key_col, val_col)
         # strictly-before: SUM-merge is not retry-idempotent (W27 rule)
-        latest = _latest_state_epoch(spark, state_dir, before=int(epoch_id))
+        latest = latest_state_epoch(spark, state_dir, before=int(epoch_id))
         if latest is not None:
             old = spark.read.parquet(f"{state_dir}/epoch={latest}")
         else:
@@ -144,7 +144,7 @@ def make_fold(out_dir: str, state_dir: str, key_col: str, val_col: str):
         new = merge_view(old, delta).localCheckpoint()
         log = changelog_rows(old, new, int(epoch_id))
         new.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
-        _prune_state_epochs(
+        prune_state_epochs(
             spark, state_dir,
             keep=latest if latest is not None else int(epoch_id),
         )

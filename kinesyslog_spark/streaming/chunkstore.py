@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kinesyslog_spark.queries.chunking import chunk_texts
-from kinesyslog_spark.streaming.hll import _list_state_epochs
+from kinesyslog_spark.streaming.epoch_state import list_state_epochs
 
 STORE_SCHEMA = "chash string, nbytes long"
 REPORT_SCHEMA = (
@@ -69,7 +69,7 @@ def make_fold(state_dir: str, out_dir: str):
             StorageLevel.MEMORY_ONLY
         )
         prev = [
-            e for e in _list_state_epochs(spark, state_dir)
+            e for e in list_state_epochs(spark, state_dir)
             if e < int(epoch_id)
         ]
         if prev:
@@ -131,7 +131,7 @@ def streaming_chunkstore(
 
 def read_store(spark, state_dir: str) -> DataFrame:
     """The accumulated chunk store (all complete epochs)."""
-    epochs = _list_state_epochs(spark, state_dir)
+    epochs = list_state_epochs(spark, state_dir)
     if not epochs:
         return spark.createDataFrame([], STORE_SCHEMA)
     return spark.read.parquet(

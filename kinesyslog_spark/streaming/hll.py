@@ -29,6 +29,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from kinesyslog_spark.operators.text import md5_int60
 from kinesyslog_spark.queries.estimators import HLL_ALPHA, HLL_M
+from kinesyslog_spark.streaming.epoch_state import (
+    latest_state_epoch,
+    prune_state_epochs,
+)
 
 
 def batch_registers(batch: DataFrame, key_col: str) -> DataFrame:
@@ -74,59 +78,6 @@ def estimate(spark: SparkSession, regs: DataFrame) -> float:
     return HLL_ALPHA * HLL_M * HLL_M * (1 << 55) / zs
 
 
-def _state_fs(spark: SparkSession, state_dir: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
-def _list_state_epochs(spark: SparkSession, state_dir: str) -> list[int]:
-    """Epoch numbers of COMPLETE (_SUCCESS-marked) register snapshots
-    under state_dir, via the Hadoop FS API (local/HDFS/object store)."""
-    fs, jpath = _state_fs(spark, state_dir)
-    if not fs.exists(jpath):
-        return []
-    out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith("epoch=")):
-            continue
-        try:
-            n = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
-        jvm = spark._jvm
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
-            out.append(n)
-    return sorted(out)
-
-
-def _latest_state_epoch(
-    spark: SparkSession, state_dir: str, before: int | None = None
-) -> int | None:
-    """Latest complete snapshot epoch; with ``before``, the latest one
-    STRICTLY below it — what a retried epoch must read so it re-merges
-    into its predecessor's state, not its own partial attempt (HLL's
-    MAX-merge is retry-idempotent either way, but SUM-merging consumers
-    like streaming/quality.py are not)."""
-    epochs = _list_state_epochs(spark, state_dir)
-    if before is not None:
-        epochs = [e for e in epochs if e < before]
-    return epochs[-1] if epochs else None
-
-
-def _prune_state_epochs(spark: SparkSession, state_dir: str, keep: int) -> None:
-    """Best-effort drop of snapshots older than `keep` — a failed delete
-    only leaves extra history (latest-wins read ignores it)."""
-    fs, _ = _state_fs(spark, state_dir)
-    jvm = spark._jvm
-    for n in _list_state_epochs(spark, state_dir):
-        if n < keep:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{state_dir}/epoch={n}"), True
-            )
-
-
 def streaming_hll(
     docs: DataFrame,
     key_col: str,
@@ -152,7 +103,7 @@ def streaming_hll(
     def fold(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         new = batch_registers(batch, key_col)
-        latest = _latest_state_epoch(spark, state_dir)
+        latest = latest_state_epoch(spark, state_dir)
         if latest is not None:
             merged = merge_registers(
                 spark.read.parquet(f"{state_dir}/epoch={latest}"), new
@@ -164,7 +115,7 @@ def streaming_hll(
         out.coalesce(1).write.mode("overwrite").parquet(
             f"{state_dir}/epoch={epoch_id}"
         )
-        _prune_state_epochs(spark, state_dir, keep=int(epoch_id))
+        prune_state_epochs(spark, state_dir, keep=int(epoch_id))
         est = estimate(spark, out)
         spark.createDataFrame(
             [(int(epoch_id), float(est))], "epoch long, est_raw double"

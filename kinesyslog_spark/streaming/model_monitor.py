@@ -33,9 +33,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kinesyslog_spark.queries.ml import AUC_BINS, auc_from_histogram
-from kinesyslog_spark.streaming.hll import (
-    _latest_state_epoch,
-    _prune_state_epochs,
+from kinesyslog_spark.streaming.epoch_state import (
+    latest_state_epoch,
+    prune_state_epochs,
 )
 
 _HIST_SCHEMA = "bkt long, pos_b long, neg_b long"
@@ -81,7 +81,7 @@ def make_fold(out_dir: str, state_dir: str, score_lo: float,
         spark = batch.sparkSession
         new = batch_histogram(batch, score_lo, score_hi, score_col,
                               label_col)
-        latest = _latest_state_epoch(spark, state_dir, before=int(epoch_id))
+        latest = latest_state_epoch(spark, state_dir, before=int(epoch_id))
         if latest is not None:
             cum = merge_histograms(
                 spark.read.parquet(f"{state_dir}/epoch={latest}"), new
@@ -93,7 +93,7 @@ def make_fold(out_dir: str, state_dir: str, score_lo: float,
         snap.coalesce(1).write.mode("overwrite").parquet(
             f"{state_dir}/epoch={epoch_id}"
         )
-        _prune_state_epochs(
+        prune_state_epochs(
             spark, state_dir,
             keep=latest if latest is not None else int(epoch_id),
         )

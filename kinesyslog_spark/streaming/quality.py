@@ -30,9 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from kinesyslog_spark.streaming.hll import (
-    _latest_state_epoch,
-    _prune_state_epochs,
+from kinesyslog_spark.streaming.epoch_state import (
+    latest_state_epoch,
+    prune_state_epochs,
 )
 
 _METRIC_SCHEMA = (
@@ -107,7 +107,7 @@ def make_fold(out_dir: str, state_dir: str, text_col: str = "text"):
         # strictly-before: a retried epoch must merge into its
         # PREDECESSOR's cumulative state, never its own partial attempt
         # (SUM-merge would double-count the batch)
-        latest = _latest_state_epoch(spark, state_dir, before=int(epoch_id))
+        latest = latest_state_epoch(spark, state_dir, before=int(epoch_id))
         if latest is not None:
             cum = merge_metrics(
                 spark.read.parquet(f"{state_dir}/epoch={latest}"), new
@@ -121,7 +121,7 @@ def make_fold(out_dir: str, state_dir: str, text_col: str = "text"):
         )
         # keep the predecessor snapshot too: if the checkpoint commit
         # fails AFTER this fold, the retry of this epoch needs it
-        _prune_state_epochs(
+        prune_state_epochs(
             spark, state_dir,
             keep=latest if latest is not None else int(epoch_id),
         )

@@ -38,9 +38,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from kinesyslog_spark.streaming.hll import (
-    _latest_state_epoch,
-    _prune_state_epochs,
+from kinesyslog_spark.streaming.epoch_state import (
+    latest_state_epoch,
+    prune_state_epochs,
 )
 
 MOM_SCHEMA = "i int, j int, s decimal(30,12)"
@@ -128,7 +128,7 @@ def make_fold(out_dir: str, state_dir: str, emb_col: str = "emb"):
     def fold(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         new = batch_moments(batch, emb_col)
-        latest = _latest_state_epoch(spark, state_dir, before=int(epoch_id))
+        latest = latest_state_epoch(spark, state_dir, before=int(epoch_id))
         if latest is not None:
             cum = merge_moments(
                 spark.read.parquet(f"{state_dir}/epoch={latest}"), new
@@ -140,7 +140,7 @@ def make_fold(out_dir: str, state_dir: str, emb_col: str = "emb"):
         snap.coalesce(1).write.mode("overwrite").parquet(
             f"{state_dir}/epoch={epoch_id}"
         )
-        _prune_state_epochs(
+        prune_state_epochs(
             spark, state_dir,
             keep=latest if latest is not None else int(epoch_id),
         )

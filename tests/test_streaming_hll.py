@@ -105,9 +105,11 @@ def test_state_rotation_crash_safe(spark, tmp_path):
     strand a missing state_dir (round-4 ADVICE: the old two-step rename
     could), a stale older snapshot is ignored by latest-wins and pruned
     on the next fold, and a retried epoch overwrites its own snapshot."""
+    from kinesyslog_spark.streaming.epoch_state import (
+        latest_state_epoch,
+        prune_state_epochs,
+    )
     from kinesyslog_spark.streaming.hll import (
-        _latest_state_epoch,
-        _prune_state_epochs,
         batch_registers,
         merge_registers,
     )
@@ -116,13 +118,13 @@ def test_state_rotation_crash_safe(spark, tmp_path):
     b1 = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
     r1 = batch_registers(b1, "k")
     r1.coalesce(1).write.mode("overwrite").parquet(f"{state}/epoch=0")
-    assert _latest_state_epoch(spark, state) == 0
+    assert latest_state_epoch(spark, state) == 0
     # epoch 1 written; simulated crash BEFORE prune: both snapshots exist
     b2 = spark.createDataFrame([(f"m{i}",) for i in range(50)], "k string")
     merged = merge_registers(spark.read.parquet(f"{state}/epoch=0"),
                              batch_registers(b2, "k"))
     merged.coalesce(1).write.mode("overwrite").parquet(f"{state}/epoch=1")
-    assert _latest_state_epoch(spark, state) == 1  # latest-complete wins
+    assert latest_state_epoch(spark, state) == 1  # latest-complete wins
     # retry of epoch 1 (same data) overwrites its own snapshot: no error,
     # same registers (MAX-merge idempotence)
     before = {(r.j, r.m_j) for r in spark.read.parquet(f"{state}/epoch=1").collect()}
@@ -130,7 +132,7 @@ def test_state_rotation_crash_safe(spark, tmp_path):
     after = {(r.j, r.m_j) for r in spark.read.parquet(f"{state}/epoch=1").collect()}
     assert before == after
     # next fold prunes the stale epoch 0
-    _prune_state_epochs(spark, state, keep=1)
+    prune_state_epochs(spark, state, keep=1)
     import os
     assert not os.path.isdir(f"{state}/epoch=0")
-    assert _latest_state_epoch(spark, state) == 1
+    assert latest_state_epoch(spark, state) == 1
