@@ -225,3 +225,84 @@ def test_stream_writer_spools_micro_batches(registered, tmp_path):
         e.message for r in back.collect() for e in r.logEvents
     }
     assert msgs == {"stream msg 1", "stream msg 2"}
+
+
+def test_writer_crash_window_leaves_no_visible_partial(registered, tmp_path):
+    """K1 crash-window proof (round-6 verdict #5): a writer that dies
+    BETWEEN the temp write and the hard link (the only window where
+    bytes exist on disk but the record is unpublished) must leave
+    nothing a reader can observe — matching the reference spool's
+    temp+link contract (spool.py:25-36) the way the uploader's retry
+    tests pin K3."""
+    from kinesyslog_spark.constants import SPOOL_PREFIX, SPOOL_TEMP_PREFIX
+    from kinesyslog_spark.sinks import records as recmod
+    from kinesyslog_spark.sinks.records import read_spool, spool_write
+    from kinesyslog_spark.sources.spool_source import _spool_files
+
+    spark = registered
+    spool_dir = str(tmp_path / "cspool")
+
+    # one complete record first, so "reader sees nothing new" is
+    # distinguishable from "reader sees nothing at all"
+    ok_payload = recmod._compress({
+        "owner": "me", "logGroup": "g-ok", "logStream": "s",
+        "subscriptionFilters": [], "messageType": "DATA_MESSAGE",
+        "logEvents": [{"id": "1" * 56, "timestamp": 1700000000000,
+                       "message": "published"}],
+    })
+    spool_write(ok_payload, spool_dir)
+
+    # crash in the window: temp bytes fsynced, link never happens
+    real_link = os.link
+
+    def die_before_link(src, dst, **kw):
+        raise OSError("simulated crash between temp write and link")
+
+    crash_payload = recmod._compress({
+        "owner": "me", "logGroup": "g-crash", "logStream": "s",
+        "subscriptionFilters": [], "messageType": "DATA_MESSAGE",
+        "logEvents": [{"id": "2" * 56, "timestamp": 1700000000001,
+                       "message": "torn"}],
+    })
+    recmod.os.link = die_before_link
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            spool_write(crash_payload, spool_dir)
+    finally:
+        recmod.os.link = real_link
+
+    names = sorted(os.listdir(spool_dir))
+    # the torn write left ONLY temp residue; the published name set is
+    # exactly the pre-crash record
+    assert [n for n in names if n.startswith(SPOOL_TEMP_PREFIX)] != []
+    assert len([n for n in names if n.startswith(SPOOL_PREFIX)]) == 1
+    # the source's file listing never surfaces temps
+    assert all(
+        os.path.basename(p).startswith(SPOOL_PREFIX)
+        for _, p in _spool_files(spool_dir)
+    )
+    # and every reader path agrees: exactly the published record
+    for df in (
+        spark.read.format("kinesyslogspool").load(spool_dir),
+        read_spool(spark, spool_dir),
+    ):
+        assert [r.logGroup for r in df.collect()] == ["g-ok"]
+
+    # second window: crash AFTER link, before unlink — the record is
+    # published; the stale temp is invisible and not double-read
+    real_unlink = os.unlink
+
+    def die_before_unlink(path, **kw):
+        raise OSError("simulated crash between link and unlink")
+
+    recmod.os.unlink = die_before_unlink
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            spool_write(crash_payload, spool_dir)
+    finally:
+        recmod.os.unlink = real_unlink
+
+    names = sorted(os.listdir(spool_dir))
+    assert len([n for n in names if n.startswith(SPOOL_PREFIX)]) == 2
+    back = spark.read.format("kinesyslogspool").load(spool_dir)
+    assert sorted(r.logGroup for r in back.collect()) == ["g-crash", "g-ok"]
