@@ -378,7 +378,12 @@ def auc_from_histogram(h: DataFrame) -> DataFrame:
 def q159_binned_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = _nb_scores(spark, sf_dir)
     mm = scores.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
-    h = class_histogram(scores, mm)
+    # localCheckpoint the <=AUC_BINS-row histogram: auc_from_histogram
+    # references its input three times (cumulative join, totals, final
+    # agg), and each reference re-executed the bin+min/max pipeline over
+    # the scored corpus — pure scheduler cost on a tiny frame (the q170
+    # lesson; round-6 verdict #4 measured 62 exchanges here).
+    h = class_histogram(scores, mm).localCheckpoint()
     est = auc_from_histogram(h)
     exact = q158_auc_nb_scores(spark, sf_dir).select(
         F.col("auc").alias("auc_exact")
