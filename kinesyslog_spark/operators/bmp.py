@@ -1,16 +1,21 @@
 """Zero-dependency BMP (Windows DIB) codec: every classic BI_RGB bit
-depth (1/4/8-bit palette, 16-bit RGB555, 24-bit, 32-bit BGRX) plus the
+depth (1/4/8-bit palette, 16-bit RGB555, 24-bit, 32-bit BGRX), the
 two RLE compressions (BI_RLE8/BI_RLE4 with end-of-line, end-of-bitmap,
-delta, and absolute-mode escapes) + a 24-bit encoder for tests.
+delta, and absolute-mode escapes), and BI_BITFIELDS at 16/32 bits
+(arbitrary contiguous channel masks — RGB565, ARGB1555, BGRA8888,
+RGBA1010102, ... — masks read from the V2+/V4 header fields or, for a
+plain 40-byte BITMAPINFOHEADER, the three DWORDs that follow it) + a
+24-bit encoder for tests.
 
 Same interface contract as operators/png.py: decode returns
 (width, height, channels, row-major interleaved pixel bytes), raises
 ValueError on malformed input and NotImplementedError for the
-remaining corners (BI_BITFIELDS masks, core headers) so corpus-scale
-callers can null the row and continue. BMP stores rows BOTTOM-UP, BGR
-order, each row padded to 4 bytes — the decoder normalizes to
-top-down RGB; RLE-skipped pixels read as palette entry 0 (the
-convention viewers use for the undefined cells).
+remaining corners (core headers) so corpus-scale callers can null the
+row and continue. BMP stores rows BOTTOM-UP, BGR order, each row
+padded to 4 bytes — the decoder normalizes to top-down RGB; RLE-
+skipped pixels read as palette entry 0 (the convention viewers use
+for the undefined cells); bitfield channels scale to 0..255 by
+max-value ratio (bit replication for the common 5/6-bit cases).
 
 Reference parity: none (the reference relay has no media surface);
 this narrows the multimodal codec seam (operators/multimodal.py)
@@ -100,11 +105,25 @@ def _decode_rle(data: bytes, width: int, height: int,
     return rows
 
 
+def _mask_geometry(mask: int) -> tuple[int, int]:
+    """(shift, max_value) of a contiguous channel mask; ValueError on
+    zero, >32-bit, or non-contiguous masks (the spec requires
+    contiguity and viewers reject the rest)."""
+    if mask <= 0 or mask > 0xFFFFFFFF:
+        raise ValueError(f"bad bitfield mask {mask:#x}")
+    shift = (mask & -mask).bit_length() - 1
+    maxv = mask >> shift
+    if maxv & (maxv + 1):
+        raise ValueError(f"non-contiguous bitfield mask {mask:#x}")
+    return shift, maxv
+
+
 def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL BMP pixel decode: (width, height, channels, pixels).
 
-    BI_RGB at 1/4/8 (palette), 16 (RGB555), 24, 32 (BGRX) bits plus
-    BI_RLE8/BI_RLE4; top-down (negative height) and bottom-up orders.
+    BI_RGB at 1/4/8 (palette), 16 (RGB555), 24, 32 (BGRX) bits,
+    BI_RLE8/BI_RLE4, and BI_BITFIELDS at 16/32 bits with arbitrary
+    contiguous masks; top-down (negative height) and bottom-up orders.
     """
     buf = bytes(payload)
     if len(buf) < _FILE_HDR + _INFO_HDR or buf[:2] != b"BM":
@@ -114,14 +133,32 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     if hdr_size < _INFO_HDR:
         raise NotImplementedError(f"BITMAPCOREHEADER size {hdr_size}")
     planes, bits, comp = struct.unpack("<HHI", buf[26:34])
-    if comp not in (0, 1, 2):
+    if comp not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"BMP compression {comp} (BI_RGB/BI_RLE8/BI_RLE4 supported)"
+            f"BMP compression {comp} "
+            "(BI_RGB/BI_RLE8/BI_RLE4/BI_BITFIELDS supported)"
         )
     if comp == 1 and bits != 8 or comp == 2 and bits != 4:
         raise ValueError(f"RLE{comp} with {bits}-bit pixels is illegal")
     if bits not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"BMP bit depth {bits}")
+    masks: tuple[tuple[int, int], ...] | None = None
+    if comp == 3:
+        if bits not in (16, 32):
+            raise ValueError(f"BI_BITFIELDS with {bits}-bit pixels is illegal")
+        # V2+ headers (>= 52 bytes) carry the masks as header fields at
+        # header offset 40; a plain 40-byte BITMAPINFOHEADER is followed
+        # by three mask DWORDs instead.
+        mstart = _FILE_HDR + (40 if hdr_size >= 52 else hdr_size)
+        if mstart + 12 > len(buf):
+            raise ValueError("truncated BI_BITFIELDS masks")
+        rm, gm, bm = struct.unpack("<III", buf[mstart:mstart + 12])
+        geo = tuple(_mask_geometry(m) for m in (rm, gm, bm))
+        if bits == 16 and any((m >> 16) for m in (rm, gm, bm)):
+            raise ValueError("16-bit bitfield mask wider than the pixel")
+        if (rm & gm) or (rm & bm) or (gm & bm):
+            raise ValueError("overlapping bitfield masks")
+        masks = geo
     if width <= 0 or height_raw == 0 or planes != 1:
         raise ValueError("bad BMP dimensions")
     top_down = height_raw < 0
@@ -148,7 +185,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("palette index out of range")
         out[base + 3 * x: base + 3 * x + 3] = bytes(palette[idx])
 
-    if comp:  # RLE: stored rows are bottom-up index rows
+    if comp in (1, 2):  # RLE: stored rows are bottom-up index rows
         rows = _decode_rle(buf[off:], width, height, bits)
         for oy in range(height):
             base = oy * width * 3
@@ -164,7 +201,16 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
         sy = oy if top_down else height - 1 - oy
         row = buf[off + sy * stride: off + sy * stride + stride]
         base = oy * width * 3
-        if bits == 24:
+        if masks is not None:  # BI_BITFIELDS at 16/32 bits
+            wbytes, code = (2, "<H") if bits == 16 else (4, "<I")
+            (rs, rmax), (gs, gmax), (bs, bmax) = masks
+            for x in range(width):
+                (v,) = struct.unpack(code, row[wbytes * x: wbytes * x + wbytes])
+                r = ((v >> rs) & rmax) * 255 // rmax
+                g = ((v >> gs) & gmax) * 255 // gmax
+                b = ((v >> bs) & bmax) * 255 // bmax
+                out[base + 3 * x: base + 3 * x + 3] = bytes((r, g, b))
+        elif bits == 24:
             for x in range(width):
                 b, g, r = row[3 * x: 3 * x + 3]
                 out[base + 3 * x: base + 3 * x + 3] = bytes((r, g, b))

@@ -81,8 +81,8 @@ def test_malformed_rejected():
     with pytest.raises(ValueError):
         decode_bmp(bytes(rle))
     bf = bytearray(encode_bmp(2, 2, _gradient(2, 2)))
-    struct.pack_into("<I", bf, 30, 3)  # BI_BITFIELDS: still a seam
-    with pytest.raises(NotImplementedError):
+    struct.pack_into("<I", bf, 30, 3)  # BI_BITFIELDS on 24-bit: illegal
+    with pytest.raises(ValueError):
         decode_bmp(bytes(bf))
 
 
@@ -246,3 +246,92 @@ def test_rle_with_topdown_rejected():
 
     with _pytest.raises(ValueError):
         decode_bmp(bytes(buf))
+
+
+def _bmp_bitfields(w, h, bits, body, rm, gm, bm, v2_header=False):
+    """BI_BITFIELDS container: masks as 3 DWORDs after a 40-byte
+    BITMAPINFOHEADER, or as header FIELDS of a 52-byte V2 header."""
+    hdr_size = 52 if v2_header else 40
+    off = 14 + hdr_size + (0 if v2_header else 12)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", hdr_size, w, h, 1, bits, 3, len(body), 0, 0, 0, 0,
+    ) + struct.pack("<III", rm, gm, bm)
+    return hdr + info + bytes(body)
+
+
+def test_bitfields_rgb565():
+    w, h = 2, 1
+    v1 = (31 << 11) | (0 << 5) | 15        # r=31/31, g=0, b=15/31
+    v2 = (1 << 11) | (63 << 5) | 31
+    body = struct.pack("<HH", v1, v2)
+    for v2h in (False, True):
+        _, _, _, px = decode_bmp(
+            _bmp_bitfields(w, h, 16, body, 0xF800, 0x07E0, 0x001F,
+                           v2_header=v2h)
+        )
+        assert px[:3] == bytes((255, 0, 15 * 255 // 31))
+        assert px[3:6] == bytes((1 * 255 // 31, 255, 255))
+
+
+def test_bitfields_argb1555_and_32bit():
+    # 16-bit 1555: alpha bit ignored, channels 5/5/5
+    v = (1 << 15) | (31 << 10) | (7 << 5) | 0
+    _, _, _, px = decode_bmp(
+        _bmp_bitfields(1, 1, 16, struct.pack("<HH", v, 0)[:4],
+                       0x7C00, 0x03E0, 0x001F)
+    )
+    assert px[:3] == bytes((255, 7 * 255 // 31, 0))
+    # 32-bit RGBA8888-style masks (non-BGRX layout a BI_RGB decode
+    # would misread): R in the LOW byte
+    v32 = (10) | (200 << 8) | (255 << 16)
+    _, _, _, px = decode_bmp(
+        _bmp_bitfields(1, 1, 32, struct.pack("<I", v32),
+                       0x000000FF, 0x0000FF00, 0x00FF0000)
+    )
+    assert px[:3] == bytes((10, 200, 255))
+    # 32-bit 10-10-10: channel wider than 8 bits scales DOWN
+    v10 = (1023 << 20) | (512 << 10) | 0
+    _, _, _, px = decode_bmp(
+        _bmp_bitfields(1, 1, 32, struct.pack("<I", v10),
+                       0x3FF << 20, 0x3FF << 10, 0x3FF)
+    )
+    assert px[:3] == bytes((255, 512 * 255 // 1023, 0))
+
+
+def test_bitfields_bottom_up_and_stride():
+    # 3px-wide 16-bit rows: 6 bytes padded to 8; two rows bottom-up
+    w, h = 3, 2
+    def row(vals):
+        return struct.pack("<HHH", *vals) + b"\x00\x00"
+    top = [(31 << 11), (63 << 5), 31]        # red, green, blue
+    bot = [0, (31 << 11), (31 << 11) | 31]
+    body = row(bot) + row(top)
+    _, _, _, px = decode_bmp(
+        _bmp_bitfields(w, h, 16, body, 0xF800, 0x07E0, 0x001F)
+    )
+    assert px[0:9] == bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
+    assert px[9:12] == bytes((0, 0, 0))
+
+
+def test_bitfields_malformed_rejected():
+    body = struct.pack("<I", 0)
+    # non-contiguous mask
+    with pytest.raises(ValueError, match="non-contiguous"):
+        decode_bmp(_bmp_bitfields(1, 1, 32, body, 0b101, 0b010, 0x3F000))
+    # overlapping masks
+    with pytest.raises(ValueError, match="overlapping"):
+        decode_bmp(_bmp_bitfields(1, 1, 32, body, 0xFF, 0xFF, 0xFF00))
+    # zero mask
+    with pytest.raises(ValueError, match="bad bitfield mask"):
+        decode_bmp(_bmp_bitfields(1, 1, 32, body, 0, 0xFF, 0xFF00))
+    # mask wider than a 16-bit pixel
+    with pytest.raises(ValueError, match="wider"):
+        decode_bmp(_bmp_bitfields(1, 1, 16, body, 0xF8000, 0x7E0, 0x1F))
+    # BI_BITFIELDS only legal at 16/32 bpp
+    with pytest.raises(ValueError, match="illegal"):
+        decode_bmp(_bmp_bitfields(1, 1, 24, body, 0xF800, 0x7E0, 0x1F))
+    # truncated mask block
+    raw = _bmp_bitfields(1, 1, 32, body, 0xFF, 0xFF00, 0xFF0000)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(raw[:14 + 40 + 8])
