@@ -11,9 +11,11 @@ modality's SAMPLE-level path can be real in this container:
   IEEE float32 (tag 3), G.711 A-law (tag 6) and mu-law (tag 7),
   IMA ADPCM mono AND multi-channel (tag 0x11, real integer
   state-machine decode with the 4-byte nibble-group channel
-  interleave), and WAVE_FORMAT_EXTENSIBLE (0xFFFE, SubFormat GUID
+  interleave), GSM 6.10 (tag 0x31, full RPE-LTP decode via
+  operators/gsm610.py, MS WAV49 two-frames-per-65-byte-block
+  packing), and WAVE_FORMAT_EXTENSIBLE (0xFFFE, SubFormat GUID
   resolution to any of the above) are all decoded for real; the
-  remaining seams are GSM/other exotic tags and reduced-valid-bits
+  remaining seams are other exotic tags and reduced-valid-bits
   extensible audio (NotImplementedError); malformed containers raise
   ValueError.
 - `audio_features` — the feature-extraction step of a training
@@ -32,6 +34,8 @@ from __future__ import annotations
 
 import math
 import struct
+
+from .gsm610 import decode_gsm_wav49, encode_gsm_wav49
 
 
 def encode_wav(samples: list[list[int]], sample_rate: int,
@@ -147,11 +151,15 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
         if ch < 1:
             raise ValueError("zero channels")
         return rate, 16, decode_ms_adpcm(data, ba, ch)
+    if tag == 0x31:  # GSM 6.10 — real RPE-LTP decode (WAV49 blocks)
+        if ch != 1:
+            raise ValueError("GSM 6.10 WAV must be mono")
+        return rate, 16, [decode_gsm_wav49(data, ba)]
     if tag != 1:
         raise NotImplementedError(
             f"format tag {tag} (PCM=1, MS ADPCM=2, float=3, A-law=6, "
-            "mu-law=7, IMA ADPCM=0x11, extensible=0xFFFE are the real "
-            "decode paths)"
+            "mu-law=7, IMA ADPCM=0x11, GSM=0x31, extensible=0xFFFE are "
+            "the real decode paths)"
         )
     if bits not in (8, 16):
         raise NotImplementedError(f"bit depth {bits} (only 8/16)")
@@ -449,6 +457,25 @@ def encode_ima_adpcm_multi(channels: list[list[int]], sample_rate: int,
         "<HHIIHH", 0x11, ch, sample_rate,
         sample_rate * block_align // frames_per_block, block_align, 4,
     ) + struct.pack("<HH", 2, frames_per_block)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def encode_wav_gsm(samples: list[int], sample_rate: int) -> bytes:
+    """Mono GSM 6.10 WAV writer (format tag 0x31, MS WAV49 layout:
+    block_align 65, 320 samples per two-frame block). Fixture path for
+    the tag-0x31 decode seam; the codec lives in operators/gsm610.py."""
+    data = encode_gsm_wav49(samples)
+    frames_per_block = 320
+    block_align = 65
+    fmt = struct.pack(
+        "<HHIIHH", 0x31, 1, sample_rate,
+        sample_rate * block_align // frames_per_block, block_align, 0,
+    ) + struct.pack("<HH", 2, frames_per_block)  # cbSize + samples/block
     return (
         b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
         + b"WAVE"

@@ -46,10 +46,11 @@ def test_decode_8bit_centering():
 
 
 def test_decode_rejects_non_pcm_and_malformed():
-    # GSM 6.10 (tag 0x31) remains behind the documented seam
-    fmt_gsm = struct.pack("<HHIIHH", 0x31, 1, 8000, 1625, 65, 0)
+    # a genuinely exotic tag (MPEG Layer 3) stays behind the seam;
+    # GSM 6.10 (0x31) is a real decode path now (tests/test_gsm610.py)
+    fmt_mp3 = struct.pack("<HHIIHH", 0x55, 1, 8000, 1000, 1, 0)
     with pytest.raises(NotImplementedError):
-        decode_wav_samples(_riff([(b"fmt ", fmt_gsm), (b"data", b"")]))
+        decode_wav_samples(_riff([(b"fmt ", fmt_mp3), (b"data", b"")]))
     with pytest.raises(ValueError):
         decode_wav_samples(b"not riff at all")
     with pytest.raises(ValueError):
