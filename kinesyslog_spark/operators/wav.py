@@ -7,17 +7,18 @@ modality's SAMPLE-level path can be real in this container:
 - `encode_wav`  — minimal PCM writer (8-bit unsigned / 16-bit signed,
   any channel count / rate).
 - `decode_wav_samples` — RIFF chunk walk -> per-channel int sample
-  matrix; PCM (tag 1), MS ADPCM (tag 2, predictor/coefficient codec),
-  IEEE float32 (tag 3), G.711 A-law (tag 6) and mu-law (tag 7),
-  IMA ADPCM mono AND multi-channel (tag 0x11, real integer
-  state-machine decode with the 4-byte nibble-group channel
-  interleave), GSM 6.10 (tag 0x31, full RPE-LTP decode via
-  operators/gsm610.py, MS WAV49 two-frames-per-65-byte-block
-  packing), and WAVE_FORMAT_EXTENSIBLE (0xFFFE, SubFormat GUID
-  resolution to any of the above) are all decoded for real; the
-  remaining seams are other exotic tags and reduced-valid-bits
-  extensible audio (NotImplementedError); malformed containers raise
-  ValueError.
+  matrix; PCM (tag 1, 8/16/24/32-bit integer), MS ADPCM (tag 2,
+  predictor/coefficient codec), IEEE float32/64 (tag 3), G.711 A-law
+  (tag 6) and mu-law (tag 7), IMA ADPCM mono AND multi-channel
+  (tag 0x11, real integer state-machine decode with the 4-byte
+  nibble-group channel interleave), GSM 6.10 (tag 0x31, full RPE-LTP
+  decode via operators/gsm610.py, MS WAV49 two-frames-per-65-byte-
+  block packing), and WAVE_FORMAT_EXTENSIBLE (0xFFFE, SubFormat GUID
+  resolution to any of the above, including reduced-valid-bits PCM
+  re-justification — left-justified samples shifted down to
+  valid_bits scale) are all decoded for real; remaining exotic tags
+  (e.g. MP3-in-WAV) raise NotImplementedError; malformed containers
+  raise ValueError.
 - `audio_features` — the feature-extraction step of a training
   pipeline, all exactly reproducible in SQL: sample/channel counts,
   integer peak (max |s|), sum of squared samples (exact int; RMS is
@@ -96,19 +97,28 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     tag, ch, rate, bits, ba, fmt_chunk = fmt
+    shift = 0  # right-shift for left-justified reduced-valid-bits PCM
     if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE — resolve the SubFormat
         if len(fmt_chunk) < 40:
             raise ValueError("extensible fmt chunk shorter than 40 bytes")
-        (valid_bits,) = struct.unpack("<H", fmt_chunk[18:20])
+        (samples_field,) = struct.unpack("<H", fmt_chunk[18:20])
         guid = fmt_chunk[24:40]
         if guid[4:] != _KSDATAFORMAT_TAIL:
             raise ValueError("SubFormat GUID is not in the KSDATAFORMAT family")
         (tag,) = struct.unpack("<I", guid[:4])
-        if valid_bits not in (0, bits):
-            raise NotImplementedError(
-                f"extensible audio with {valid_bits} valid of {bits} "
-                "container bits (sample re-justification)"
-            )
+        # The Samples union field is wValidBitsPerSample only for the
+        # uncompressed subformats; for compressed ones (ADPCM, GSM) it
+        # is wSamplesPerBlock and must not be read as a bit depth.
+        if tag in (0x01, 0x03) and samples_field not in (0, bits):
+            valid_bits = samples_field
+            if tag != 0x01 or valid_bits > bits:
+                raise NotImplementedError(
+                    f"extensible audio with {valid_bits} valid of {bits} "
+                    "container bits (non-PCM sample re-justification)"
+                )
+            # PCM samples are left-justified in their container: drop
+            # the padding LSBs so values are valid_bits-scaled ints.
+            shift = bits - valid_bits
     if tag == 0x11:  # IMA ADPCM — real integer state-machine decode
         if ch < 1:
             raise ValueError("zero channels")
@@ -161,8 +171,8 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
             "mu-law=7, IMA ADPCM=0x11, GSM=0x31, extensible=0xFFFE are "
             "the real decode paths)"
         )
-    if bits not in (8, 16):
-        raise NotImplementedError(f"bit depth {bits} (only 8/16)")
+    if bits not in (8, 16, 24, 32):
+        raise NotImplementedError(f"bit depth {bits} (only 8/16/24/32)")
     if ch < 1:
         raise ValueError("zero channels")
     width = bits // 8
@@ -172,12 +182,12 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[list[int]]]:
         base = f * ch * width
         for c in range(ch):
             o = base + c * width
-            if bits == 16:
-                (v,) = struct.unpack("<h", data[o:o + 2])
-            else:
+            if bits == 8:
                 v = data[o] - 128
-            out[c].append(v)
-    return rate, bits, out
+            else:
+                v = int.from_bytes(data[o:o + width], "little", signed=True)
+            out[c].append(v >> shift)
+    return rate, bits - shift, out
 
 
 # WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs: Data1 = the classic format

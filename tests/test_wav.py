@@ -87,6 +87,73 @@ def test_decode_extensible_pcm_roundtrip():
     assert got == chans
 
 
+def test_decode_24_and_32bit_pcm():
+    # 24-bit: 3-byte little-endian two's complement, mono
+    vals24 = [0, 1, -1, 8388607, -8388608, -40000]
+    data24 = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals24
+    )
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 48000, 48000 * 3, 3, 24)
+    rate, bits, chans = decode_wav_samples(
+        _riff([(b"fmt ", fmt24), (b"data", data24)])
+    )
+    assert (rate, bits) == (48000, 24)
+    assert chans == [vals24]
+    # 32-bit stereo interleaved
+    vals32 = [2147483647, -2147483648, 70000, -70000]
+    data32 = b"".join(struct.pack("<i", v) for v in vals32)
+    fmt32 = struct.pack("<HHIIHH", 1, 2, 96000, 96000 * 8, 8, 32)
+    rate, bits, chans = decode_wav_samples(
+        _riff([(b"fmt ", fmt32), (b"data", data32)])
+    )
+    assert (rate, bits) == (96000, 32)
+    assert chans == [[2147483647, 70000], [-2147483648, -70000]]
+
+
+def _ext_fmt(tag: int, ch: int, rate: int, block: int, bits: int,
+             samples_field: int) -> bytes:
+    from kinesyslog_spark.operators.wav import _KSDATAFORMAT_TAIL
+
+    return struct.pack(
+        "<HHIIHH", 0xFFFE, ch, rate, rate * block, block, bits
+    ) + struct.pack("<HHI", 22, samples_field, (1 << ch) - 1) \
+        + struct.pack("<I", tag) + _KSDATAFORMAT_TAIL
+
+
+def test_decode_extensible_reduced_valid_bits():
+    # 20 valid bits left-justified in a 24-bit container: the decoder
+    # re-justifies (arithmetic >> 4) and reports the VALID depth.
+    vals20 = [0, 1, -1, 524287, -524288, -12345]
+    data = b"".join(
+        ((v << 4) & 0xFFFFFF).to_bytes(3, "little") for v in vals20
+    )
+    fmt = _ext_fmt(1, 1, 48000, 3, 24, 20)
+    rate, bits, chans = decode_wav_samples(
+        _riff([(b"fmt ", fmt), (b"data", data)])
+    )
+    assert (rate, bits) == (48000, 20)
+    assert chans == [vals20]
+
+
+def test_decode_extensible_compressed_samples_field_not_bit_depth():
+    # For a compressed SubFormat the extensible Samples union field is
+    # wSamplesPerBlock, NOT wValidBitsPerSample — it must not trip the
+    # re-justification path. IMA ADPCM, 505 samples per block.
+    from kinesyslog_spark.operators.wav import encode_ima_adpcm
+
+    sig = [((i * 37) % 200) - 100 for i in range(1009)]
+    plain = encode_ima_adpcm(sig, 8000, block_frames=504)
+    # lift the data chunk out of the mono writer's container
+    _, _, expect = decode_wav_samples(plain)
+    data = plain[plain.index(b"data") + 8:]
+    fmt = _ext_fmt(0x11, 1, 8000, 4 + 504 // 2, 4, 505)
+    rate, bits, chans = decode_wav_samples(
+        _riff([(b"fmt ", fmt), (b"data", data)])
+    )
+    assert (rate, bits) == (8000, 16)
+    assert chans == expect
+
+
 def test_decode_extensible_bad_guid_rejected():
     fmt = struct.pack(
         "<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16
