@@ -81,13 +81,16 @@ def hot_shingle_sigs(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     key = (id(spark), sf_dir.rstrip("/"))
     got = _SIG_CACHE.get(key)
     if got is None:
+        from kinesyslog_spark.tables import HOT_LEVEL
+
         sh = (
             hot_tokens(spark, sf_dir)
             .filter(F.size("toks") >= 3)
             .select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
-            .persist()
+            .persist(HOT_LEVEL)
         )
-        sigs = persist_now(minhash_df(sh, ["doc_id"], "sh", MINHASH_K))
+        sigs = minhash_df(sh, ["doc_id"], "sh", MINHASH_K).persist(HOT_LEVEL)
+        sigs.count()
         got = (sh, sigs)
         _SIG_CACHE[key] = got
     return got

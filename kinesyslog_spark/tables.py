@@ -7,7 +7,18 @@ returned DataFrame rather than materializing it.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
+
+# Hot-layer artifacts are session-bounded and recomputable from their
+# (also cached) parents, so they persist MEMORY_ONLY: the default
+# MEMORY_AND_DISK level pays a compressed-columnar conversion measured
+# at ~2x the underlying compute on string/array-heavy frames (shingle
+# arrays, token arrays, double vectors), purely to make the blocks
+# disk-spillable — capacity these bounded artifacts never need. On a
+# cluster, eviction falls back to recompute-from-parquet, which beats
+# spilling cache for artifacts this small (HOT_TABLE_MAX_BYTES-bounded).
+HOT_LEVEL = StorageLevel.MEMORY_ONLY
 
 TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part",
@@ -120,7 +131,7 @@ def hot_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         size = _plan_size_bytes(df)
         if size < 0 or size > HOT_TABLE_MAX_BYTES:
             return df  # too big (or unknown): never cache, never memoize
-        df = spread(df).persist()
+        df = spread(df).persist(HOT_LEVEL)
         df.count()
         _HOT_CACHE[key] = df
     return df
@@ -145,7 +156,7 @@ def hot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         from kinesyslog_spark.operators.text import tokens
 
         docs = hot_table(spark, sf_dir, "documents")
-        df = docs.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
+        df = docs.select("doc_id", tokens(F.col("text")).alias("toks")).persist(HOT_LEVEL)
         df.count()
         _HOT_CACHE[key] = df
     return df
@@ -180,7 +191,7 @@ def hot_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("nrm"),
             )
-            .persist()
+            .persist(HOT_LEVEL)
         )
         df.count()
         _HOT_CACHE[key] = df
