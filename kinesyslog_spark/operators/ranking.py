@@ -216,6 +216,126 @@ def with_ntile(
     )
 
 
+_HIST_BUCKETS = 4096
+_FINAL_CAP = 65536  # <= this many candidate rows: sort them driver-side
+
+
+def exact_rank_values(
+    df: DataFrame,
+    col: str,
+    ranks: list[int],
+    buckets: int = _HIST_BUCKETS,
+    final_cap: int = _FINAL_CAP,
+    bounds: tuple[float, float] | None = None,
+) -> list[float]:
+    """EXACT values at the given 1-based ascending global ranks of a
+    numeric ``col`` — with NO full-column shuffle and NO sort of the
+    data: iterative histogram selection.
+
+    Each round runs ONE map-side-combined aggregate (per-bucket count +
+    min + max; at most ``buckets`` rows ever shuffle or reach the
+    driver), the driver locates the bucket span containing the target
+    ranks by cumulative count, and the search narrows to that span.
+    Rows are re-selected by the SAME floor-bucket expression that
+    counted them (composed as a conjunction across rounds), never by
+    re-derived float ranges — so pass-to-pass bookkeeping is exact even
+    at bucket edges. When the span holds <= ``final_cap`` rows, one
+    bounded collect sorts them driver-side and picks the values; when a
+    span's min == max every remaining row is that value.
+
+    This is the scale path for exact medians/quantiles: with_global_rank
+    range-shuffles and sorts the ENTIRE column to read back two rows,
+    while this needs log_B(n) cheap aggregates over an (ideally
+    persisted) input — at 100 TB that is a handful of scans with tiny
+    bucket-count shuffles instead of a full-corpus exchange per
+    statistic. Typical depth: 1 min/max pass + 1-2 histogram passes +
+    1 bounded collect.
+
+    ``col`` must be numeric and non-null (filter/cast first; ranks are
+    over the non-null ascending order). Far-apart ranks are resolved as
+    independent per-bucket subproblems, so each refinement is
+    guaranteed to shrink its region (a shared span covering all buckets
+    would never narrow — the first cut looped on ranks {1, n})."""
+    targets = sorted(int(r) for r in ranks)
+    x = F.col(col)
+    base = df.filter(x.isNotNull())
+    if bounds is None:
+        row = base.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).collect()[0]
+        if row["lo"] is None:
+            raise ValueError("exact_rank_values on an empty/all-null column")
+        bounds = (float(row["lo"]), float(row["hi"]))
+    out: dict[int, float] = {}
+    # work regions: (pred, rows_ranked_below_region, vlo, vhi, targets)
+    work = [(F.lit(True), 0, bounds[0], bounds[1], targets)]
+    while work:
+        pred, below, vlo, vhi, tg = work.pop()
+        width = (vhi - vlo) / buckets
+        # vlo == vhi: every row in the region is that value. width not
+        # > 0: denormal underflow — the region spans < buckets distinct
+        # representable doubles; vlo is exact-or-adjacent (pathological,
+        # documented).
+        if vlo == vhi or not (width > 0.0):
+            out.update({t: vlo for t in tg})
+            continue
+        bexpr = F.least(
+            F.lit(buckets - 1), F.floor((x - F.lit(vlo)) / F.lit(width))
+        ).cast("int")
+        hist = (
+            base.filter(pred)
+            .groupBy(bexpr.alias("_b"))
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min(x).alias("_lo"),
+                F.max(x).alias("_hi"),
+            )
+            .collect()
+        )
+        stats = {r["_b"]: (r["_c"], float(r["_lo"]), float(r["_hi"])) for r in hist}
+        total = sum(c for c, _, _ in stats.values())
+        if total <= final_cap:
+            vs = sorted(r[0] for r in base.filter(pred).select(x).collect())
+            out.update({t: float(vs[t - below - 1]) for t in tg})
+            continue
+        # route each target to its bucket; one subproblem per hit bucket
+        run = below
+        unrouted = list(tg)
+        for bi in sorted(stats):
+            c, blo, bhi = stats[bi]
+            hit = [t for t in unrouted if run < t <= run + c]
+            if hit:
+                unrouted = [t for t in unrouted if t not in hit]
+                work.append((pred & (bexpr == bi), run, blo, bhi, hit))
+            run += c
+        if unrouted:
+            raise IndexError(f"ranks {unrouted} outside 1..{run}")
+    return [out[t] for t in targets]
+
+
+def exact_median(df: DataFrame, col: str) -> tuple[float, int]:
+    """Exact median of numeric ``col`` (average of the two middle values,
+    SQL-style) via exact_rank_values; returns (median, n). Count and
+    min/max ride ONE aggregate — which doubles as the materializing
+    action when ``df`` was just persisted."""
+    x = F.col(col)
+    row = (
+        df.filter(x.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(x).alias("lo"),
+            F.max(x).alias("hi"),
+        )
+        .collect()[0]
+    )
+    n = int(row["n"])
+    if n == 0:
+        raise ValueError("exact_median on an empty/all-null column")
+    lo, hi = (n + 1) // 2, (n + 2) // 2
+    a, b = exact_rank_values(
+        df, col, [lo, hi], bounds=(float(row["lo"]), float(row["hi"]))
+    )
+    return (a + b) / 2.0, n
+
+
 def _strictly_ahead(order: list[tuple[str, str]], left_prefix: str = ""):
     """Column predicate: row `b` (columns prefixed ``__b_``) sorts
     STRICTLY ahead of row `a` under the (col, 'asc'|'desc') spec —

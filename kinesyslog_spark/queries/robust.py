@@ -8,12 +8,15 @@ with the 1.4826 consistency constant — |x - median| / (1.4826 * MAD)
 > 3.5 is the classic robust cut (Iglewicz-Hoaglin). q160 profiles,
 q145 asserts ranges, q168 checks digit law; this flags the rows.
 
-Exact medians at scale are THE use case for the distributed rank
-(operators/ranking.py): each column takes two global ranks (values,
-then absolute deviations) with zero single-partition windows; the two
-middle-rank values per pass come back as bounded driver scalars
-(<= 2 rows each). Everything after is one map-side-combined aggregate
-per column.
+Exact medians at scale are THE use case for histogram selection
+(operators/ranking.py exact_rank_values): each median costs a handful
+of map-side-combined bucket-count aggregates (<= 4096 rows shuffled or
+collected per pass) plus one bounded final collect — NO full-column
+shuffle, NO sort of the data. (The first cut used with_global_rank,
+which range-shuffles and sorts the entire column to read back two
+rows per median — four full exchanges per run; histogram selection
+replaced them outright.) Everything after is one map-side-combined
+aggregate per column.
 
 Determinism: medians average two exact DECIMAL(12,2) values (cast to
 double after the halving, exact); deviations are decimal subtractions;
@@ -29,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesyslog_spark.operators.ranking import with_global_rank
+from kinesyslog_spark.operators.ranking import exact_median
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.relational import _t
 
@@ -90,36 +93,27 @@ def _q171_oracle() -> str:
     return f"SELECT * FROM (\n{parts}\n) ORDER BY src"
 
 
-def _median_ranked(vals: DataFrame, col: str) -> tuple[float, int]:
-    """Exact median of `col` via the distributed rank: two middle-rank
-    scalars back to the driver."""
-    rk = with_global_rank(vals, [col], "r")
-    n = vals.count()
-    lo, hi = (n + 1) // 2, (n + 2) // 2
-    mids = (
-        rk.filter(F.col("r").isin(lo, hi))
-        .agg((F.sum(F.col(col).cast("double")) / F.count(F.lit(1))).alias("m"))
-        .collect()[0]
-    )
-    return float(mids["m"]), n
-
-
 @query("q171_robust_outlier_audit", oracle=_q171_oracle())
 def q171_robust_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     outs = []
     for table, col in _COLS:
+        # decimal(12,2) -> double is exact for these magnitudes, and the
+        # oracle's SUM(CAST(x AS DOUBLE))/COUNT over the two middle rows
+        # is the same arithmetic as averaging the two selected doubles.
         vals = (
             _t(spark, sf_dir, table)
-            .select(F.col(col).cast("decimal(12,2)").alias("x"))
+            .select(
+                F.col(col).cast("decimal(12,2)").cast("double").alias("x")
+            )
             .persist(StorageLevel.MEMORY_ONLY)
         )
-        med, n = _median_ranked(vals, "x")
+        med, n = exact_median(vals, "x")
         dev = vals.select(
-            (F.abs(F.col("x").cast("double") - F.lit(med))).alias("d")
+            (F.abs(F.col("x") - F.lit(med))).alias("d")
         ).persist(StorageLevel.MEMORY_ONLY)
-        mad, _ = _median_ranked(dev, "d")
+        mad, _ = exact_median(dev, "d")
         z_q = F.floor(
             F.col("d") / (ROBUST_K * F.lit(mad)) * 1000000 + F.lit(0.5)
         ) / 1000000

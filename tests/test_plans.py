@@ -873,7 +873,8 @@ def test_q170_snapshot_diff_plan(spark, sf_dir):
 
 
 def test_q171_distributed_median_plan(spark, sf_dir):
-    # two rank passes per column, zero unpartitioned windows anywhere
+    # histogram-selection medians (bucket-count aggregates only), zero
+    # unpartitioned windows anywhere
     df = QUERIES["q171_robust_outlier_audit"](spark, sf_dir)
     df.count()
     assert unpartitioned_window_count(df) == 0

@@ -163,3 +163,62 @@ def test_hypothesis_ntile_parity(spark):
             .filter("a.b <> b.b").count()
         )
         assert bad == 0, f"trial {trial}: n={n} card={card} k={buckets}"
+
+
+# --- exact_rank_values: histogram selection (no full-column shuffle) ---
+
+def test_exact_rank_values_matches_sorted(spark):
+    from kinesyslog_spark.operators.ranking import exact_rank_values
+
+    rng = random.Random(7)
+    cases = [
+        [rng.uniform(-1e6, 1e6) for _ in range(5001)],       # continuous
+        [float(rng.choice([1, 2, 2, 2, 9])) for _ in range(4000)],  # dups
+        [rng.paretovariate(1.1) for _ in range(3000)],        # heavy skew
+        [42.0] * 1234,                                        # all equal
+        [3.25],                                               # single row
+    ]
+    for data in cases:
+        df = spark.createDataFrame([(v,) for v in data], "x double")
+        s = sorted(data)
+        n = len(s)
+        ranks = sorted({1, (n + 1) // 2, (n + 2) // 2, n})
+        got = exact_rank_values(df, "x", ranks, buckets=64, final_cap=256)
+        assert got == [s[r - 1] for r in ranks]
+
+
+def test_exact_rank_values_deep_recursion_on_dup_mass(spark):
+    # one value holds >final_cap rows: the span must collapse to that
+    # value via the min==max early exit, not loop or collect unbounded
+    from kinesyslog_spark.operators.ranking import exact_rank_values
+
+    data = [5.0] * 3000 + [float(i) for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in data], "x double")
+    s = sorted(data)
+    got = exact_rank_values(df, "x", [1500], buckets=16, final_cap=64)
+    assert got == [s[1499]]
+
+
+def test_exact_median_parity_and_nulls(spark):
+    from kinesyslog_spark.operators.ranking import exact_median
+
+    rng = random.Random(13)
+    for n in (1, 2, 7, 500, 501):
+        data = [rng.uniform(0, 100) for _ in range(n)]
+        df = spark.createDataFrame(
+            [(v,) for v in data] + [(None,), (None,)], "x double"
+        )
+        s = sorted(data)
+        m, cnt = exact_median(df, "x")
+        assert cnt == n
+        assert m == (s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]) / 2.0
+
+
+def test_exact_rank_values_empty_raises(spark):
+    import pytest
+
+    from kinesyslog_spark.operators.ranking import exact_rank_values
+
+    df = spark.createDataFrame([(None,)], "x double")
+    with pytest.raises(ValueError):
+        exact_rank_values(df, "x", [1])
