@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kinesyslog_spark.operators.ranking import with_global_rank
+from kinesyslog_spark.operators.ranking import exact_rank_values
 from kinesyslog_spark.operators.text import md5_int60
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.relational import _t
@@ -227,49 +227,36 @@ def q135_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_q"),
         )
     )
-    # Exact-verify arm: distributed global rank (operators/ranking.py) —
-    # an unpartitioned row_number() window would move the whole corpus to
-    # ONE task (round-4 verdict's q135 scale-killer). Ties on x rank
-    # arbitrarily, which is value-identical for quantile lookup.
-    rn = with_global_rank(v, ["x"], "rn").select("x", "rn")
-    kcol = F.floor(F.col("p") * (F.col("n") - 1))
-    pk = probs.crossJoin(F.broadcast(mm.select("n"))).select(
-        "p", "n",
-        (kcol + 1).alias("rlo"),
-        F.least(kcol + 2, F.col("n")).alias("rhi"),
-        (F.col("p") * (F.col("n") - 1) - kcol).alias("g"),
+    # Exact-verify arm: histogram-selection rank lookup
+    # (operators/ranking.py exact_rank_values) — the first cut ranked
+    # the WHOLE corpus with with_global_rank (sampling pass + full
+    # range exchange + per-bucket sorts) to read back six rows; the
+    # rewrite needs only bucket-count aggregates over the pruned x
+    # column, so nothing corpus-sized ever shuffles. The interpolation
+    # arithmetic is unchanged (decimal(12,2) -> double is exact here),
+    # so the oracle twin still hash-matches.
+    import math
+
+    mrow = mm.collect()[0]
+    n = int(mrow["n"])
+    rank_of: dict[int, float] = {}
+    pk_rows = []
+    for p in Q_PROBS:
+        k = math.floor(p * (n - 1))
+        rlo, rhi = k + 1, min(k + 2, n)
+        pk_rows.append((p, rlo, rhi, p * (n - 1) - k))
+        rank_of[rlo] = rank_of[rhi] = 0.0
+    ranks = sorted(rank_of)
+    got = exact_rank_values(
+        v, "x", ranks, bounds=(float(mrow["lo"]), float(mrow["hi"]))
     )
-    # ONE pass over the ranked corpus: both neighbor ranks per probe ride
-    # a single role-tagged broadcast target list (the first cut joined rn
-    # twice, which rebuilt the whole distributed-rank subtree — sampling
-    # pass included — once per side: measured 7x the cost at sf0.1).
-    targets = pk.select(
-        "p", "g",
-        F.explode(
-            F.array(
-                F.struct(F.col("rlo").alias("tr"), F.lit("lo").alias("role")),
-                F.struct(F.col("rhi").alias("tr"), F.lit("hi").alias("role")),
-            )
-        ).alias("t"),
-    ).select("p", "g", F.col("t.tr").alias("tr"), F.col("t.role").alias("role"))
-    hits = rn.join(F.broadcast(targets), F.col("rn") == F.col("tr"))
-    exact = (
-        hits.groupBy("p")
-        .agg(
-            F.max("g").alias("g"),
-            F.max(F.when(F.col("role") == "lo", F.col("x"))).alias("xlo"),
-            # rhi may equal rlo (p*(n-1) integral or clamped at n): the
-            # hi row is then the same rank row — coalesce to xlo
-            F.max(F.when(F.col("role") == "hi", F.col("x"))).alias("xhi_raw"),
-        )
-        .select(
-            "p",
-            (
-                F.col("xlo")
-                + F.col("g")
-                * (F.coalesce("xhi_raw", F.col("xlo")) - F.col("xlo"))
-            ).alias("exact_q"),
-        )
+    rank_of = dict(zip(ranks, got))
+    exact = spark.createDataFrame(
+        [
+            (p, rank_of[rlo] + g * (rank_of[rhi] - rank_of[rlo]))
+            for p, rlo, rhi, g in pk_rows
+        ],
+        "p double, exact_q double",
     )
     return (
         est.join(exact, "p")
