@@ -394,16 +394,20 @@ def q117_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
         F.col("n").alias("nb"),
     )
-    # THRESHOLDED levenshtein (Ukkonen band + early abort): any kept
-    # pair satisfies lev <= mx/EDIT_RATIO_DEN <= maxlen/EDIT_RATIO_DEN,
-    # so the 3-arg form with that global threshold returns the EXACT
-    # distance for every pair the filter keeps and -1 (dropped below)
-    # for pairs it would reject anyway — identical output, and the DP
-    # aborts early on dissimilar pairs (measured ~5x on the verify at
-    # sf0.1). maxlen is a driver scalar, the q40-style cheap aggregate.
-    maxlen = int(txt.agg(F.max("n")).collect()[0][0] or 0)
-    thr = max(1, maxlen // EDIT_RATIO_DEN)
-    lev = F.levenshtein("ta", "tb", thr)
+    # THRESHOLDED levenshtein (Ukkonen band + early abort) with a
+    # PER-PAIR threshold: the keep condition is lev <= mx/EDIT_RATIO_DEN
+    # with mx = this pair's max length, so floor(mx/4) is the tightest
+    # threshold that still returns the EXACT distance for every kept
+    # pair (-1 only for pairs the filter rejects anyway — identical
+    # output). The first cut used one global maxlen//4 threshold, which
+    # banded every DP at the CORPUS max: per-pair banding measured 2.3x
+    # faster on the 205k-candidate verify at sf0.1 (median doc is half
+    # the max), and at scale the band tracks each pair, not the corpus
+    # tail.
+    lev = F.expr(
+        f"levenshtein(ta, tb, cast(floor(greatest(na, nb) / {EDIT_RATIO_DEN})"
+        " as int))"
+    )
     mx = F.greatest("na", "nb")
     return (
         cand.repartition(_par(cand))
