@@ -164,9 +164,18 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.round(F.lit(1.0) / n, 9).cast("decimal(10,9)").alias("rank"),
     )
+    # Ranks and contributions are NODE-cardinality frames; broadcast
+    # them explicitly — Catalyst's size estimate degrades through the
+    # 5-deep iteration chain, and without the hint the en-side join
+    # fell to SortMergeJoin, range-shuffling the EDGE table once per
+    # iteration (the executed plan showed 5 SortMergeJoins). With the
+    # hint each iteration is: broadcast ranks -> map over persisted
+    # edges -> one dst-keyed exchange for the partial-summed aggregate.
+    # (For graphs whose node table outgrows broadcast, bucket both
+    # sides by node id instead — this graph's nodes are dims-sized.)
     for _ in range(PR_ITERATIONS):
         contrib = (
-            en.join(r, en.src == r.node)
+            en.join(F.broadcast(r), en.src == r.node)
             .select(
                 "dst",
                 F.round(
@@ -176,7 +185,9 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("acc"))
         )
-        r = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        r = nodes.join(
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+        ).select(
             "node",
             F.round(
                 F.lit(base)
