@@ -57,8 +57,30 @@ SIMHASH_BLOCKS = 8  # 8 blocks x 8 bits: hamming<=7 guarantees a shared block
 HAMMING_THR = 4
 NGRAM_N = 5
 LEN_BAND = 25
-NGRAM_BANDS = 5  # q28 LSH: 5 tables x 2-row bands (collide at j^2 each)
-NGRAM_ROWS = 2
+# q28/q117 blocking: 8 tables x 3-row bands — the (b, r) that LSH
+# theory tunes to the jaccard 0.5 threshold ((1/b)^(1/r) = 0.5).
+# 2-row bands collided chance pairs at j^2, which is CONSTANT per doc
+# pair, so candidates grew Theta(N^2): the round-7 sf1 probe measured
+# q117's decade ratio at 41x (165 s). At j^3 the chance rate drops
+# 30-80x (typical cross-doc 5-gram jaccard is 1-5%) while every real
+# dup family survives: the corpus' kept pairs all sit at j >= 0.8,
+# where 1-(1-j^3)^8 >= 0.997; at the j=0.5 threshold recall is 0.66
+# (vs 0.76 before) — a documented trade on a band no real pair
+# occupies. Same asymptotics caveat as all fixed-(b,r) LSH: rows must
+# grow ~log N to keep chance candidates subquadratic forever; the
+# hot-bucket cap below bounds the damage per bucket either way.
+NGRAM_BANDS = 8
+NGRAM_ROWS = 3
+# Blocking shingles are LONGER than the verify shingles: the verify
+# measure stays char-5-gram jaccard (the declared q28 semantic), but
+# 5-grams are template-saturated on this corpus — random same-length
+# doc pairs measure MEDIAN 5-gram jaccard 0.20, so even 3-row bands
+# collide 6% of chance pairs and candidates grow quadratically (the
+# sf1 probe: 9.6M candidates). 9-gram jaccard separates: chance pairs
+# drop to median 0.03 (band collision 7e-4, an 87x cut) while every
+# real kept pair measures >= 0.83 (band collision >= 0.999). Docs
+# shorter than 9 chars leave the candidate universe (corpus min is 44).
+NGRAM_BLOCK_N = 9
 # Hot-bucket cap for all LSH self-joins (q26-q29, q38). A bucket of B
 # members emits B^2 candidate pairs, so a single boilerplate bucket can
 # dominate the job at corpus scale. The default is far above anything a
@@ -368,16 +390,20 @@ def _ngram_block_ctes() -> str:
     docs AS (
       SELECT doc_id, lang, length(text) AS n,
              list_distinct(list_transform(range(1, length(text) - {NGRAM_N - 2}),
-                 i -> text[i:i+{NGRAM_N - 1}])) AS sh
-      FROM documents WHERE length(text) >= {NGRAM_N}
+                 i -> text[i:i+{NGRAM_N - 1}])) AS sh,
+             list_distinct(list_transform(range(1, length(text) - {NGRAM_BLOCK_N - 2}),
+                 i -> text[i:i+{NGRAM_BLOCK_N - 1}])) AS sh_b
+      FROM documents WHERE length(text) >= {NGRAM_BLOCK_N}
     ), keyed AS (
       SELECT doc_id, n, sh,
-             [{", ".join(_mh_expr(i) for i in range(NGRAM_BANDS * NGRAM_ROWS))}] AS sig
+             [{", ".join(_mh_expr(i, "sh_b") for i in range(NGRAM_BANDS * NGRAM_ROWS))}] AS sig
       FROM docs
     ), blocked AS (
       SELECT doc_id, n, t.t,
-             md5(sig[{NGRAM_ROWS}*t.t + 1]::VARCHAR || ',' ||
-                 sig[{NGRAM_ROWS}*t.t + 2]::VARCHAR) AS bk,
+             md5({" || ',' || ".join(
+                 f"sig[{NGRAM_ROWS}*t.t + {r + 1}]::VARCHAR"
+                 for r in range(NGRAM_ROWS)
+             )}) AS bk,
              n // {LEN_BAND} + o.off AS bucket
       FROM keyed
       CROSS JOIN (SELECT unnest([0, 1]) AS off) o
@@ -410,23 +436,23 @@ def ngram_candidates(
     cand = distinct (doc_a < doc_b) candidate pairs and base = persisted
     (doc_id, n, sh). Shared with q117's edit-distance verify.
 
-    Blocking = length band (prefix filter) AND a 2-row MinHash band
-    agreeing in one of five tables. The 2-row band collides at j^2 per
-    table, so chance candidates (typical cross-doc jaccard ~1-2% from
-    the shared vocabulary) collapse by ~2 orders of magnitude vs the
-    former single-coordinate scheme, while recall is better at BOTH
-    ends: 1-(1-j^2)^5 = 0.763 at the j=0.5 threshold (was 0.75) and
-    0.9996 at the j>=0.9 the planted dups sit at (was 0.99). Measured
-    at sf0.1: 337k -> ~8k candidates, verify 4.6 s -> ~0.3 s. The 10
-    minhash coordinates cost the same explode+md5 pass as 2 did
-    (two-hash scheme: extra coordinates are extra MIN aggregates, not
-    extra hashes). Pair expansion is the grouped single-shuffle form
-    (high-entropy-key rule: md5 band keys make near-singleton buckets).
-    The |na - nb| <= LEN_BAND refinement rides the caller's verify join
+    Blocking = length band (prefix filter) AND an NGRAM_ROWS-row
+    MinHash band agreeing in one of NGRAM_BANDS tables — (8, 3), the
+    LSH tuning for the jaccard 0.5 threshold; see the constants' note
+    for the chance-candidate math and the measured sf1 blowup that
+    retired the earlier 2-row scheme. The 24 minhash coordinates cost
+    the same explode+md5 pass as 2 did (two-hash scheme: extra
+    coordinates are extra MIN aggregates, not extra hashes). Pair
+    expansion is the grouped single-shuffle form (high-entropy-key
+    rule: md5 band keys make near-singleton buckets). The
+    |na - nb| <= LEN_BAND refinement rides the caller's verify join
     — blocking already bounds it below 2 bands, and the n column is on
     the same persisted row as the shingles."""
-    docs = hot_table(spark, sf_dir, "documents").filter(F.length("text") >= NGRAM_N)
-    # Persisted: feeds the blocking pipeline and both verify-join sides.
+    docs = hot_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= NGRAM_BLOCK_N
+    )
+    # Persisted: feeds both verify-join sides (5-gram shingles — the
+    # declared similarity measure).
     base = persist_now(
         docs.select(
             "doc_id",
@@ -434,8 +460,19 @@ def ngram_candidates(
             char_grams(F.col("text"), NGRAM_N).alias("sh"),
         )
     )
+    # Blocking signatures run over the LONGER 9-gram shingles (see the
+    # NGRAM_BLOCK_N note): same minhash machinery, different gram size.
     keyed = persist_now(
-        minhash_df(base, ["doc_id", "n"], "sh", NGRAM_BANDS * NGRAM_ROWS)
+        minhash_df(
+            docs.select(
+                "doc_id",
+                F.length("text").alias("n"),
+                char_grams(F.col("text"), NGRAM_BLOCK_N).alias("sh_b"),
+            ),
+            ["doc_id", "n"],
+            "sh_b",
+            NGRAM_BANDS * NGRAM_ROWS,
+        )
     )
     blocked = (
         keyed.select(
