@@ -53,8 +53,30 @@ LSH_BANDS = 4
 LSH_ROWS = 3
 JACCARD_THR = 0.5
 SIMHASH_BITS = 64
-SIMHASH_BLOCKS = 8  # 8 blocks x 8 bits: hamming<=7 guarantees a shared block
 HAMMING_THR = 4
+# Pigeonhole blocking at EXACTLY the declared threshold: hamming <= 4
+# pairs share an identical block iff there are THR+1 = 5 blocks, so 5
+# blocks of 13/13/13/13/12 bits give the same guaranteed (non-
+# probabilistic) recall as the former 8x8-bit scheme — with 2^12-2^13
+# keys per block instead of 2^8. Chance buckets are ~32x smaller, and
+# since candidate pairs grow with (N/keys)^2 per block, the blocking
+# quadratic's constant drops ~45x (the 8x8 scheme was N^2/64 on a
+# corpus whose fingerprints fill the 8-bit key space). Results are
+# byte-identical: blocking only ever ADDS false candidates, and both
+# schemes cover every true pair at the threshold.
+SIMHASH_BLOCKS = 5
+
+
+def _simhash_block_bounds() -> list[tuple[int, int]]:
+    """(1-based offset, width) of each fingerprint block — bits spread
+    as evenly as 64/5 allows."""
+    base, rem = divmod(SIMHASH_BITS, SIMHASH_BLOCKS)
+    out, off = [], 1
+    for b in range(SIMHASH_BLOCKS):
+        w = base + (1 if b < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
 NGRAM_N = 5
 LEN_BAND = 25
 # q28/q117 blocking: 8 tables x 3-row bands — the (b, r) that LSH
@@ -306,7 +328,11 @@ def _simhash_oracle() -> str:
     ), fps AS (
       SELECT doc_id, ({fp}) AS fp FROM hs
     ), blocks AS (
-      SELECT doc_id, fp, b.block_idx, substring(fp, 1 + 8 * b.block_idx, 8) AS block_val
+      SELECT doc_id, fp, b.block_idx,
+             CASE b.block_idx {" ".join(
+                 f"WHEN {i} THEN substring(fp, {off}, {w})"
+                 for i, (off, w) in enumerate(_simhash_block_bounds())
+             )} END AS block_val
       FROM fps CROSS JOIN (SELECT unnest([{blocks}]) AS block_idx) b
     ), cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.fp AS fa, y.fp AS fb
@@ -340,9 +366,9 @@ def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(b).alias("block_idx"),
-                    F.substring("fp", 1 + 8 * b, 8).alias("block_val"),
+                    F.substring("fp", off, w).alias("block_val"),
                 )
-                for b in range(SIMHASH_BLOCKS)
+                for b, (off, w) in enumerate(_simhash_block_bounds())
             ])
         ).alias("bk"),
     ).select("doc_id", "hi", "lo", "bk.block_idx", "bk.block_val")
