@@ -253,87 +253,158 @@ def q47_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q38 — embedding-cosine near-duplicate pairs via MULTI-PROBE sign LSH
+# Q38 — embedding-cosine near-duplicate pairs: EXACT blocked-GEMM join
 # ---------------------------------------------------------------------------
-# Each vector is hashed into its sign bucket AND the 4 buckets at Hamming
-# distance 1 (single-bit flips) — multi-probe LSH (Lv et al., VLDB'07):
-# near neighbors that straddle one hyperplane still collide, lifting
-# recall from ~50% to >90% at the same bucket width. Candidates sharing
-# any probe bucket are verified with exact cosine >= threshold.
+# The declared semantic is "every pair with cosine >= 0.4" — a 66-degree
+# angle. Sign-LSH cannot block there: the per-hyperplane flip
+# probability of a threshold pair is acos(0.4)/pi = 0.37 vs 0.50 for
+# chance pairs, so ANY (bits, probes) scheme either keeps near-zero
+# recall at the threshold or admits a constant fraction of all pairs —
+# the former 4-bit multi-probe scheme admitted ~69% of ALL pairs
+# (P[Ham(4) <= 2] at p=0.5) and measured a 31x decade blowup at sf1.
+# The honest implementation of a low-threshold exact similarity join is
+# the blocked all-pairs GEMM (the V. Anastasiu/Karypis "exact cosine
+# join" regime): hash vectors into ~2k-row blocks, enumerate the
+# B(B+1)/2 block pairs, and give each (block_a, block_b) task one
+# numpy float64 GEMM as a PRE-FILTER (error <= 1e-13 relative, margin
+# 1e-4 below the threshold) followed by an exact integer verify.
+# Work is O(N^2 d) FLOPs but at GEMM speed; shuffled bytes are
+# O(N * B) = O(N^1.5 * d / block) — sub-quadratic data movement. 100%
+# recall by construction (exact results, simpler than LSH). At true
+# corpus scale an exact cos>=0.4 join is infeasible no matter the
+# blocking — the scale path is the IVF/LSH ANN family (q29/q35/q47),
+# which targets top-k, not exhaustive low-threshold pairs.
+#
+# Cross-engine determinism (the q136 convention): components quantize
+# to floor(v * 1e6) BIGINTs, so dots and squared norms are EXACT
+# integers computed identically in any summation order; the only float
+# math is the final dot/(sqrt * sqrt) on identical operands, rounded by
+# the ENGINE (F.round / ROUND on identical doubles), never by numpy.
 
-def _q38_probe_sql(flip: int) -> str:
-    """Bucket string with bit `flip` inverted (0 = no flip)."""
-    bits = []
-    for i in range(1, BUCKET_BITS + 1):
-        inv = "<" if i == flip else ">="
-        bits.append(f"(CASE WHEN emb[{i}] {inv} 0 THEN '1' ELSE '0' END)")
-    return " || ".join(bits)
+_Q38_CQ = 1_000_000     # component quantization scale (q136 convention)
+_Q38_BLOCK = 2048       # target vectors per GEMM block
+# float64 GEMM error on 64-term 1e12-scale sums is ~1e-13 relative; the
+# margin also covers round-half-up at the 4th decimal (5e-5).
+_Q38_MARGIN = 1e-4
 
 
 def _q38_oracle() -> str:
-    probes = " UNION ALL ".join(
-        f"SELECT vec_id, emb, nrm, {_q38_probe_sql(f)} AS bucket FROM b"
-        for f in range(0, BUCKET_BITS + 1)
-    )
-    dot = _ORACLE_DOT.format(a="pa.emb", b="pb.emb")
     return f"""
     WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            v -> CAST(FLOOR(v * {_Q38_CQ}) AS BIGINT)) AS q
+      FROM embeddings
     ), b AS (
-      SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, v -> v * v))) AS nrm FROM e
-    ), probes AS ({probes}
-    ), cand AS (
-      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-      FROM probes x JOIN probes y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2
+      FROM e
     )
     SELECT vec_a, vec_b, sim FROM (
-      SELECT vec_a, vec_b, ROUND({dot} / (pa.nrm * pb.nrm), 4) AS sim
-      FROM cand JOIN b pa ON pa.vec_id = cand.vec_a JOIN b pb ON pb.vec_id = cand.vec_b
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                        i -> a.q[i] * b.q[i])) AS BIGINT)
+                   / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))),
+                   4) AS sim
+      FROM b a JOIN b b ON a.vec_id < b.vec_id
     ) WHERE sim >= {NEARDUP_COS}
     ORDER BY vec_a, vec_b
     """
 
 
+_Q38_PAIR_SCHEMA = "vec_a long, vec_b long, dot long, n2a long, n2b long"
+
+
+def _q38_block_pairs(pdf):
+    """One (block_a, block_b) task: float64 GEMM pre-filter + exact
+    int64 verify. Returns (vec_a, vec_b, dot, n2a, n2b) with EXACT
+    integer dot/norms; the caller does the float division + rounding
+    engine-side."""
+    import numpy as np
+    import pandas as pd
+
+    a = pdf[pdf["role"] == "a"]
+    b = pdf[pdf["role"] == "b"]
+    if a.empty or b.empty:
+        return pd.DataFrame(
+            columns=["vec_a", "vec_b", "dot", "n2a", "n2b"]
+        ).astype("int64")
+    qa = np.stack(a["q"].to_numpy()).astype(np.int64)
+    qb = np.stack(b["q"].to_numpy()).astype(np.int64)
+    ida = a["vec_id"].to_numpy()
+    idb = b["vec_id"].to_numpy()
+    n2a = a["n2"].to_numpy()
+    n2b = b["n2"].to_numpy()
+    sims = (qa.astype(np.float64) @ qb.astype(np.float64).T) / np.outer(
+        np.sqrt(n2a.astype(np.float64)), np.sqrt(n2b.astype(np.float64))
+    )
+    mask = sims >= NEARDUP_COS - _Q38_MARGIN
+    if int(a["bi"].iat[0]) == int(a["bj"].iat[0]):
+        # same-block task: the two sides are the same vectors — keep the
+        # upper triangle only
+        mask &= ida[:, None] < idb[None, :]
+    ii, jj = np.nonzero(mask)
+    if not len(ii):
+        return pd.DataFrame(
+            columns=["vec_a", "vec_b", "dot", "n2a", "n2b"]
+        ).astype("int64")
+    # exact integer dots for the survivors only (order-free, no float)
+    dots = np.einsum("ij,ij->i", qa[ii], qb[jj])
+    # canonicalize: blocks are hash-assigned, so a cross-block pair can
+    # arrive with either id on either side — (vec_a, vec_b) = (min, max)
+    la, lb = ida[ii], idb[jj]
+    swap = la > lb
+    va = np.where(swap, lb, la)
+    vb = np.where(swap, la, lb)
+    n2va = np.where(swap, n2b[jj], n2a[ii])
+    n2vb = np.where(swap, n2a[ii], n2b[jj])
+    return pd.DataFrame({
+        "vec_a": va, "vec_b": vb,
+        "dot": dots, "n2a": n2va, "n2b": n2vb,
+    })
+
+
 @query("q38_embedding_neardup", oracle=_q38_oracle())
 def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = hot_vectors(spark, sf_dir).select("vec_id", "emb", "nrm")
-
-    def probe_bucket(flip: int) -> Column:
-        bits = []
-        for i in range(1, BUCKET_BITS + 1):
-            raw = F.element_at("emb", i) >= 0
-            bit = ~raw if i == flip else raw
-            bits.append(F.when(bit, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
-
-    probes = base.select(
-        "vec_id",
-        F.explode(F.array(*[probe_bucket(f) for f in range(0, BUCKET_BITS + 1)])).alias("bucket"),
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda v: F.floor(v * _Q38_CQ).cast("long"),
     )
-    from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET, cap_hot_buckets
-
-    # Codegen'd self-join (see q27 note): 4-bit sign buckets are very
-    # low-entropy, so each bucket holds a large member set — the
-    # quadratic candidate expansion must stay in whole-stage codegen.
-    probes = cap_hot_buckets(probes, ["bucket"], LSH_MAX_BUCKET)
-    n = probes.sparkSession.sparkContext.defaultParallelism
-    x = probes.select("bucket", F.col("vec_id").alias("vec_a")).repartition(n, "bucket")
-    y = probes.select("bucket", F.col("vec_id").alias("vec_b")).repartition(n, "bucket")
-    cand = (
-        x.join(y, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    pa = base.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
-    pb = base.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
-    return (
-        cand.repartition(n)
-        .join(pa, "vec_a").join(pb, "vec_b")
-        .select(
-            "vec_a", "vec_b",
-            F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4).alias("sim"),
+    base = persist_now(
+        emb.select(
+            "vec_id",
+            q.alias("q"),
+        ).withColumn(
+            "n2",
+            F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x),
         )
+    )
+    n_vec = base.count()  # cached frame: a cheap metadata-ish action
+    nb = max(1, -(-n_vec // _Q38_BLOCK))
+    blk = F.pmod(F.hash("vec_id"), F.lit(nb)).cast("int")
+    tagged = base.withColumn("blk", blk)
+    pair_list = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(i, nb)], "bi int, bj int"
+    )
+    a_side = tagged.join(
+        F.broadcast(pair_list), tagged.blk == pair_list.bi
+    ).select("bi", "bj", F.lit("a").alias("role"), "vec_id", "q", "n2")
+    b_side = tagged.join(
+        F.broadcast(pair_list), tagged.blk == pair_list.bj
+    ).select("bi", "bj", F.lit("b").alias("role"), "vec_id", "q", "n2")
+    pairs = (
+        a_side.unionAll(b_side)
+        .groupBy("bi", "bj")
+        .applyInPandas(_q38_block_pairs, _Q38_PAIR_SCHEMA)
+    )
+    sim = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))),
+        4,
+    )
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= NEARDUP_COS)
         .orderBy("vec_a", "vec_b")
     )

@@ -216,6 +216,65 @@ def _q124_oracle() -> str:
     """
 
 
+# number of coarse groups the buckets hash into for the grouped-map
+# pair kernel: per-GROUP overhead in the Arrow grouped-map path
+# measured ~3 ms, so one group per (j, bv) bucket (~1.6k buckets even
+# at sf0.1) cost ~5 s of pure dispatch; 64 coarse groups amortize it
+# while the intra-group bucket loop runs at pandas-groupby C speed.
+_PHASH_GROUPS = 64
+
+
+def _phash_bucket_pairs(pdf):
+    """One coarse group = many whole (j, block-value) buckets: emit
+    every within-bucket member pair with hamming <= HAM_T over the full
+    64-bit hash. numpy xor + uint8-LUT popcount, row-at-a-time against
+    the remaining member matrix (peak temp is one (m, 64) uint8 slab).
+    Buckets over the global hot-bucket cap are skipped, mirroring
+    cap_hot_buckets."""
+    import numpy as np
+    import pandas as pd
+
+    from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET
+
+    pop = _POP_LUT
+    out_a, out_b, out_h = [], [], []
+    for _, sub in pdf.groupby(["j", "bv"], sort=False):
+        m = len(sub)
+        if m < 2 or (LSH_MAX_BUCKET and m > LSH_MAX_BUCKET):
+            continue
+        order = np.argsort(sub["doc_id"].to_numpy())
+        ids = sub["doc_id"].to_numpy()[order]
+        ba = np.stack(sub["ba"].to_numpy())[order].astype(np.uint64)
+        bv8 = ba.view(np.uint8).reshape(m, 64)
+        for i in range(m - 1):
+            h = pop[np.bitwise_xor(bv8[i + 1:], bv8[i])].sum(
+                axis=1, dtype=np.int64
+            )
+            sel = np.nonzero(h <= HAM_T)[0]
+            if len(sel):
+                out_a.append(np.full(len(sel), ids[i], dtype=np.int64))
+                out_b.append(ids[i + 1 + sel])
+                out_h.append(h[sel])
+    if not out_a:
+        return pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "hamming": []}
+        ).astype("int64")
+    return pd.DataFrame({
+        "doc_a": np.concatenate(out_a),
+        "doc_b": np.concatenate(out_b),
+        "hamming": np.concatenate(out_h),
+    })
+
+
+def _make_pop_lut():
+    import numpy as np
+
+    return np.array([bin(x).count("1") for x in range(256)], dtype=np.uint8)
+
+
+_POP_LUT = _make_pop_lut()
+
+
 @query("q124_image_phash_neardup", oracle=_q124_oracle())
 def q124_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET, _par
@@ -233,15 +292,16 @@ def q124_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blocks = payloads.mapInPandas(phash_block_batches, schema=PHASH_SCHEMA)
     # Per-doc 8-long hash vector, carried INTO the buckets so hamming is
-    # computed inline during pair expansion. 8-bit block buckets are hot
-    # when hashes correlate (this synthetic corpus is one big topic, so
-    # ~20% of all pairs share a block) — joining vectors back to 2.6M
-    # candidates and then distinct-ing them shuffled millions of rows to
-    # keep a few hundred. Expanding (doc_id, vector) pairs in-bucket and
-    # filtering hamming <= HAM_T before any further shuffle leaves only
-    # true near-dups for the distinct — same single-shuffle economics as
-    # _pair_candidates, minus the verify joins (measured 12.3 -> 5.8 s
-    # fresh at sf0.1). Vector payload per member is 8 longs: bounded.
+    # computed during pair expansion with no verify join. 8-bit block
+    # buckets are HOT when hashes correlate (this one-topic corpus puts
+    # ~20% of all pairs in a shared block: sf1 measured 1.8k buckets
+    # holding 618M pair slots, max bucket ~7k members). The first cut
+    # expanded pairs with array higher-order functions, which evaluate
+    # INTERPRETED — ~60 s at sf1 for the quadratic alone. The expansion
+    # is now a numpy kernel per bucket (applyInPandas): row-vectorized
+    # xor + 8-bit-LUT popcount over the member matrix, ~50x the HOF
+    # throughput on the same pair count (sf1 70 s -> ~9 s end-to-end).
+    # Vector payload per member is 8 longs: bounded, Arrow-batched.
     v = (
         blocks.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("j", "bv"))).alias("s"))
@@ -250,46 +310,16 @@ def q124_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("s", lambda st: st["bv"]).alias("ba"),
         )
     )
-    keyed = v.select("doc_id", "ba", F.posexplode("ba").alias("j", "bv"))
-    members = (
-        keyed.groupBy("j", "bv")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "ba"))).alias("ms"))
-        .filter(F.size("ms") >= 2)
+    keyed = v.select(
+        "doc_id", "ba", F.posexplode("ba").alias("j", "bv")
+    ).withColumn(
+        "gid", F.pmod(F.hash("j", "bv"), F.lit(_PHASH_GROUPS)).cast("int")
     )
-    if LSH_MAX_BUCKET:
-        members = members.filter(F.size("ms") <= LSH_MAX_BUCKET)
-
-    def _ham(a, b):
-        return F.aggregate(
-            F.zip_with(
-                a["ba"], b["ba"],
-                lambda x, y: F.bit_count(x.bitwiseXOR(y)),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-
-    ms = F.col("ms")
-    pairs = F.flatten(
-        F.transform(
-            ms,
-            lambda a, i: F.filter(
-                F.transform(
-                    F.slice(ms, i + F.lit(2), F.size(ms)),
-                    lambda b: F.struct(
-                        a["doc_id"].alias("doc_a"),
-                        b["doc_id"].alias("doc_b"),
-                        _ham(a, b).cast("long").alias("hamming"),
-                    ),
-                ),
-                lambda p: p["hamming"] <= HAM_T,
-            ),
-        )
+    pairs = keyed.groupBy("gid").applyInPandas(
+        _phash_bucket_pairs, "doc_a long, doc_b long, hamming long"
     )
     return (
-        members.repartition(_par(members))
-        .select(F.explode(pairs).alias("_p"))
-        .select("_p.doc_a", "_p.doc_b", "_p.hamming")
+        pairs.repartition(_par(pairs))
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
