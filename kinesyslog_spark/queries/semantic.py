@@ -248,10 +248,15 @@ def q77_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q78_ORACLE = """
     WITH {ctes},
-    b AS (
-      SELECT vec_id, emb,
-             sqrt(list_sum(list_transform(emb, v -> v * v))) AS nrm
+    e2 AS (
+      SELECT vec_id,
+             list_transform(emb, x -> CAST(FLOOR(x * {cq}) AS BIGINT)) AS q
       FROM v
+    ),
+    b AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+      FROM e2
     ),
     pairs AS (
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cid AS cluster_id
@@ -260,51 +265,94 @@ _Q78_ORACLE = """
     )
     SELECT vec_a, vec_b, cluster_id, sim FROM (
       SELECT vec_a, vec_b, cluster_id,
-             ROUND({dot} / (pa.nrm * pb.nrm), 4) AS sim
+             ROUND(CAST(list_sum(list_transform(range(1, len(pa.q) + 1),
+                        i -> pa.q[i] * pb.q[i])) AS BIGINT)
+                   / (sqrt(CAST(pa.n2 AS DOUBLE)) * sqrt(CAST(pb.n2 AS DOUBLE))),
+                   4) AS sim
       FROM pairs
       JOIN b pa ON pa.vec_id = pairs.vec_a
       JOIN b pb ON pb.vec_id = pairs.vec_b
     ) WHERE sim >= {cos}
     ORDER BY vec_a, vec_b
-    """.format(
-    ctes=_kmeans_ctes(),
-    iters=KMEANS_ITERS,
-    dot=_ORACLE_DOT.format(a="pa.emb", b="pb.emb"),
-    cos=SEMDUP_COS,
-)
+    """.format(ctes=_kmeans_ctes(), iters=KMEANS_ITERS, cq=1_000_000,
+               cos=SEMDUP_COS)
+
+
+def _q78_cluster_pairs(pdf):
+    """One cluster: every member pair with quantized cosine >= the
+    threshold — the q38 blocked-GEMM kernel specialized to the
+    SemDeDup shape (bucket = k-means cluster). float64 GEMM pre-filter
+    with margin, exact int64 verify; division + rounding stay
+    engine-side on identical integer operands."""
+    import numpy as np
+    import pandas as pd
+
+    from kinesyslog_spark.queries.ann import _Q38_MARGIN
+
+    empty = pd.DataFrame({
+        "vec_a": pd.Series(dtype="int64"),
+        "vec_b": pd.Series(dtype="int64"),
+        "cluster_id": pd.Series(dtype="int32"),
+        "dot": pd.Series(dtype="int64"),
+        "n2a": pd.Series(dtype="int64"),
+        "n2b": pd.Series(dtype="int64"),
+    })
+    m = len(pdf)
+    if m < 2:
+        return empty
+    order = np.argsort(pdf["vec_id"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()[order]
+    q = np.stack(pdf["q"].to_numpy())[order].astype(np.int64)
+    n2 = pdf["n2"].to_numpy()[order]
+    qf = q.astype(np.float64)
+    sims = (qf @ qf.T) / np.outer(
+        np.sqrt(n2.astype(np.float64)), np.sqrt(n2.astype(np.float64))
+    )
+    ii, jj = np.nonzero(
+        (sims >= SEMDUP_COS - _Q38_MARGIN) & (ids[:, None] < ids[None, :])
+    )
+    if not len(ii):
+        return empty
+    dots = np.einsum("ij,ij->i", q[ii], q[jj])
+    cid = int(pdf["cid"].iat[0])
+    return pd.DataFrame({
+        "vec_a": ids[ii], "vec_b": ids[jj],
+        "cluster_id": np.full(len(ii), cid, dtype=np.int32),
+        "dot": dots, "n2a": n2[ii], "n2b": n2[jj],
+    })
 
 
 @query("q78_semantic_neardup", oracle=_Q78_ORACLE)
 def q78_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup verify as a per-cluster GEMM kernel (q38's machinery,
+    # bucket = cluster). The first cut enumerated same-cluster pairs in
+    # a codegen self-join and ran the 64-dim dot as an INTERPRETED
+    # higher-order aggregate per pair — with K=8 clusters that is
+    # ~N^2/16 interpreted dots, a 13x decade blowup at sf1 (17.4 s).
+    # The GEMM kernel does the same exact work at BLAS speed. Sims are
+    # the q38 quantized-integer kind, mirrored in the oracle.
     a = kmeans_assignments(spark, sf_dir).select("vec_id", "cid")
-    base = hot_vectors(spark, sf_dir).select("vec_id", "emb", "nrm")
-    n = spark.sparkContext.defaultParallelism
-    x = a.select(F.col("cid").alias("cluster_id"), F.col("vec_id").alias("vec_a"))
-    y = a.select(F.col("cid").alias("cluster_id"), F.col("vec_id").alias("vec_b"))
-    # repartition both sides on the cluster key so the quadratic
-    # expansion runs partition-parallel in codegen (q38's rule: low-
-    # entropy bucket keys -> codegen self-join)
-    pairs = (
-        x.repartition(n, "cluster_id")
-        .join(y.repartition(n, "cluster_id"), "cluster_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+    base = hot_vectors(spark, sf_dir).select("vec_id", "emb")
+    q = F.transform(
+        "emb", lambda x: F.floor(x * F.lit(1_000_000)).cast("long")
     )
-    pa = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    qf = base.select("vec_id", q.alias("q")).withColumn(
+        "n2",
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
     )
-    pb = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    tagged = qf.join(a, "vec_id")
+    pairs = tagged.groupBy("cid").applyInPandas(
+        _q78_cluster_pairs,
+        "vec_a long, vec_b long, cluster_id int, dot long, n2a long, n2b long",
+    )
+    sim = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2a").cast("double"))
+           * F.sqrt(F.col("n2b").cast("double"))),
+        4,
     )
     return (
-        pairs.repartition(n)
-        .join(pa, "vec_a")
-        .join(pb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            "cluster_id",
-            F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4).alias("sim"),
-        )
+        pairs.select("vec_a", "vec_b", "cluster_id", sim.alias("sim"))
         .filter(F.col("sim") >= SEMDUP_COS)
         .orderBy("vec_a", "vec_b")
     )
