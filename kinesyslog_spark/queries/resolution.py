@@ -459,9 +459,15 @@ def q117_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # intersection cross-multiplied (10*|A∩B| >= 6*|A∪B|).
 #
 # Scale: one df aggregate (map-side combined), one prefix-token join
-# (shuffle on token; rare-first keeps keys near-singleton; the df-rank
-# table broadcast), exact verify on the candidate set only. The
-# standard exact-join economics at corpus scale.
+# (shuffle on token), PPJoin length + positional pruning on the matched
+# rows, exact verify on the surviving candidates only. HONEST LIMIT:
+# on a template-saturated corpus even a doc's rarest prefix shingles
+# have document frequency in the hundreds, so the exact join stays
+# candidate-bound (sf1 probe: 41M prefix matches, ~2.4x cut by the
+# PPJoin filters, ~70-110 s) — that cost is inherent to EXACT
+# low-threshold set joins on such data, and is exactly why the
+# probabilistic LSH twins (q26/q28) are the 100 TB path while this
+# query is the exactness yardstick they are audited against.
 # ---------------------------------------------------------------------------
 
 PFJ_NUM, PFJ_DEN = 6, 10  # jaccard threshold t = 0.6
@@ -541,13 +547,42 @@ def q121_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.floor((PFJ_NUM * F.col("l") + PFJ_DEN - 1) / PFJ_DEN).cast("long")
         + 1
     )
-    pref = ranked.filter(F.col("r") <= plen).select("doc_id", "tok")
-    x = pref.select(F.col("tok").alias("tok"), F.col("doc_id").alias("doc_a"))
-    y = pref.select(F.col("tok").alias("tok"), F.col("doc_id").alias("doc_b"))
+    pref = ranked.filter(F.col("r") <= plen).select("doc_id", "tok", "r", "l")
+    x = pref.select(
+        "tok", F.col("doc_id").alias("doc_a"),
+        F.col("r").alias("ra"), F.col("l").alias("la"),
+    )
+    y = pref.select(
+        "tok", F.col("doc_id").alias("doc_b"),
+        F.col("r").alias("rb"), F.col("l").alias("lb"),
+    )
+    # PPJoin pruning (Xiao et al. 2008) — both are NECESSARY conditions
+    # of jaccard >= t, so the result set is untouched; they run as
+    # integer compares on the matched prefix rows BEFORE the expensive
+    # distinct + array-intersect verify. Without them the prefix join is
+    # corpus-quadratic on a template-heavy corpus: the sf1 probe
+    # measured 41M candidates (137x the sf0.1 count for 10x docs) and
+    # 232 s end-to-end, almost all of it verifying chance pairs.
+    # - length filter: jac <= min(l)/max(l), so require
+    #   DEN*min >= NUM*max;
+    # - positional filter: a match at prefix ranks (ra, rb) bounds the
+    #   overlap by 1 + min(la-ra, lb-rb), which must reach
+    #   alpha = ceil(t/(1+t) * (la+lb)), the overlap jaccard >= t needs.
+    alpha = F.floor(
+        (PFJ_NUM * (F.col("la") + F.col("lb")) + (PFJ_NUM + PFJ_DEN) - 1)
+        / (PFJ_NUM + PFJ_DEN)
+    ).cast("long")
     cand = (
         x.repartition(_par(x), "tok")
         .join(y, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (PFJ_DEN * F.least("la", "lb") >= PFJ_NUM * F.greatest("la", "lb"))
+            & (
+                1 + F.least(F.col("la") - F.col("ra"), F.col("lb") - F.col("rb"))
+                >= alpha
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
