@@ -103,7 +103,13 @@ def streaming_hll(
     def fold(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         new = batch_registers(batch, key_col)
-        latest = latest_state_epoch(spark, state_dir)
+        # strictly-before (the epoch_state.py predecessor-retry rule):
+        # MAX-merge makes re-merging the predecessor equally correct, and
+        # reading this epoch's OWN completed snapshot while overwriting
+        # the same path is an error Spark rejects ("Cannot overwrite a
+        # path that is also being read from") — the one consumer that
+        # omitted `before` was this module.
+        latest = latest_state_epoch(spark, state_dir, before=int(epoch_id))
         if latest is not None:
             merged = merge_registers(
                 spark.read.parquet(f"{state_dir}/epoch={latest}"), new
@@ -115,7 +121,12 @@ def streaming_hll(
         out.coalesce(1).write.mode("overwrite").parquet(
             f"{state_dir}/epoch={epoch_id}"
         )
-        prune_state_epochs(spark, state_dir, keep=int(epoch_id))
+        # keep the predecessor snapshot: a retry of this epoch after a
+        # post-fold checkpoint-commit failure re-reads it
+        prune_state_epochs(
+            spark, state_dir,
+            keep=latest if latest is not None else int(epoch_id),
+        )
         est = estimate(spark, out)
         spark.createDataFrame(
             [(int(epoch_id), float(est))], "epoch long, est_raw double"

@@ -8,6 +8,7 @@ import os
 import time
 
 from kinesyslog_spark.queries.estimators import HLL_M
+from kinesyslog_spark.streaming.epoch_state import latest_state_epoch
 from kinesyslog_spark.streaming.hll import (
     batch_registers,
     estimate,
@@ -90,9 +91,13 @@ def test_streaming_replay(spark, tmp_path):
     finally:
         q.stop()
 
-    # final state == batch twin over all 800 distinct keys
+    # final state == batch twin over all 800 distinct keys. Read via the
+    # latest-complete-epoch protocol: prune now keeps the predecessor
+    # snapshot too (the epoch_state.py retry contract), so reading the
+    # whole directory would union two epochs' registers.
     twin = batch_registers(_keys_df(spark, list(range(800))), "k")
-    state = spark.read.parquet(state_dir)
+    latest = latest_state_epoch(spark, state_dir)
+    state = spark.read.parquet(f"{state_dir}/epoch={latest}")
     assert {
         (r["j"], r["m_j"]) for r in state.collect()
     } == {(r["j"], r["m_j"]) for r in twin.collect()}
