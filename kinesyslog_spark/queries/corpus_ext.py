@@ -192,6 +192,8 @@ def _q96_oracle() -> str:
 
 @query("q96_incremental_neardup", oracle=_q96_oracle())
 def q96_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET, cap_hot_buckets
+
     sh, sigs = hot_shingle_sigs(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -199,6 +201,13 @@ def q96_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsh_band_keys([f"mh{i}" for i in range(MINHASH_K)], LSH_BANDS, LSH_ROWS)
         ).alias("bd"),
     ).select("doc_id", "bd.band_idx", "bd.band_key")
+    # Hot-bucket skew guard (the q26 rule): even in the broadcast-probe
+    # shape a boilerplate band bucket costs |new members| x |old
+    # members| candidates, so buckets over the global cap are dropped —
+    # their members still pair through their other bands. No bucket in
+    # the tested corpora approaches the default cap, so oracle parity
+    # is untouched (same contract as q26-q29).
+    bands = cap_hot_buckets(bands, ["band_idx", "band_key"], LSH_MAX_BUCKET)
     is_new = F.col("doc_id") % NEW_MOD == NEW_REM
     new_b = bands.filter(is_new).select(
         F.col("doc_id").alias("doc_new"), "band_idx", "band_key"

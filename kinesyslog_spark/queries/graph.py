@@ -21,12 +21,15 @@ The oracle unrolls the same 5 iterations as chained CTEs from the same
 expressions, so both engines walk bit-identical intermediate ranks.
 
 Scale notes: each iteration is one shuffle on dst (map-side partial
-sums) plus a broadcast-size join of ranks — ranks and out-weights are
-node-cardinality tables, orders of magnitude smaller than edges. The
-edge table is built once and persisted; at cluster scale it would be
-bucketed by src so every iteration's join is shuffle-free. Per-iteration
-`persist_now` truncates the growing plan the way production iterative
-jobs checkpoint.
+sums) plus a join of ranks — ranks and out-weights are node-cardinality
+tables, orders of magnitude smaller than edges. The rank-frame
+broadcast is COUNT-GATED (`_PR_BROADCAST_MAX_NODES`, the q140 pattern):
+while the node table fits, each iteration broadcasts it; past the cap
+the edge table persists hash-partitioned on src and nodes on node, so
+every iteration's joins reuse that partitioning and exchange only the
+node-sized frames (the local analogue of bucketing both sides by node
+id). Both plan shapes are pinned by
+tests/test_plans.py:test_q72_pagerank_broadcast_gate_both_shapes.
 """
 
 from __future__ import annotations
@@ -41,6 +44,13 @@ from kinesyslog_spark.tables import persist_now
 PR_ITERATIONS = 5
 PR_DAMPING = 0.85
 PR_TOPK = 20
+
+# Rank rows are (long node, decimal(10,9)) ≈ 24 B — this cap keeps the
+# per-executor broadcast build under ~0.5 GiB. Same count-gated pattern
+# as q140's _ADJ_BROADCAST_MAX_EDGES: the hint is driven by a REAL node
+# count (already materialized for the 1/n base rank), not Catalyst's
+# estimate, which demonstrably degrades through the iteration chain.
+_PR_BROADCAST_MAX_NODES = 20_000_000
 
 
 def _q72_oracle() -> str:
@@ -149,10 +159,27 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PR_ITERATIONS rounds joins one table fewer. nw is the same
     # double on both engines (w and tw are doubles cast from exact
     # decimal sums), so rank*nw stays bit-identical to the oracle.
-    en = persist_now(
-        edges.join(outw, edges.src == outw.node)
-        .select("src", "dst", (F.col("w") / F.col("tw")).alias("nw"))
+    en = edges.join(outw, edges.src == outw.node).select(
+        "src", "dst", (F.col("w") / F.col("tw")).alias("nw")
     )
+    # Broadcast the node-sized rank/contribution frames only while the
+    # REAL node count says they fit (over the cap, the hint would OOM
+    # every executor's broadcast build). Past the cap, fall back to
+    # co-partitioned shuffle joins: en persists hash-partitioned on src
+    # and nodes on node, so each iteration exchanges ONLY the node-sized
+    # rank/contribution frames — the edge table's persisted partitioning
+    # is reused and it is never reshuffled (the local analogue of
+    # bucketing both join sides by node id on a cluster).
+    small = n <= _PR_BROADCAST_MAX_NODES
+    if small:
+        en = persist_now(en)
+        hint = F.broadcast
+    else:
+        en = persist_now(en.repartition("src"))
+        nodes = persist_now(nodes.repartition("node"))
+
+        def hint(df: DataFrame) -> DataFrame:
+            return df
 
     base = (1.0 - PR_DAMPING) / n
     # The rank lineage is LINEAR (each r is consumed exactly once by the
@@ -165,17 +192,17 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / n, 9).cast("decimal(10,9)").alias("rank"),
     )
     # Ranks and contributions are NODE-cardinality frames; broadcast
-    # them explicitly — Catalyst's size estimate degrades through the
-    # 5-deep iteration chain, and without the hint the en-side join
-    # fell to SortMergeJoin, range-shuffling the EDGE table once per
-    # iteration (the executed plan showed 5 SortMergeJoins). With the
-    # hint each iteration is: broadcast ranks -> map over persisted
-    # edges -> one dst-keyed exchange for the partial-summed aggregate.
-    # (For graphs whose node table outgrows broadcast, bucket both
-    # sides by node id instead — this graph's nodes are dims-sized.)
+    # them explicitly while small — Catalyst's size estimate degrades
+    # through the 5-deep iteration chain, and without the hint the
+    # en-side join fell to SortMergeJoin, range-shuffling the EDGE table
+    # once per iteration (the executed plan showed 5 SortMergeJoins).
+    # With the hint each iteration is: broadcast ranks -> map over
+    # persisted edges -> one dst-keyed exchange for the partial-summed
+    # aggregate. Over _PR_BROADCAST_MAX_NODES, `hint` is identity and
+    # the co-partitioned persists above carry the joins instead.
     for _ in range(PR_ITERATIONS):
         contrib = (
-            en.join(F.broadcast(r), en.src == r.node)
+            en.join(hint(r), en.src == r.node)
             .select(
                 "dst",
                 F.round(
@@ -186,7 +213,7 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("acc"))
         )
         r = nodes.join(
-            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+            hint(contrib), nodes.node == contrib.dst, "left"
         ).select(
             "node",
             F.round(

@@ -6,12 +6,21 @@ Registered late so the frozen 50-query driver window is untouched
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.cluster import q40_dedup_clusters
+
+
+class CandidateBudgetExceeded(RuntimeError):
+    """An exact similarity join's estimated candidate volume exceeds the
+    configured budget — fail fast (one cheap aggregate) instead of
+    launching an unbounded quadratic join. The message names the
+    scalable probabilistic twin to use instead."""
 
 
 # ---------------------------------------------------------------------------
@@ -467,10 +476,26 @@ def q117_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PPJoin filters, ~70-110 s) — that cost is inherent to EXACT
 # low-threshold set joins on such data, and is exactly why the
 # probabilistic LSH twins (q26/q28) are the 100 TB path while this
-# query is the exactness yardstick they are audited against.
+# query is the exactness yardstick they are audited against. The
+# PFJ_MAX_CANDIDATES guardrail makes that limit OPERATIONAL: the
+# candidate volume is estimated exactly from prefix-token frequencies
+# (one aggregate) and an over-budget corpus fails fast with the LSH
+# alternative named, instead of launching the unbounded join.
 # ---------------------------------------------------------------------------
 
 PFJ_NUM, PFJ_DEN = 6, 10  # jaccard threshold t = 0.6
+
+# Candidate-budget guardrail: before the prefix self-join runs, its
+# candidate volume is estimated EXACTLY (sum over prefix tokens of
+# C(df_prefix, 2) — one cheap aggregate over the prefix rows, an upper
+# bound on prefix matches before the PPJoin filters). Over budget, the
+# query raises CandidateBudgetExceeded naming the LSH twins instead of
+# launching an unbounded quadratic join — an exactness yardstick should
+# fail fast on a corpus it was never meant for. The default admits the
+# sf1 probe (~41M) and rejects the next decade (~4B). 0/unset disables.
+PFJ_MAX_CANDIDATES: int | None = (
+    int(os.environ.get("SPARK_GRAFT_PFJ_MAX_CANDIDATES", "200000000")) or None
+)
 
 
 def _q121_oracle() -> str:
@@ -547,7 +572,25 @@ def q121_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.floor((PFJ_NUM * F.col("l") + PFJ_DEN - 1) / PFJ_DEN).cast("long")
         + 1
     )
-    pref = ranked.filter(F.col("r") <= plen).select("doc_id", "tok", "r", "l")
+    pref = persist_now(
+        ranked.filter(F.col("r") <= plen).select("doc_id", "tok", "r", "l")
+    )
+    if PFJ_MAX_CANDIDATES:
+        est = (
+            pref.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("est"))
+            .collect()[0]["est"]
+        )
+        if est is not None and est > PFJ_MAX_CANDIDATES:
+            raise CandidateBudgetExceeded(
+                f"q121 prefix join would generate ~{int(est):,} candidate "
+                f"pairs (budget {PFJ_MAX_CANDIDATES:,}). An EXACT "
+                "jaccard>=0.6 join is inherently superlinear on "
+                "template-saturated corpora — use the probabilistic LSH "
+                "twins (q26_minhash_lsh / q28_ngram_jaccard) at this "
+                "scale, or raise SPARK_GRAFT_PFJ_MAX_CANDIDATES."
+            )
     x = pref.select(
         "tok", F.col("doc_id").alias("doc_a"),
         F.col("r").alias("ra"), F.col("l").alias("la"),

@@ -278,12 +278,13 @@ _Q78_ORACLE = """
                cos=SEMDUP_COS)
 
 
-def _q78_cluster_pairs(pdf):
-    """One cluster: every member pair with quantized cosine >= the
-    threshold — the q38 blocked-GEMM kernel specialized to the
-    SemDeDup shape (bucket = k-means cluster). float64 GEMM pre-filter
-    with margin, exact int64 verify; division + rounding stay
-    engine-side on identical integer operands."""
+def _q78_block_pairs(pdf):
+    """One (cluster, block_a, block_b) task: float64 GEMM pre-filter
+    with margin + exact int64 verify — the q38 block kernel carrying
+    the cluster id. Peak memory is two ~_Q38_BLOCK-row blocks, never a
+    whole cluster (an untiled per-cluster GEMM grows (N/K)^2 with the
+    corpus). Division + rounding stay engine-side on identical integer
+    operands."""
     import numpy as np
     import pandas as pd
 
@@ -297,40 +298,59 @@ def _q78_cluster_pairs(pdf):
         "n2a": pd.Series(dtype="int64"),
         "n2b": pd.Series(dtype="int64"),
     })
-    m = len(pdf)
-    if m < 2:
+    a = pdf[pdf["role"] == "a"]
+    b = pdf[pdf["role"] == "b"]
+    if a.empty or b.empty:
         return empty
-    order = np.argsort(pdf["vec_id"].to_numpy())
-    ids = pdf["vec_id"].to_numpy()[order]
-    q = np.stack(pdf["q"].to_numpy())[order].astype(np.int64)
-    n2 = pdf["n2"].to_numpy()[order]
-    qf = q.astype(np.float64)
-    sims = (qf @ qf.T) / np.outer(
-        np.sqrt(n2.astype(np.float64)), np.sqrt(n2.astype(np.float64))
+    qa = np.stack(a["q"].to_numpy()).astype(np.int64)
+    qb = np.stack(b["q"].to_numpy()).astype(np.int64)
+    ida = a["vec_id"].to_numpy()
+    idb = b["vec_id"].to_numpy()
+    n2a = a["n2"].to_numpy()
+    n2b = b["n2"].to_numpy()
+    sims = (qa.astype(np.float64) @ qb.astype(np.float64).T) / np.outer(
+        np.sqrt(n2a.astype(np.float64)), np.sqrt(n2b.astype(np.float64))
     )
-    ii, jj = np.nonzero(
-        (sims >= SEMDUP_COS - _Q38_MARGIN) & (ids[:, None] < ids[None, :])
-    )
+    mask = sims >= SEMDUP_COS - _Q38_MARGIN
+    if int(pdf["bi"].iat[0]) == int(pdf["bj"].iat[0]):
+        # same-block task: both roles hold the same vectors — keep the
+        # upper triangle only
+        mask &= ida[:, None] < idb[None, :]
+    ii, jj = np.nonzero(mask)
     if not len(ii):
         return empty
-    dots = np.einsum("ij,ij->i", q[ii], q[jj])
+    dots = np.einsum("ij,ij->i", qa[ii], qb[jj])
+    # canonicalize: blocks are hash-assigned, so a cross-block pair can
+    # arrive with either id on either side
+    la, lb = ida[ii], idb[jj]
+    swap = la > lb
+    va = np.where(swap, lb, la)
+    vb = np.where(swap, la, lb)
+    n2va = np.where(swap, n2b[jj], n2a[ii])
+    n2vb = np.where(swap, n2a[ii], n2b[jj])
     cid = int(pdf["cid"].iat[0])
     return pd.DataFrame({
-        "vec_a": ids[ii], "vec_b": ids[jj],
+        "vec_a": va, "vec_b": vb,
         "cluster_id": np.full(len(ii), cid, dtype=np.int32),
-        "dot": dots, "n2a": n2[ii], "n2b": n2[jj],
+        "dot": dots, "n2a": n2va, "n2b": n2vb,
     })
 
 
 @query("q78_semantic_neardup", oracle=_Q78_ORACLE)
 def q78_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SemDeDup verify as a per-cluster GEMM kernel (q38's machinery,
-    # bucket = cluster). The first cut enumerated same-cluster pairs in
-    # a codegen self-join and ran the 64-dim dot as an INTERPRETED
-    # higher-order aggregate per pair — with K=8 clusters that is
-    # ~N^2/16 interpreted dots, a 13x decade blowup at sf1 (17.4 s).
-    # The GEMM kernel does the same exact work at BLAS speed. Sims are
-    # the q38 quantized-integer kind, mirrored in the oracle.
+    # SemDeDup verify as a per-(cluster, block-pair) GEMM kernel (q38's
+    # machinery, bucket = cluster). The first cut enumerated
+    # same-cluster pairs in a codegen self-join and ran the 64-dim dot
+    # as an INTERPRETED higher-order aggregate per pair — with K=8
+    # clusters that is ~N^2/16 interpreted dots, a 13x decade blowup at
+    # sf1 (17.4 s). The second cut ran ONE GEMM per whole cluster,
+    # whose m x m float64 similarity matrix grows (N/K)^2 bytes with
+    # the corpus inside a single task; blocks are hash-assigned within
+    # each cluster (count sized off the LARGEST cluster), so a task now
+    # holds two ~_Q38_BLOCK-row blocks regardless of corpus size. Sims
+    # are the q38 quantized-integer kind, mirrored in the oracle.
+    from kinesyslog_spark.queries.ann import _Q38_BLOCK
+
     a = kmeans_assignments(spark, sf_dir).select("vec_id", "cid")
     base = hot_vectors(spark, sf_dir).select("vec_id", "emb")
     q = F.transform(
@@ -340,10 +360,32 @@ def q78_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
     )
-    tagged = qf.join(a, "vec_id")
-    pairs = tagged.groupBy("cid").applyInPandas(
-        _q78_cluster_pairs,
-        "vec_a long, vec_b long, cluster_id int, dot long, n2a long, n2b long",
+    # K rows from the persisted assignment — a driver-size aggregate
+    max_m = max(
+        (r["m"] for r in a.groupBy("cid").agg(F.count(F.lit(1)).alias("m")).collect()),
+        default=1,
+    )
+    nb = max(1, -(-max_m // _Q38_BLOCK))
+    tagged = qf.join(a, "vec_id").withColumn(
+        "blk", F.pmod(F.hash("vec_id"), F.lit(nb)).cast("int")
+    )
+    # (bi, bj) grid built distributed (bi <= bj) — no O(nb^2) driver list
+    bi = spark.range(nb).select(F.col("id").cast("int").alias("bi"))
+    bj = spark.range(nb).select(F.col("id").cast("int").alias("bj"))
+    pair_list = bi.join(bj, F.col("bi") <= F.col("bj"))
+    a_side = tagged.join(
+        F.broadcast(pair_list), tagged.blk == pair_list.bi
+    ).select("cid", "bi", "bj", F.lit("a").alias("role"), "vec_id", "q", "n2")
+    b_side = tagged.join(
+        F.broadcast(pair_list), tagged.blk == pair_list.bj
+    ).select("cid", "bi", "bj", F.lit("b").alias("role"), "vec_id", "q", "n2")
+    pairs = (
+        a_side.unionAll(b_side)
+        .groupBy("cid", "bi", "bj")
+        .applyInPandas(
+            _q78_block_pairs,
+            "vec_a long, vec_b long, cluster_id int, dot long, n2a long, n2b long",
+        )
     )
     sim = F.round(
         F.col("dot").cast("double")

@@ -171,6 +171,64 @@ def test_q72_pagerank_jvm_side(spark, sf_dir):
     assert f.python_eval_count == 0
 
 
+def test_q72_pagerank_broadcast_gate_both_shapes(spark, sf_dir):
+    # The rank/contribution broadcast hint is count-gated
+    # (_PR_BROADCAST_MAX_NODES): a node table over broadcast size must
+    # NOT be hinted (it would OOM every executor's broadcast build) and
+    # falls back to co-partitioned shuffle joins where the persisted
+    # edge partitioning is reused — only the node-sized frames move per
+    # iteration. Auto-broadcast is disabled here so the executed plans
+    # show exactly the STATIC decision, not AQE's runtime conversion
+    # (which is free to re-broadcast genuinely small frames either way).
+    import kinesyslog_spark.queries.graph as g
+    from kinesyslog_spark.plans.checks import executed_facts
+    from kinesyslog_spark.tables import release_hot
+
+    saved = g._PR_BROADCAST_MAX_NODES
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    aqe_auto = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+
+    def _restore(key: str, val: str | None) -> None:
+        spark.conf.set(key, val) if val is not None else spark.conf.unset(key)
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # persist_now frames from EARLIER tests (built with default
+        # confs) would be CacheManager-substituted into these plans,
+        # leaking their compiled broadcasts into the walk — clear all.
+        spark.catalog.clearCache()
+        release_hot(spark)
+        df_small = QUERIES["q72_pagerank"](spark, sf_dir)
+        got_small = [(r["node"], r["rank"]) for r in df_small.collect()]
+        ef_small = executed_facts(df_small)
+        spark.catalog.clearCache()  # big path must not reuse small-path caches
+        g._PR_BROADCAST_MAX_NODES = 0
+        df_big = QUERIES["q72_pagerank"](spark, sf_dir)
+        got_big = [(r["node"], r["rank"]) for r in df_big.collect()]
+        ef_big = executed_facts(df_big)
+    finally:
+        g._PR_BROADCAST_MAX_NODES = saved
+        _restore("spark.sql.autoBroadcastJoinThreshold", auto)
+        _restore("spark.sql.adaptive.autoBroadcastJoinThreshold", aqe_auto)
+        spark.catalog.clearCache()
+        release_hot(spark)  # drop registry entries whose blocks just vanished
+    assert got_big == got_small, "fallback must be bit-identical"
+    # small: 2 hinted broadcasts per iteration (ranks in, contribs back)
+    assert ef_small.broadcast_any_count >= 2 * g.PR_ITERATIONS
+    # big: zero static broadcasts anywhere...
+    assert ef_big.broadcast_any_count == 0, ef_big.nodes
+    # ...and co-partitioning keeps the shuffle count at-or-below the
+    # broadcast shape's (measured 14 vs 27: per iteration only the dst
+    # aggregate exchanges; the edge table is never reshuffled).
+    assert ef_big.exchange_count <= ef_small.exchange_count, (
+        ef_big.exchange_count,
+        ef_small.exchange_count,
+    )
+
+
 def test_q79_sketch_verify_plan(spark, sf_dir):
     # Pass 1 is the ONLY Python node (the Arrow MG summarizer, map-only);
     # pass 2 broadcasts the bounded candidate set into the token scan —

@@ -183,3 +183,65 @@ def test_containment_join_is_exact(duck, sf_dir):
         WHERE {CNT_DEN} * len(list_intersect(a.ts, b.ts)) >= {CNT_NUM} * a.n
     """).fetchall()))
     assert got == truth
+
+
+def test_lsh_families_route_hot_bucket_cap(spark, sf_dir, monkeypatch):
+    """Registry-wide skew-guard invariant: every bucket self-join family
+    must route its candidate generation through cap_hot_buckets (or its
+    kernel-level mirror). Forcing the cap to 1 makes EVERY >=2-member
+    bucket hot, so a family that honors the cap can emit no pairs at
+    all; a family that forgot the guard keeps emitting and fails here —
+    the next LSH query added to the registry has to wire the cap to
+    pass."""
+    import kinesyslog_spark.queries.dedup as dd
+
+    monkeypatch.setattr(dd, "LSH_MAX_BUCKET", 1)
+    for name in [
+        "q26_minhash_lsh",
+        "q27_simhash_pairs",
+        "q28_ngram_jaccard",
+        "q29_lsh_bucket_nn",
+        "q96_incremental_neardup",
+        "q117_edit_distance_pairs",
+    ]:
+        assert QUERIES[name](spark, sf_dir).count() == 0, (
+            f"{name} emitted candidate pairs with every bucket over the "
+            "hot-bucket cap — its candidate generation bypasses "
+            "cap_hot_buckets"
+        )
+
+
+def test_q124_pair_kernel_respects_cap(monkeypatch):
+    """q124's pair expansion runs inside a Python worker kernel, so the
+    cap check lives there (imagehash._phash_bucket_pairs) rather than in
+    a driver-side cap_hot_buckets call — pin that mirror directly."""
+    import numpy as np
+    import pandas as pd
+
+    import kinesyslog_spark.queries.dedup as dd
+    from kinesyslog_spark.queries.imagehash import _phash_bucket_pairs
+
+    m = 5
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(m, dtype=np.int64),
+        "ba": [np.zeros(8, dtype=np.int64)] * m,  # identical -> hamming 0
+        "j": np.zeros(m, dtype=np.int64),
+        "bv": np.zeros(m, dtype=np.int64),
+    })
+    assert len(_phash_bucket_pairs(pdf)) == m * (m - 1) // 2
+    monkeypatch.setattr(dd, "LSH_MAX_BUCKET", m - 1)  # bucket is now hot
+    assert len(_phash_bucket_pairs(pdf)) == 0
+
+
+def test_q121_candidate_budget_guardrail(spark, sf_dir, monkeypatch):
+    """q121 is the exactness yardstick, inherently superlinear on
+    template-saturated corpora: over the candidate budget it must fail
+    FAST (one aggregate, before the join launches) and name the
+    scalable LSH alternative."""
+    import pytest
+
+    import kinesyslog_spark.queries.resolution as res
+
+    monkeypatch.setattr(res, "PFJ_MAX_CANDIDATES", 1)
+    with pytest.raises(res.CandidateBudgetExceeded, match="q26_minhash_lsh"):
+        QUERIES["q121_prefix_filter_join"](spark, sf_dir)
