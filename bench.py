@@ -6,7 +6,7 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (collect of an already-small result,
 or count for large ones) after a warm-up of the session; per-query time is
 wall clock for plan + execution, reported as the MEDIAN of $BENCH_RUNS
-(default 3) executions — the box shows ±25% run-to-run variance
+(default 5) executions — the box shows ±25% run-to-run variance
 (ROADMAP), so single-shot numbers are not comparable across rounds.
 """
 
@@ -73,7 +73,11 @@ def main() -> None:
                 except Exception:
                     pass  # warm-up is best-effort; the timed run decides
 
-    runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
+    # Medians of 5 (was 3): the box shows ±25% run-to-run variance and
+    # 3-sample medians let a single noisy sample move a query's number
+    # by that much across rounds (q26 bounced 1.14-1.63 s on identical
+    # code); 5 samples make round-over-round regressions attributable.
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "5")))
     bench_all = bool(os.environ.get("BENCH_ALL"))
     times: dict[str, float] = {}
     fresh_times: dict[str, float] = {}

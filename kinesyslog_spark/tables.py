@@ -210,13 +210,15 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     from kinesyslog_spark.queries.ann import _IVF_CACHE
     from kinesyslog_spark.queries.cluster import _CLUSTER_CACHE
     from kinesyslog_spark.queries.dedup import _SIG_CACHE
+    from kinesyslog_spark.queries.imagehash import _PHASH_CACHE
     from kinesyslog_spark.queries.semantic import _CENTROID_CACHE, _KMEANS_CACHE
 
     for key in list(_CENTROID_CACHE):  # plain lists, no unpersist needed
         if key[0] == id(spark) and (sf_dir is None or key[1] == sf_dir.rstrip("/")):
             _CENTROID_CACHE.pop(key)
     n = 0
-    for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE, _CLUSTER_CACHE):
+    for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE,
+                  _CLUSTER_CACHE, _PHASH_CACHE):
         for key in list(cache):
             if key[0] != id(spark):
                 continue

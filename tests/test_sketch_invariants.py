@@ -222,15 +222,36 @@ def test_q124_pair_kernel_respects_cap(monkeypatch):
     from kinesyslog_spark.queries.imagehash import _phash_bucket_pairs
 
     m = 5
-    pdf = pd.DataFrame({
+    pdf = pd.DataFrame({  # one exact (g, b=-1, v) bucket, identical hashes
         "doc_id": np.arange(m, dtype=np.int64),
         "ba": [np.zeros(8, dtype=np.int64)] * m,  # identical -> hamming 0
-        "j": np.zeros(m, dtype=np.int64),
-        "bv": np.zeros(m, dtype=np.int64),
+        "g": np.zeros(m, dtype=np.int64),
+        "b": np.full(m, -1, dtype=np.int64),
+        "v": np.zeros(m, dtype=np.int64),
+        "side": np.zeros(m, dtype=np.int64),
     })
     assert len(_phash_bucket_pairs(pdf)) == m * (m - 1) // 2
     monkeypatch.setattr(dd, "LSH_MAX_BUCKET", m - 1)  # bucket is now hot
     assert len(_phash_bucket_pairs(pdf)) == 0
+    # masked bucket (b >= 0): cross side-0 x side-1 only, capped on
+    # either side
+    monkeypatch.setattr(dd, "LSH_MAX_BUCKET", 10_000)
+    one = np.zeros(8, dtype=np.int64)
+    one_flip = one.copy()
+    one_flip[0] = 1 << 7  # bit 0 of the 64-bit hash -> hamming 1
+    mk = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "ba": [one, one, one_flip, one_flip],
+        "g": np.zeros(4, dtype=np.int64),
+        "b": np.zeros(4, dtype=np.int64),
+        "v": np.zeros(4, dtype=np.int64),
+        "side": np.array([0, 0, 1, 1], dtype=np.int64),
+    })
+    out = _phash_bucket_pairs(mk)
+    assert len(out) == 4  # 2x2 cross, never side-internal pairs
+    assert set(out["hamming"]) == {1}
+    monkeypatch.setattr(dd, "LSH_MAX_BUCKET", 1)
+    assert len(_phash_bucket_pairs(mk)) == 0
 
 
 def test_q121_candidate_budget_guardrail(spark, sf_dir, monkeypatch):
