@@ -384,9 +384,13 @@ def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = max(1, -(-n_vec // _Q38_BLOCK))
     blk = F.pmod(F.hash("vec_id"), F.lit(nb)).cast("int")
     tagged = base.withColumn("blk", blk)
-    pair_list = spark.createDataFrame(
-        [(i, j) for i in range(nb) for j in range(i, nb)], "bi int, bj int"
-    )
+    # (bi, bj) grid built distributed (bi <= bj) — the first cut built
+    # the O(B^2) pair list on the driver, harmless at any SF this query
+    # may legally run at (its docstring forbids corpus scale) but wrong
+    # in shape; spark.range keeps the driver O(1).
+    bi = spark.range(nb).select(F.col("id").cast("int").alias("bi"))
+    bj = spark.range(nb).select(F.col("id").cast("int").alias("bj"))
+    pair_list = bi.join(bj, F.col("bi") <= F.col("bj"))
     a_side = tagged.join(
         F.broadcast(pair_list), tagged.blk == pair_list.bi
     ).select("bi", "bj", F.lit("a").alias("role"), "vec_id", "q", "n2")
