@@ -746,9 +746,32 @@ def q122_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.floor((CNT_NUM * F.col("l") + CNT_DEN - 1) / CNT_DEN).cast("long")
         + 1
     )
-    pref = ranked.filter(F.col("r") <= plen).select(
-        F.col("doc_id").alias("doc_a"), "tok"
+    pref = persist_now(
+        ranked.filter(F.col("r") <= plen).select(
+            F.col("doc_id").alias("doc_a"), "tok"
+        )
     )
+    # The q121 candidate-budget guardrail, adapted to the asymmetric
+    # join: candidates = sum over prefix tokens of pf(tok) * df(tok)
+    # (prefix occurrences x full posting list) — one cheap aggregate,
+    # computed exactly, before the unbounded join can launch.
+    if PFJ_MAX_CANDIDATES:
+        est = (
+            pref.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("pc"))
+            .join(df, "tok")
+            .agg(F.sum(F.col("pc") * F.col("dfreq")).alias("est"))
+            .collect()[0]["est"]
+        )
+        if est is not None and est > PFJ_MAX_CANDIDATES:
+            raise CandidateBudgetExceeded(
+                f"q122 containment join would generate ~{int(est):,} "
+                f"candidate pairs (budget {PFJ_MAX_CANDIDATES:,}). An "
+                "EXACT containment>=0.9 join is candidate-bound on "
+                "template-saturated corpora — use the probabilistic LSH "
+                "twins (q26_minhash_lsh / q28_ngram_jaccard) at this "
+                "scale, or raise SPARK_GRAFT_PFJ_MAX_CANDIDATES."
+            )
     post = toks.select(F.col("doc_id").alias("doc_b"), "tok")
     cand = (
         pref.repartition(_par(pref), "tok")

@@ -266,3 +266,15 @@ def test_q121_candidate_budget_guardrail(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(res, "PFJ_MAX_CANDIDATES", 1)
     with pytest.raises(res.CandidateBudgetExceeded, match="q26_minhash_lsh"):
         QUERIES["q121_prefix_filter_join"](spark, sf_dir)
+
+
+def test_q122_candidate_budget_guardrail(spark, sf_dir, monkeypatch):
+    """q122's asymmetric prefix-vs-posting join gets the same fail-fast
+    budget as q121."""
+    import pytest
+
+    import kinesyslog_spark.queries.resolution as res
+
+    monkeypatch.setattr(res, "PFJ_MAX_CANDIDATES", 1)
+    with pytest.raises(res.CandidateBudgetExceeded, match="q28_ngram_jaccard"):
+        QUERIES["q122_containment_join"](spark, sf_dir)
