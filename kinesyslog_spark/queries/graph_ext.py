@@ -164,10 +164,15 @@ def q140_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_intersect("nbu", "nbv")).alias("z"),
         )
     )
+    # ONE pass over the triangle stream: each (x, y, z) contributes its
+    # three vertices via a single explode feeding the map-side-combined
+    # count. The previous 3-way unionAll of tri.select(x/y/z)
+    # re-executed the whole enumeration subtree per branch (Spark does
+    # not reuse exchanges across union arms — the established lesson),
+    # i.e. 3x the intersect probes and 3x the spill; at sf10 that
+    # tripled a multi-billion-row stage.
     pern = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

@@ -32,6 +32,13 @@ so the driver verifies the WHOLE chain including the PNG roundtrip
 (any codec bug perturbs pixels -> coefficients -> pairs).
 
 Scale posture (100 TB of images):
+- HONEST LIMIT (measured, SCALING_R8.md): any fixed 64-bit hash under
+  an exhaustive hamming join saturates its key space — at 500k
+  correlated images the 4x16-bit multi-index holds 4.2B pair slots
+  (101x the 50k-image count for 10x docs). Past ~10^6 images the scale
+  paths are a LONGER hash (a 256-bit pHash from the 16x16 DCT block
+  scales the key space by 2^192; the same multi-index machinery
+  applies) or the capped/streaming recall-bounded twin (W20).
 - render/phash are map-only Arrow-batched stages (the two intended
   Python stages; everything after is JVM);
 - the only shuffle after hashing is the multi-index groupBy (68 rows
