@@ -90,13 +90,95 @@ PHASH_DCT_T = (
 )
 
 
-def dct_table_sql_values() -> str:
-    """The table above as a SQL VALUES body `(u, x, tv), ...` for
-    embedding in DuckDB oracle CTEs — guaranteed identical numbers."""
+# Rows u = 8..15 of the same fixed-point basis, extending the hash to
+# a 16x16 DCT block (256-bit pHash — the key-space scale path named in
+# SCALING_R8.md). Hardcoded like rows 0..7; derived with a 50-digit
+# Decimal Taylor cosine (no libm, so the rounding is platform-free) and
+# validated by recomputing rows 0..7, which reproduce PHASH_DCT_T
+# exactly (tests/test_png.py pins the consistency).
+PHASH_DCT_T16 = PHASH_DCT_T + (
+    (946, 392, -392, -946, -946, -392, 392, 946,
+     946, 392, -392, -946, -946, -392, 392, 946,
+     946, 392, -392, -946, -946, -392, 392, 946,
+     946, 392, -392, -946, -946, -392, 392, 946),
+    (926, 249, -610, -1023, -688, 150, 878, 964,
+     345, -526, -1013, -759, 50, 822, 993, 438,
+     -438, -993, -822, -50, 759, 1013, 526, -345,
+     -964, -878, -150, 688, 1023, 610, -249, -926),
+    (903, 100, -792, -980, -297, 650, 1019, 483,
+     -483, -1019, -650, 297, 980, 792, -100, -903,
+     -903, -100, 792, 980, 297, -650, -1019, -483,
+     483, 1019, 650, -297, -980, -792, 100, 903),
+    (878, -50, -926, -822, 150, 964, 759, -249,
+     -993, -688, 345, 1013, 610, -438, -1023, -526,
+     526, 1023, 438, -610, -1013, -345, 688, 993,
+     249, -759, -964, -150, 822, 926, 50, -878),
+    (851, -200, -1004, -569, 569, 1004, 200, -851,
+     -851, 200, 1004, 569, -569, -1004, -200, 851,
+     851, -200, -1004, -569, 569, 1004, 200, -851,
+     -851, 200, 1004, 569, -569, -1004, -200, 851),
+    (822, -345, -1023, -249, 878, 759, -438, -1013,
+     -150, 926, 688, -526, -993, -50, 964, 610,
+     -610, -964, 50, 993, 526, -688, -926, 150,
+     1013, 438, -759, -878, 249, 1023, 345, -822),
+    (792, -483, -980, 100, 1019, 297, -903, -650,
+     650, 903, -297, -1019, -100, 980, 483, -792,
+     -792, 483, 980, -100, -1019, -297, 903, 650,
+     -650, -903, 297, 1019, 100, -980, -483, 792),
+    (759, -610, -878, 438, 964, -249, -1013, 50,
+     1023, 150, -993, -345, 926, 526, -822, -688,
+     688, 822, -526, -926, 345, 993, -150, -1023,
+     -50, 1013, 249, -964, -438, 878, 610, -759),
+)
+
+
+def dct_table_sql_values(n_u: int = 8) -> str:
+    """The fixed-point DCT table as a SQL VALUES body `(u, x, tv), ...`
+    for embedding in DuckDB oracle CTEs — guaranteed identical numbers.
+    n_u=8 is the 64-bit pHash block; n_u=16 the 256-bit one."""
+    t = PHASH_DCT_T16 if n_u > 8 else PHASH_DCT_T
     return ", ".join(
-        f"({u}, {x}, {PHASH_DCT_T[u][x]})"
-        for u in range(8) for x in range(32)
+        f"({u}, {x}, {t[u][x]})"
+        for u in range(n_u) for x in range(32)
     )
+
+
+def phash256_blocks(gray32: bytes) -> list[int]:
+    """256-bit perceptual hash of a 32x32 gray raster as 16 16-bit
+    blocks — the 16x16-DCT extension of `phash_blocks` (same
+    fixed-point basis, median over the 255 non-DC coefficients,
+    DC bit forced 0). Pure-Python reference for the vectorized Arrow
+    stage, pinned in tests."""
+    if len(gray32) != 1024:
+        raise ValueError("phash expects a 32x32 gray raster")
+    T = PHASH_DCT_T16
+    rowdct = [
+        [
+            sum(gray32[y * 32 + x] * T[u][x] for x in range(32))
+            for u in range(16)
+        ]
+        for y in range(32)
+    ]
+    coeff = [
+        [
+            sum(rowdct[y][u] * T[v][y] for y in range(32))
+            for v in range(16)
+        ]
+        for u in range(16)
+    ]
+    vals = sorted(
+        coeff[u][v]
+        for u in range(16) for v in range(16) if (u, v) != (0, 0)
+    )
+    med = vals[127]  # 128th smallest of 255 = quantile_disc(0.5)
+    blocks = []
+    for u in range(16):
+        bl = 0
+        for v in range(16):
+            if (u, v) != (0, 0) and coeff[u][v] > med:
+                bl |= 1 << (15 - v)
+        blocks.append(bl)
+    return blocks
 
 
 def encode_png(gray: bytes, width: int, height: int) -> bytes:

@@ -35,10 +35,12 @@ Scale posture (100 TB of images):
 - HONEST LIMIT (measured, SCALING_R8.md): any fixed 64-bit hash under
   an exhaustive hamming join saturates its key space — at 500k
   correlated images the 4x16-bit multi-index holds 4.2B pair slots
-  (101x the 50k-image count for 10x docs). Past ~10^6 images the scale
-  paths are a LONGER hash (a 256-bit pHash from the 16x16 DCT block
-  scales the key space by 2^192; the same multi-index machinery
-  applies) or the capped/streaming recall-bounded twin (W20).
+  (101x the 50k-image count for 10x docs). The "use a longer hash"
+  fix was BUILT and measured (q174, 256-bit): on this DCT family the
+  added bits carry verify precision but almost no blocking entropy
+  (sf1 slots 208M vs 42M — worse), so past ~10^6 images the honest
+  paths are the capped/streaming recall-bounded twin (W20) or a hash
+  family whose added bits are actually independent.
 - render/phash are map-only Arrow-batched stages (the two intended
   Python stages; everything after is JVM);
 - the only shuffle after hashing is the multi-index groupBy (68 rows
@@ -72,6 +74,7 @@ from kinesyslog_spark.queries import query
 from kinesyslog_spark.tables import load_table
 
 HAM_T = 7        # hamming threshold; <= 7 guarantees a shared block
+HAM_T256 = 28    # 256-bit variant: floor(28/16) = 1 -> some 16-bit group <= 1
 SHINGLE_N = 5    # char-gram width feeding the raster
 CELL_GAIN = 16   # intensity per gram occurrence, clamped to 255
 
@@ -237,15 +240,26 @@ _PHASH_GROUPS = 64
 
 
 def _phash_bucket_pairs(pdf):
+    """q124's kernel: 64-bit hashes packed as 8 8-bit block values."""
+    import numpy as np
+
+    return _mih_bucket_pairs(
+        pdf, HAM_T,
+        lambda a: a.astype(np.uint64).view(np.uint8).reshape(len(a), 64),
+    )
+
+
+def _mih_bucket_pairs(pdf, thr, pack):
     """One coarse group = many whole multi-index buckets: emit every
-    candidate pair with hamming <= HAM_T over the full 64-bit hash.
+    candidate pair with hamming <= thr over the full hash (`pack` turns
+    the stacked block-value matrix into the per-doc byte matrix).
     numpy xor + uint8-LUT popcount, row-at-a-time against the member
-    matrix (peak temp is one (m, 64) uint8 slab).
+    matrix (peak temp is one (m, nbytes) uint8 slab).
 
     Two bucket kinds, keyed (g, b, v):
-    - b = -1: EXACT buckets (v = the doc's 16-bit group value) — all
-      member pairs, i.e. group distance 0;
-    - b in 0..15: MASKED buckets (v = group value with bit b cleared,
+    - b = -1: EXACT buckets (v = the doc's group value) — all member
+      pairs, i.e. group distance 0;
+    - b >= 0: MASKED buckets (v = group value with bit b cleared,
       `side` = that bit) — cross pairs side-0 x side-1 only, i.e. group
       distance EXACTLY 1 at bit b, so every distance-1 pair is found
       exactly once and distance-0 pairs never duplicate here (same
@@ -276,12 +290,7 @@ def _phash_bucket_pairs(pdf):
     # vectorized diff; only multi-member buckets enter the Python loop.
     order = np.lexsort((ids, side, v, b, g))
     g, b, v, side, ids = g[order], b[order], v[order], side[order], ids[order]
-    bv8 = (
-        np.stack(pdf["ba"].to_numpy()[order])
-        .astype(np.uint64)
-        .view(np.uint8)
-        .reshape(m, 64)
-    )
+    bv8 = pack(np.stack(pdf["ba"].to_numpy()[order]))
     change = (np.diff(g) != 0) | (np.diff(b) != 0) | (np.diff(v) != 0)
     starts = np.concatenate(([0], np.flatnonzero(change) + 1, [m]))
     lens = np.diff(starts)
@@ -298,7 +307,7 @@ def _phash_bucket_pairs(pdf):
                 h = pop[np.bitwise_xor(bv8[i + 1:e], bv8[i])].sum(
                     axis=1, dtype=np.int64
                 )
-                sel = np.nonzero(h <= HAM_T)[0]
+                sel = np.nonzero(h <= thr)[0]
                 if len(sel):
                     out_a.append(np.full(len(sel), ids[i], dtype=np.int64))
                     out_b.append(ids[i + 1 + sel])
@@ -315,7 +324,7 @@ def _phash_bucket_pairs(pdf):
             h = pop[np.bitwise_xor(bv8[s:k], bv8[i])].sum(
                 axis=1, dtype=np.int64
             )
-            sel = np.nonzero(h <= HAM_T)[0]
+            sel = np.nonzero(h <= thr)[0]
             if len(sel):
                 out_a.append(np.minimum(ids[s:k][sel], ids[i]))
                 out_b.append(np.maximum(ids[s:k][sel], ids[i]))
@@ -442,6 +451,245 @@ def q124_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = keyed.groupBy("gid").applyInPandas(
         _phash_bucket_pairs, "doc_a long, doc_b long, hamming long"
+    )
+    return (
+        pairs.repartition(_par(pairs))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q174 — 256-bit pHash near-dup: the "longer hash" hypothesis, measured
+# ---------------------------------------------------------------------------
+# SCALING_R8.md measured the 64-bit hash's honest limit: an exhaustive
+# hamming join over ANY fixed 64-bit hash saturates its 4x16-bit
+# multi-index key space around 10^6 correlated images (4.2B pair slots
+# at 500k docs). The obvious fix is a longer hash — this query BUILDS
+# it so the hypothesis could be measured instead of asserted: the same
+# raster hashed with the 16x16 block of the same fixed-point DCT
+# (operators/png.py PHASH_DCT_T16, rows 8-15 re-derived independently
+# with a 50-digit Decimal Taylor cosine) gives 256 bits = 16 disjoint
+# 16-bit multi-index groups at hamming <= HAM_T256 = 28
+# (<= 16*(1+1) - 1 = 31 keeps the distance<=1 pigeonhole). RESULT
+# (SCALING_R8.md): the added bits widen the VERIFY margin enormously
+# (cluster pairs hamming ~0-10 vs background ~90+, vs 64 bits' 0-2 vs
+# ~20) but carry almost no BLOCKING entropy on this DCT family — sf1
+# slots measure ~208M under every bit partition tried vs the 64-bit
+# index's 42M. So q124 remains the candidate-generation scale path and
+# this query is the high-precision measurement twin.
+
+PHASH256_SCHEMA = "doc_id long, j int, bv long"
+
+
+def phash256_block_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas 1->16: (doc_id, payload) -> (doc_id, j, bv) 16-bit
+    pHash blocks via the REAL decode path (the phash_block_batches
+    tensor contraction with the 16-row DCT table; bit-identical to the
+    pure-Python phash256_blocks, pinned in tests)."""
+    import numpy as np
+
+    from kinesyslog_spark.operators.png import PHASH_DCT_T16
+
+    T = np.array(PHASH_DCT_T16, dtype=np.int64)  # (16, 32)
+    for pdf in batches:
+        ids, rasters = [], []
+        for d, p in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                w, h, ch, px = decode_png(bytes(p))
+            except DECODE_ERRORS:
+                continue
+            gray = to_gray(px, ch)
+            if (w, h) != (32, 32):
+                gray = box_downscale(gray, w, h, 32, 32)
+            ids.append(d)
+            rasters.append(np.frombuffer(gray, dtype=np.uint8))
+        if not ids:
+            yield pd.DataFrame(columns=["doc_id", "j", "bv"])
+            continue
+        G = np.stack(rasters).astype(np.int64).reshape(-1, 32, 32)
+        R = G @ T.T                                  # (n, 32 y, 16 u)
+        C = np.einsum("vy,nyu->nuv", T, R)           # (n, 16 u, 16 v)
+        flat = C.reshape(-1, 256)
+        nondc = flat[:, 1:]                          # DC is index (0,0)
+        med = np.sort(nondc, axis=1)[:, 127]         # 128th smallest of 255
+        bits = flat > med[:, None]
+        bits[:, 0] = False                           # DC bit forced 0
+        weights = np.array(
+            [1 << (15 - v) for v in range(16)], dtype=np.int64
+        )
+        bv = (bits.reshape(-1, 16, 16) * weights).sum(axis=2)  # (n, 16)
+        yield pd.DataFrame({
+            "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), 16),
+            "j": np.tile(np.arange(16, dtype=np.int32), len(ids)),
+            "bv": bv.reshape(-1),
+        })
+
+
+def hot_phash256_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_id, ba[16]) 256-bit pHash vectors — same
+    artifact economics as hot_phash_vectors; shares _PHASH_CACHE (and
+    release_hot) under a tagged key."""
+    key = (id(spark), sf_dir.rstrip("/"), "256")
+    got = _PHASH_CACHE.get(key)
+    if got is None:
+        from kinesyslog_spark.tables import HOT_LEVEL
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        payloads = docs.mapInPandas(
+            render_png_batches, schema="doc_id long, payload binary"
+        )
+        blocks = payloads.mapInPandas(
+            phash256_block_batches, schema=PHASH256_SCHEMA
+        )
+        got = (
+            blocks.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "bv"))).alias("s"))
+            .select(
+                "doc_id",
+                F.transform("s", lambda st: st["bv"]).alias("ba"),
+            )
+            .persist(HOT_LEVEL)
+        )
+        got.count()
+        _PHASH_CACHE[key] = got
+    return got
+
+
+def _q174_oracle() -> str:
+    n = SHINGLE_N
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, strlen(text) - {n} + 2),
+                      i -> substring(lower(text), i, {n}))) AS g
+        FROM documents WHERE strlen(text) >= {n}
+      ) GROUP BY doc_id, g
+    ), cells AS (
+      SELECT doc_id, cell, LEAST(255, {CELL_GAIN} * SUM(c)) AS gv
+      FROM (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 1024
+                 AS cell,
+               c
+        FROM sh
+      ) GROUP BY doc_id, cell
+    ), dctt AS (
+      SELECT * FROM (VALUES {dct_table_sql_values(16)}) AS t(u, x, tv)
+    ), rd AS (
+      SELECT c.doc_id, c.cell // 32 AS y, t.u, SUM(c.gv * t.tv) AS rv
+      FROM cells c JOIN dctt t ON t.x = c.cell % 32
+      GROUP BY c.doc_id, c.cell // 32, t.u
+    ), co AS (
+      SELECT r.doc_id, r.u, t.u AS v, SUM(r.rv * t.tv) AS cv
+      FROM rd r JOIN dctt t ON t.x = r.y
+      GROUP BY r.doc_id, r.u, t.u
+    ), md AS (
+      SELECT doc_id, quantile_disc(cv, 0.5) AS med
+      FROM co WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id
+    ), bl AS (
+      SELECT co.doc_id, co.u AS j,
+             CAST(SUM(CASE WHEN NOT (co.u = 0 AND co.v = 0)
+                                AND co.cv > md.med
+                           THEN 1 << (15 - co.v) ELSE 0 END) AS BIGINT)
+               AS bv
+      FROM co JOIN md ON md.doc_id = co.doc_id
+      GROUP BY co.doc_id, co.u
+    ), bh AS (
+      -- per-doc 16-value hash list: the all-pairs hamming below brute
+      -- forces the WHOLE join, independently verifying the Spark
+      -- side's multi-index candidate completeness (a first oracle cut
+      -- replicated the multi-index in SQL; its masked-key self-join
+      -- materialized out of DuckDB's memory at sf0.1, and brute force
+      -- is the stronger check anyway — memory is two doc-count list
+      -- tables, the 16-term popcount is vectorized)
+      SELECT doc_id, list(bv ORDER BY j) AS bs FROM bl GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(list_sum(list_transform(range(1, 17),
+                  i -> bit_count(xor(a.bs[i], b.bs[i])))) AS BIGINT)
+               AS hamming
+      FROM bh a JOIN bh b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= {HAM_T256}
+    ORDER BY doc_a, doc_b
+    """
+
+
+def _phash256_bucket_pairs(pdf):
+    """q174's kernel: 256-bit hashes packed as 16 16-bit block values."""
+    import numpy as np
+
+    return _mih_bucket_pairs(
+        pdf, HAM_T256,
+        lambda a: a.astype(np.uint16).view(np.uint8).reshape(len(a), 32),
+    )
+
+
+@query("q174_image_phash256_neardup", oracle=_q174_oracle())
+def q174_image_phash256_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesyslog_spark.queries.dedup import _par
+
+    # 16 groups x 16 bits, interleaved: group g takes bit position
+    # (15-g) of every block j with weight 1 << (15-j).
+    #
+    # MEASURED FINDING (the reason this query exists alongside q124):
+    # on this raster family the extra 192 DCT bits add VERIFY PRECISION
+    # (cluster pairs measure hamming ~0-10 vs background ~90+, a far
+    # wider margin than 64 bits' 0-2 vs ~20) but almost no BLOCKING
+    # entropy — the 16-bit group values stay corpus-correlated whatever
+    # the bit partition (sf1 slots: 208M column-interleaved, 228M
+    # diagonal, 235M per-row vs the 64-bit index's 42M). Longer hashes
+    # scale the key space only when the added bits carry entropy; for
+    # this DCT family they don't, so the 64-bit multi-index (q124)
+    # remains the candidate-generation scale path and this query is the
+    # high-precision measurement twin. Two shapes were measured at sf1:
+    # the skinny-key codegen self-join + join-back verify (94 s — every
+    # slot materializes as a shuffled row) and this in-kernel-verify
+    # shape (27.5 s fresh / 13.1 s warm — slots stay numpy-resident),
+    # confirming the q124 kernel regime still applies at these slot
+    # densities.
+    v = hot_phash256_vectors(spark, sf_dir)
+
+    def _group_val(g: int) -> str:
+        terms = []
+        for j in range(16):
+            terms.append(
+                f"shiftleft(shiftright(ba[{j}], {15 - g}) & 1, {15 - j})"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    gv = F.array(*[F.expr(_group_val(g)) for g in range(16)])
+    keyed = v.withColumn("gv", gv).select(
+        "doc_id",
+        "ba",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, 15), g -> "
+                "  array(named_struct("
+                "    'g', g, 'b', -1, 'v', gv[int(g)], 'side', 0)) || "
+                "  transform(sequence(0, 15), b -> named_struct("
+                "    'g', g, 'b', b,"
+                "    'v', gv[int(g)] & ~shiftleft(1L, b),"
+                "    'side', int(shiftright(gv[int(g)], b) & 1)))"
+                "))"
+            )
+        ).alias("k"),
+    ).select(
+        "doc_id", "ba", F.col("k.g").alias("g"), F.col("k.b").alias("b"),
+        F.col("k.v").alias("v"), F.col("k.side").alias("side"),
+    ).withColumn(
+        "gid", F.pmod(F.hash("g", "b", "v"), F.lit(_PHASH_GROUPS)).cast("int")
+    )
+    pairs = keyed.groupBy("gid").applyInPandas(
+        _phash256_bucket_pairs, "doc_a long, doc_b long, hamming long"
     )
     return (
         pairs.repartition(_par(pairs))

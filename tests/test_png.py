@@ -373,3 +373,95 @@ def test_q124_registry(spark, sf_dir):
     for r in rows:
         assert r.doc_a < r.doc_b
         assert 0 <= r.hamming <= 7
+
+
+def test_phash256_dct_table_matches_independent_recompute():
+    """PHASH_DCT_T16 rows re-derived with a 50-digit Decimal Taylor
+    cosine (no libm) must reproduce every hardcoded value — and its
+    first 8 rows must BE the original PHASH_DCT_T (the 64-bit hash's
+    table is a strict prefix of the 256-bit one)."""
+    from decimal import ROUND_HALF_UP, Decimal, getcontext
+
+    from kinesyslog_spark.operators.png import PHASH_DCT_T, PHASH_DCT_T16
+
+    getcontext().prec = 50
+    pi = Decimal("3.14159265358979323846264338327950288419716939937510")
+
+    def dcos(x):
+        x = x % (2 * pi)
+        s, term, n = Decimal(1), Decimal(1), 0
+        while True:
+            n += 2
+            term *= -x * x / (n * (n - 1))
+            s += term
+            if abs(term) < Decimal("1e-40"):
+                return s
+
+    for u in range(16):
+        for x in range(32):
+            val = Decimal(1024) * dcos(pi * Decimal(2 * x + 1) * u / Decimal(64))
+            want = int(val.quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+            assert PHASH_DCT_T16[u][x] == want, (u, x)
+    assert PHASH_DCT_T16[:8] == PHASH_DCT_T
+
+
+def test_phash256_structure_and_locality():
+    import random
+
+    from kinesyslog_spark.operators.png import phash256_blocks
+
+    assert phash256_blocks(bytes(1024)) == [0] * 16
+    with pytest.raises(ValueError):
+        phash256_blocks(bytes(100))
+    rnd = random.Random(7)
+    base = bytes(rnd.randrange(256) for _ in range(1024))
+    near = bytearray(base)
+    for _ in range(5):
+        near[rnd.randrange(1024)] = rnd.randrange(256)
+    far = bytes(rnd.randrange(256) for _ in range(1024))
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    hb = phash256_blocks(base)
+    assert all(0 <= b <= 0xFFFF for b in hb)
+    assert ham(hb, phash256_blocks(bytes(near))) <= 32
+    assert ham(hb, phash256_blocks(far)) > 32
+
+
+def test_phash256_batch_stage_matches_pure_python():
+    """The vectorized Arrow stage must be bit-identical to the
+    pure-Python reference through the real PNG roundtrip."""
+    import random
+
+    import pandas as pd
+
+    from kinesyslog_spark.operators.png import phash256_blocks
+    from kinesyslog_spark.queries.imagehash import phash256_block_batches
+
+    rnd = random.Random(11)
+    rasters = [
+        bytes(rnd.randrange(256) for _ in range(1024)) for _ in range(4)
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": list(range(4)),
+        "payload": [encode_png(r, 32, 32) for r in rasters],
+    })
+    [out] = list(phash256_block_batches(iter([pdf])))
+    got = {
+        d: [int(r) for _, r in sub.sort_values("j")[["j", "bv"]].itertuples(index=False)]
+        for d, sub in out.groupby("doc_id")
+    }
+    for i, raster in enumerate(rasters):
+        assert got[i] == phash256_blocks(raster), i
+
+
+def test_q174_registry(spark, sf_dir):
+    from kinesyslog_spark.queries import QUERIES
+    from kinesyslog_spark.queries.imagehash import HAM_T256
+
+    rows = QUERIES["q174_image_phash256_neardup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= HAM_T256
