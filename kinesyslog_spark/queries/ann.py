@@ -20,6 +20,8 @@ recall loss vs q21 is the documented LSH/IVF tradeoff.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -286,6 +288,15 @@ _Q38_BLOCK = 2048       # target vectors per GEMM block
 # float64 GEMM error on 64-term 1e12-scale sums is ~1e-13 relative; the
 # margin also covers round-half-up at the 4th decimal (5e-5).
 _Q38_MARGIN = 1e-4
+# Pair-budget guardrail (the q121/q124 fail-fast pattern): the blocked
+# GEMM computes EXACTLY N*(N-1)/2 candidate dots, known from the one
+# count that already materializes the persisted base — no extra job.
+# Over budget the yardstick refuses to launch and names the ANN scale
+# paths. The default admits sf0.1 (20k vectors ~ 200M pairs) and
+# rejects the next decade (200k ~ 20B). 0/unset disables.
+GEMM_MAX_PAIRS: int | None = (
+    int(os.environ.get("SPARK_GRAFT_GEMM_MAX_PAIRS", "1000000000")) or None
+)
 
 
 def _q38_oracle() -> str:
@@ -381,6 +392,21 @@ def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_vec = base.count()  # cached frame: a cheap metadata-ish action
+    if GEMM_MAX_PAIRS and n_vec * (n_vec - 1) // 2 > GEMM_MAX_PAIRS:
+        from kinesyslog_spark.queries.resolution import (
+            CandidateBudgetExceeded,
+        )
+
+        base.unpersist()  # abort path: leave no stale cached blocks
+        raise CandidateBudgetExceeded(
+            f"q38 exact GEMM would compute "
+            f"~{n_vec * (n_vec - 1) // 2:,} pair dots over {n_vec:,} "
+            f"vectors (budget {GEMM_MAX_PAIRS:,}). An exhaustive exact "
+            "cos>=0.4 join is infeasible at corpus scale no matter the "
+            "blocking — use the ANN scale paths (q29_lsh_bucket_nn / "
+            "q35_ann_ivf_topk / q47_ann_recall) or raise "
+            "SPARK_GRAFT_GEMM_MAX_PAIRS."
+        )
     nb = max(1, -(-n_vec // _Q38_BLOCK))
     blk = F.pmod(F.hash("vec_id"), F.lit(nb)).cast("int")
     tagged = base.withColumn("blk", blk)

@@ -45,12 +45,54 @@ PR_ITERATIONS = 5
 PR_DAMPING = 0.85
 PR_TOPK = 20
 
-# Rank rows are (long node, decimal(10,9)) ≈ 24 B — this cap keeps the
-# per-executor broadcast build under ~0.5 GiB. Same count-gated pattern
-# as q140's _ADJ_BROADCAST_MAX_EDGES: the hint is driven by a REAL node
-# count (already materialized for the 1/n base rank), not Catalyst's
+# Rank rows are (long node, decimal(10,9)) ≈ 24 B each in the unrolled
+# broadcast build. A fixed node cap can't protect every deployment: 20M
+# nodes is a ~480 MB build, fine on a 128 GiB local JVM but past the
+# broadcast-timeout/memory-pressure line on a default 1-4 GiB executor.
+# So the EFFECTIVE cap is derived at call time from the session's own
+# executor memory (~10% of it for the build, the planner's classic
+# broadcast headroom), and this module variable is an OVERRIDE: set it
+# to an int (tests pin 0 to force the co-partitioned shape) or leave it
+# None to take the derived value. Same count-gated pattern as q140's
+# _ADJ_BROADCAST_MAX_EDGES: the gate is driven by a REAL node count
+# (already materialized for the 1/n base rank), not Catalyst's
 # estimate, which demonstrably degrades through the iteration chain.
-_PR_BROADCAST_MAX_NODES = 20_000_000
+_PR_BROADCAST_MAX_NODES: int | None = None
+_PR_RANK_ROW_BYTES = 24
+_PR_BROADCAST_MEM_FRACTION = 0.10
+
+
+def _mem_bytes(s: str) -> int:
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    for suf, m in mult.items():
+        if s.endswith(suf + "b"):
+            return int(float(s[:-2]) * m)
+        if s.endswith(suf):
+            return int(float(s[:-1]) * m)
+    return int(float(s))
+
+
+def _pr_broadcast_cap(spark: SparkSession) -> int:
+    """Max node count whose rank frame this session should broadcast.
+
+    Explicit override wins; otherwise ~10% of the configured executor
+    memory (driver memory in local mode, Spark's own 1g default last)
+    divided by the 24 B/row build cost."""
+    if _PR_BROADCAST_MAX_NODES is not None:
+        return _PR_BROADCAST_MAX_NODES
+    mem = "1g"
+    for key in ("spark.executor.memory", "spark.driver.memory"):
+        try:
+            mem = spark.conf.get(key)
+            break
+        except Exception:
+            continue
+    try:
+        budget = _PR_BROADCAST_MEM_FRACTION * _mem_bytes(mem)
+    except ValueError:
+        budget = _PR_BROADCAST_MEM_FRACTION * (1 << 30)
+    return int(budget / _PR_RANK_ROW_BYTES)
 
 
 def _q72_oracle() -> str:
@@ -170,7 +212,7 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank/contribution frames — the edge table's persisted partitioning
     # is reused and it is never reshuffled (the local analogue of
     # bucketing both join sides by node id on a cluster).
-    small = n <= _PR_BROADCAST_MAX_NODES
+    small = n <= _pr_broadcast_cap(spark)
     if small:
         en = persist_now(en)
         hint = F.broadcast

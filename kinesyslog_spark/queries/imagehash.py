@@ -54,6 +54,7 @@ Scale posture (100 TB of images):
 from __future__ import annotations
 
 import hashlib
+import os
 from collections import Counter
 from collections.abc import Iterator
 
@@ -237,6 +238,72 @@ def _q124_oracle() -> str:
 # dispatch; 64 coarse groups amortize it while the intra-group bucket
 # loop runs at pandas-groupby C speed.
 _PHASH_GROUPS = 64
+
+# Slot-budget guardrail (the q121 PFJ_MAX_CANDIDATES pattern, adapted
+# to multi-index hamming): the kernel's comparison count is EXACTLY
+# Σ C(n,2) over exact buckets + Σ m0*m1 over masked buckets — one cheap
+# aggregate over the bucket keys (the hash artifact is memoized, so the
+# estimate pass is a cache re-read; only distinct bucket keys cross the
+# wire thanks to partial aggregation). SCALING_R8.md measured why this
+# must fail FAST instead of slow: any fixed 64-bit hash saturates its
+# key space around 10^6 correlated images (sf10 = 4.2B slots, 101x for
+# 10x docs, and q174 proved longer DCT hashes don't add blocking
+# entropy) — past the budget the honest paths are the recall-bounded
+# streaming twin (W20) or a tighter hot-bucket cap, and the guard names
+# them. The default admits the sf1 probe (41.5M slots 64-bit / 208M
+# 256-bit) and rejects the saturated decade (~4.2B). 0/unset disables.
+PHASH_MAX_SLOTS: int | None = (
+    int(os.environ.get("SPARK_GRAFT_PHASH_MAX_SLOTS", "500000000")) or None
+)
+
+
+def _mih_slot_budget_check(name: str, keys: DataFrame) -> None:
+    """Fail fast if the multi-index kernel would admit more pair slots
+    than PHASH_MAX_SLOTS.
+
+    `keys` is the exploded (g, b, v, side) bucket-key frame. The
+    estimate mirrors the kernel bit-for-bit: per (g, b, v) bucket,
+    exact buckets (b = -1) contribute C(n, 2) comparisons and masked
+    buckets m0*m1 cross comparisons, and buckets the kernel's
+    hot-bucket cap skips are excluded — so the admitted number IS the
+    kernel's comparison count, not an upper bound."""
+    if not PHASH_MAX_SLOTS:
+        return
+    from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET
+    from kinesyslog_spark.queries.resolution import CandidateBudgetExceeded
+
+    m1 = F.col("s1")
+    m0 = F.col("n") - m1
+    exact = F.col("b") == -1
+    slots = F.when(
+        exact, (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+    ).otherwise((m0 * m1).cast("double"))
+    skipped = (
+        F.when(exact, F.col("n") > F.lit(LSH_MAX_BUCKET))
+        .otherwise(F.greatest(m0, m1) > F.lit(LSH_MAX_BUCKET))
+        if LSH_MAX_BUCKET
+        else F.lit(False)
+    )
+    row = (
+        keys.groupBy("g", "b", "v")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("side").alias("s1"))
+        .agg(
+            F.sum(F.when(~skipped, slots).otherwise(F.lit(0.0))).alias("adm"),
+            F.sum(F.when(skipped, slots).otherwise(F.lit(0.0))).alias("cap"),
+        )
+        .collect()[0]
+    )
+    adm = int(row["adm"] or 0)
+    if adm > PHASH_MAX_SLOTS:
+        raise CandidateBudgetExceeded(
+            f"{name} multi-index join would admit ~{adm:,} pair slots "
+            f"(budget {PHASH_MAX_SLOTS:,}; a further ~{int(row['cap'] or 0):,} "
+            "already excluded by the hot-bucket cap). A fixed-width "
+            "perceptual hash saturates its key space on ~10^6 correlated "
+            "images (SCALING_R8.md) — at this scale use the recall-bounded "
+            "streaming twin (W20 continuous image near-dup), lower "
+            "SPARK_GRAFT_LSH_MAX_BUCKET, or raise SPARK_GRAFT_PHASH_MAX_SLOTS."
+        )
 
 
 def _phash_bucket_pairs(pdf):
@@ -448,6 +515,9 @@ def q124_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k.v").alias("v"), F.col("k.side").alias("side"),
     ).withColumn(
         "gid", F.pmod(F.hash("g", "b", "v"), F.lit(_PHASH_GROUPS)).cast("int")
+    )
+    _mih_slot_budget_check(
+        "q124_image_phash_neardup", keyed.select("g", "b", "v", "side")
     )
     pairs = keyed.groupBy("gid").applyInPandas(
         _phash_bucket_pairs, "doc_a long, doc_b long, hamming long"
@@ -687,6 +757,9 @@ def q174_image_phash256_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k.v").alias("v"), F.col("k.side").alias("side"),
     ).withColumn(
         "gid", F.pmod(F.hash("g", "b", "v"), F.lit(_PHASH_GROUPS)).cast("int")
+    )
+    _mih_slot_budget_check(
+        "q174_image_phash256_neardup", keyed.select("g", "b", "v", "side")
     )
     pairs = keyed.groupBy("gid").applyInPandas(
         _phash256_bucket_pairs, "doc_a long, doc_b long, hamming long"

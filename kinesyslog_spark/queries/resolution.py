@@ -583,6 +583,12 @@ def q121_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]["est"]
         )
         if est is not None and est > PFJ_MAX_CANDIDATES:
+            # The guard aborts the query, so the frames persist_now just
+            # materialized would otherwise linger as stale cached blocks
+            # for the rest of the session (they are per-query, not in
+            # the release_hot registries). Drop them before raising.
+            tk.unpersist()
+            pref.unpersist()
             raise CandidateBudgetExceeded(
                 f"q121 prefix join would generate ~{int(est):,} candidate "
                 f"pairs (budget {PFJ_MAX_CANDIDATES:,}). An EXACT "
@@ -764,6 +770,10 @@ def q122_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]["est"]
         )
         if est is not None and est > PFJ_MAX_CANDIDATES:
+            # Same stale-block hygiene as q121: unpersist what this
+            # aborted query materialized before raising.
+            tk.unpersist()
+            pref.unpersist()
             raise CandidateBudgetExceeded(
                 f"q122 containment join would generate ~{int(est):,} "
                 f"candidate pairs (budget {PFJ_MAX_CANDIDATES:,}). An "

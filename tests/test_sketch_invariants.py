@@ -254,27 +254,127 @@ def test_q124_pair_kernel_respects_cap(monkeypatch):
     assert len(_phash_bucket_pairs(mk)) == 0
 
 
+def _persistent_rdd_ids(spark) -> set:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
 def test_q121_candidate_budget_guardrail(spark, sf_dir, monkeypatch):
     """q121 is the exactness yardstick, inherently superlinear on
     template-saturated corpora: over the candidate budget it must fail
     FAST (one aggregate, before the join launches) and name the
-    scalable LSH alternative."""
+    scalable LSH alternative — and unpersist the frames it already
+    materialized, so the abort leaves no stale cached blocks behind."""
     import pytest
 
     import kinesyslog_spark.queries.resolution as res
+    from kinesyslog_spark.tables import hot_tokens
 
+    hot_tokens(spark, sf_dir)  # session-memoized — cache it OUTSIDE the probe
+    before = _persistent_rdd_ids(spark)
     monkeypatch.setattr(res, "PFJ_MAX_CANDIDATES", 1)
     with pytest.raises(res.CandidateBudgetExceeded, match="q26_minhash_lsh"):
         QUERIES["q121_prefix_filter_join"](spark, sf_dir)
+    leaked = _persistent_rdd_ids(spark) - before
+    assert not leaked, (
+        f"over-budget abort left {len(leaked)} persisted RDDs cached "
+        "(tk/pref must be unpersisted before the raise)"
+    )
 
 
 def test_q122_candidate_budget_guardrail(spark, sf_dir, monkeypatch):
     """q122's asymmetric prefix-vs-posting join gets the same fail-fast
-    budget as q121."""
+    budget (and abort-path unpersist) as q121."""
     import pytest
 
     import kinesyslog_spark.queries.resolution as res
+    from kinesyslog_spark.tables import hot_tokens
 
+    hot_tokens(spark, sf_dir)
+    before = _persistent_rdd_ids(spark)
     monkeypatch.setattr(res, "PFJ_MAX_CANDIDATES", 1)
     with pytest.raises(res.CandidateBudgetExceeded, match="q28_ngram_jaccard"):
         QUERIES["q122_containment_join"](spark, sf_dir)
+    leaked = _persistent_rdd_ids(spark) - before
+    assert not leaked, (
+        f"over-budget abort left {len(leaked)} persisted RDDs cached "
+        "(tk/pref must be unpersisted before the raise)"
+    )
+
+
+def test_mih_slot_budget_arithmetic(spark, monkeypatch):
+    """The slot estimate must equal the kernel's comparison count
+    bit-for-bit: exact buckets C(n,2), masked buckets m0*m1, capped
+    buckets excluded. Pinned on a hand-countable frame."""
+    import pytest
+
+    import kinesyslog_spark.queries.dedup as dd
+    import kinesyslog_spark.queries.imagehash as ih
+    from kinesyslog_spark.queries.resolution import CandidateBudgetExceeded
+
+    # exact bucket (g=0,b=-1,v=7) with 3 members -> C(3,2) = 3 slots;
+    # masked bucket (g=1,b=2,v=5) with sides (2, 1) -> 2*1 = 2 slots;
+    # total 5.
+    rows = (
+        [(0, -1, 7, 0)] * 3
+        + [(1, 2, 5, 0)] * 2
+        + [(1, 2, 5, 1)]
+    )
+    keys = spark.createDataFrame(rows, "g int, b int, v long, side int")
+    monkeypatch.setattr(ih, "PHASH_MAX_SLOTS", 5)
+    ih._mih_slot_budget_check("unit", keys)  # exactly at budget: admitted
+    monkeypatch.setattr(ih, "PHASH_MAX_SLOTS", 4)
+    with pytest.raises(CandidateBudgetExceeded, match="~5 pair slots"):
+        ih._mih_slot_budget_check("unit", keys)
+    # the hot-bucket cap excludes the exact bucket's 3 slots -> 2 admitted
+    monkeypatch.setattr(dd, "LSH_MAX_BUCKET", 2)
+    monkeypatch.setattr(ih, "PHASH_MAX_SLOTS", 2)
+    ih._mih_slot_budget_check("unit", keys)
+    monkeypatch.setattr(ih, "PHASH_MAX_SLOTS", 1)
+    with pytest.raises(CandidateBudgetExceeded, match="~2 pair slots"):
+        ih._mih_slot_budget_check("unit", keys)
+
+
+def test_q124_slot_budget_guardrail(spark, sf_dir, monkeypatch):
+    """Over the slot budget q124 must fail FAST (one aggregate over the
+    memoized hash artifact, before the pair kernel launches) and name
+    the recall-bounded streaming twin."""
+    import pytest
+
+    import kinesyslog_spark.queries.imagehash as ih
+    from kinesyslog_spark.queries.resolution import CandidateBudgetExceeded
+
+    monkeypatch.setattr(ih, "PHASH_MAX_SLOTS", 1)
+    with pytest.raises(CandidateBudgetExceeded, match="W20"):
+        QUERIES["q124_image_phash_neardup"](spark, sf_dir)
+
+
+def test_q174_slot_budget_guardrail(spark, sf_dir, monkeypatch):
+    """q174's 16x16-bit multi-index gets the same fail-fast budget."""
+    import pytest
+
+    import kinesyslog_spark.queries.imagehash as ih
+    from kinesyslog_spark.queries.resolution import CandidateBudgetExceeded
+
+    monkeypatch.setattr(ih, "PHASH_MAX_SLOTS", 1)
+    with pytest.raises(CandidateBudgetExceeded, match="W20"):
+        QUERIES["q174_image_phash256_neardup"](spark, sf_dir)
+
+
+def test_q38_pair_budget_guardrail(spark, sf_dir, monkeypatch):
+    """q38 is the last exactness yardstick: over the GEMM pair budget it
+    must fail fast (the pair count is exact from the already-needed
+    vector count — zero extra jobs), name the ANN scale paths, and
+    unpersist the frame it materialized."""
+    import pytest
+
+    import kinesyslog_spark.queries.ann as ann
+    from kinesyslog_spark.queries.resolution import CandidateBudgetExceeded
+
+    before = _persistent_rdd_ids(spark)
+    monkeypatch.setattr(ann, "GEMM_MAX_PAIRS", 1)
+    with pytest.raises(CandidateBudgetExceeded, match="q35_ann_ivf_topk"):
+        QUERIES["q38_embedding_neardup"](spark, sf_dir)
+    leaked = _persistent_rdd_ids(spark) - before
+    assert not leaked, (
+        f"over-budget abort left {len(leaked)} persisted RDDs cached"
+    )
