@@ -26,6 +26,22 @@ from kinesyslog_spark.session import get_spark  # noqa: E402
 # Headline set: one per operator family (scan/agg/join/window/setop/rollup/
 # string/json/relay-parse/dedup/similarity/text). Every registered query
 # runs if BENCH_ALL=1.
+# Heavy set (BENCH_HEAVY=1): the expensive algorithmic plans the
+# 15-query headline battery doesn't time — without a median-tracked
+# number a regression in one of these is invisible until a scale round.
+# Top-6 of the full-battery cost table (ROADMAP round-8 gates), medians
+# of 3 (each sample is seconds, so 3 bounds the run at ~2-3 min while
+# still discarding one noisy sample). release_hot between queries so
+# each pays its own family builds, matching how the full battery runs.
+HEAVY = [
+    "q72_pagerank",
+    "q140_triangle_count",
+    "q40_dedup_clusters",
+    "q166_power_iteration_pc",
+    "q121_prefix_filter_join",
+    "q124_image_phash_neardup",
+]
+
 HEADLINE = [
     "q01_scan_filter",
     "q02_pricing_summary",
@@ -49,9 +65,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
-    names = list(QUERIES) if os.environ.get("BENCH_ALL") else [
-        n for n in HEADLINE if n in QUERIES
-    ]
+    bench_heavy = bool(os.environ.get("BENCH_HEAVY"))
+    if os.environ.get("BENCH_ALL"):
+        names = list(QUERIES)
+    elif bench_heavy:
+        names = [n for n in HEAVY if n in QUERIES]
+    else:
+        names = [n for n in HEADLINE if n in QUERIES]
 
     # Warm up JVM/codegen and the parquet reader stack once (class loading
     # + footer-reading code paths, NOT the benchmark tables' data) so q01
@@ -77,14 +97,16 @@ def main() -> None:
     # 3-sample medians let a single noisy sample move a query's number
     # by that much across rounds (q26 bounced 1.14-1.63 s on identical
     # code); 5 samples make round-over-round regressions attributable.
-    runs = max(1, int(os.environ.get("BENCH_RUNS", "5")))
+    runs = max(1, int(os.environ.get(
+        "BENCH_RUNS", "3" if bench_heavy else "5"
+    )))
     bench_all = bool(os.environ.get("BENCH_ALL"))
     times: dict[str, float] = {}
     fresh_times: dict[str, float] = {}
     prev_module: str | None = None
     for name in names:
         fn = QUERIES[name]
-        if bench_all and prev_module not in (None, fn.__module__):
+        if (bench_all or bench_heavy) and prev_module not in (None, fn.__module__):
             # Full-registry sweeps accumulate persisted blocks (hot
             # tables/tokens/vectors/centroids) across query families;
             # the block-manager pressure measured a 4x slowdown on q40.
@@ -119,7 +141,8 @@ def main() -> None:
     # (measured ~2.7x faster than same-session sequential at sf0.1).
     # Does not change the "value" metric's semantics.
     concurrent_sec = None
-    if not bench_all and os.environ.get("BENCH_CONCURRENT", "1") != "0":
+    if (not bench_all and not bench_heavy
+            and os.environ.get("BENCH_CONCURRENT", "1") != "0"):
         import threading
 
         def _run(q):
@@ -134,7 +157,8 @@ def main() -> None:
         concurrent_sec = round(time.perf_counter() - t0, 3)
 
     out = {
-        "metric": "headline_query_total",
+        "metric": "heavy_query_total" if bench_heavy
+        else "headline_query_total",
         "value": total,
         "unit": "sec",
         "queries": times,

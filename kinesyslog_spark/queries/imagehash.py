@@ -72,7 +72,7 @@ from kinesyslog_spark.operators.png import (
     to_gray,
 )
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import load_table
+from kinesyslog_spark.tables import load_table, persist_now
 
 HAM_T = 7        # hamming threshold; <= 7 guarantees a shared block
 HAM_T256 = 28    # 256-bit variant: floor(28/16) = 1 -> some 16-bit group <= 1
@@ -455,31 +455,12 @@ def hot_phash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got
 
 
-@query("q124_image_phash_neardup", oracle=_q124_oracle())
-def q124_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET, _par
-
-    # Per-doc 8-long hash vector, carried INTO the buckets so hamming is
-    # computed during pair expansion with no verify join.
-    #
-    # Candidate generation is MULTI-INDEX HAMMING (Norouzi et al. 2012):
-    # the 64-bit hash splits into 4 disjoint 16-bit groups; hamming <= 7
-    # forces SOME group to distance floor(7/4) = 1, so candidates are
-    # pairs at group distance 0 (same 16-bit exact bucket) or exactly 1
-    # (same bit-b-masked bucket, opposite bit values) — complete at the
-    # threshold by pigeonhole, like the 8x8-bit scheme it replaces. The
-    # 8-bit scheme's value space was only 256 buckets per block, so
-    # bucket OCCUPANCY grew linearly with the corpus and pair slots
-    # quadratically even for uncorrelated hashes (sf1: 309M pair slots,
-    # max bucket ~7k members). Group bits are INTERLEAVED across the 8
-    # DCT blocks (group g takes bit positions g, g+4, ..., g+60): the
-    # corpus's high-frequency blocks correlate heavily, and mixing two
-    # bits of every block into each group spreads the 16-bit values
-    # (sf1: 41.5M slots interleaved vs 57.9M contiguous vs 309M for the
-    # old scheme — a 7.4x slot cut). Emission is 68 linear rows per doc
-    # (4 exact + 64 masked), each carrying the 8-long hash vector; the
-    # hot-bucket cap still bounds adversarial value skew.
-    v = hot_phash_vectors(spark, sf_dir)
+def _mih64_tail(spark: SparkSession, v: DataFrame, name: str) -> DataFrame:
+    """The 4x16-bit multi-index hamming join over a (doc_id, ba[8])
+    hash frame — shared by q124 (DCT pHash) and q175 (rank-centered
+    projection hash): group values, exact + masked bucket keys, the
+    slot-budget fail-fast, and the lexsort-run pair kernel."""
+    from kinesyslog_spark.queries.dedup import _par
 
     def _group_val(g: int) -> str:
         # 16-bit interleaved group value as a flat codegen sum: bit k of
@@ -516,9 +497,7 @@ def q124_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "gid", F.pmod(F.hash("g", "b", "v"), F.lit(_PHASH_GROUPS)).cast("int")
     )
-    _mih_slot_budget_check(
-        "q124_image_phash_neardup", keyed.select("g", "b", "v", "side")
-    )
+    _mih_slot_budget_check(name, keyed.select("g", "b", "v", "side"))
     pairs = keyed.groupBy("gid").applyInPandas(
         _phash_bucket_pairs, "doc_a long, doc_b long, hamming long"
     )
@@ -527,6 +506,32 @@ def q124_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("q124_image_phash_neardup", oracle=_q124_oracle())
+def q124_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-doc 8-long hash vector, carried INTO the buckets so hamming is
+    # computed during pair expansion with no verify join.
+    #
+    # Candidate generation is MULTI-INDEX HAMMING (Norouzi et al. 2012):
+    # the 64-bit hash splits into 4 disjoint 16-bit groups; hamming <= 7
+    # forces SOME group to distance floor(7/4) = 1, so candidates are
+    # pairs at group distance 0 (same 16-bit exact bucket) or exactly 1
+    # (same bit-b-masked bucket, opposite bit values) — complete at the
+    # threshold by pigeonhole, like the 8x8-bit scheme it replaces. The
+    # 8-bit scheme's value space was only 256 buckets per block, so
+    # bucket OCCUPANCY grew linearly with the corpus and pair slots
+    # quadratically even for uncorrelated hashes (sf1: 309M pair slots,
+    # max bucket ~7k members). Group bits are INTERLEAVED across the 8
+    # DCT blocks (group g takes bit positions g, g+4, ..., g+60): the
+    # corpus's high-frequency blocks correlate heavily, and mixing two
+    # bits of every block into each group spreads the 16-bit values
+    # (sf1: 41.5M slots interleaved vs 57.9M contiguous vs 309M for the
+    # old scheme — a 7.4x slot cut). Emission is 68 linear rows per doc
+    # (4 exact + 64 masked), each carrying the 8-long hash vector; the
+    # hot-bucket cap still bounds adversarial value skew.
+    v = hot_phash_vectors(spark, sf_dir)
+    return _mih64_tail(spark, v, "q124_image_phash_neardup")
 
 
 # ---------------------------------------------------------------------------
@@ -769,3 +774,304 @@ def q174_image_phash256_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q175 — rank-centered random-projection image hash: the independent-bit
+# blocking family q124's saturation analysis called for
+# ---------------------------------------------------------------------------
+# SCALING_R8.md measured the 64-bit DCT pHash saturating its multi-index
+# key space (~10^6 correlated images -> 4.2B pair slots) and q174 proved
+# the obvious fix wrong: more DCT rows add verify precision but NO
+# blocking entropy, because the added bits inherit the same corpus
+# correlation. This query builds the measured alternative — bits that
+# are independent BY CONSTRUCTION:
+#   1. the full 256-coefficient 16x16 DCT vector per image (exact
+#      integers, the q174 artifact before binarization);
+#   2. each coefficient replaced by its CENTERED CORPUS RANK
+#      2*rank - (n+1) (min-rank over the corpus, exact integers) —
+#      without this, the handful of huge low-frequency coefficients
+#      dominate every projection and background pairs stay correlated
+#      (measured at sf0.01: raw projections put 2,029 of 124,750
+#      background pairs under hamming 7; rank-centered puts 26, which
+#      is the planted cluster-pair count);
+#   3. 64 random +-1 projections (sign(p,i) from md5("q175:p:i"), so
+#      DuckDB replays them bit-exactly) over the centered ranks;
+#   4. each projection binarized at its own corpus MEDIAN (exact
+#      lower-median, quantile_disc semantics) — every bit is 50/50
+#      balanced by construction;
+#   5. the same 4x16-bit multi-index join as q124 (shared tail, shared
+#      kernel, shared slot budget) at hamming <= HAM_T.
+#
+# Separation (sf0.01, vs q124's pair set): cluster pairs measure
+# hamming 0-6 (one weak pair at 22 — it sits at the 64-bit pHash
+# threshold boundary too), background median 32 (the theoretical ideal
+# for independent bits). Blocking entropy: exact-bucket slots 69 vs the
+# DCT hash's 3,097 at the same sf.
+#
+# Scale: the rank transform is the one extra shuffle family vs q124 —
+# a per-coefficient histogram aggregate (groupBy (i, cv), map-side
+# combined), a window over the HISTOGRAM (not the corpus; distinct
+# values per coefficient << rows), and a join back on (i, cv). All
+# linear in corpus size and partition-parallel over 256 coefficients.
+# Medians come from the same histogram machinery (64 values to the
+# driver). Everything downstream is the q124 tail, budget-guarded.
+
+HAM_T175 = HAM_T          # same radius; the hash family is the variable
+_PROJ_BITS = 64
+_PROJ_DIM = 256
+_PROJ_SEED = "q175"
+
+_PROJ_MATRIX = None
+
+
+def _proj_matrix():
+    """(64, 256) +-1 int64 matrix, sign(p,i) = 1 - 2*(first md5 nibble
+    of "q175:p:i" mod 2) — derived, never shipped, so any worker and
+    the DuckDB oracle rebuild it identically."""
+    global _PROJ_MATRIX
+    if _PROJ_MATRIX is None:
+        import numpy as np
+
+        m = np.empty((_PROJ_BITS, _PROJ_DIM), dtype=np.int64)
+        for p in range(_PROJ_BITS):
+            for i in range(_PROJ_DIM):
+                h = hashlib.md5(
+                    f"{_PROJ_SEED}:{p}:{i}".encode("utf-8")
+                ).hexdigest()
+                m[p, i] = 1 - 2 * (int(h[0], 16) % 2)
+        _PROJ_MATRIX = m
+    return _PROJ_MATRIX
+
+
+COEFF_SCHEMA = "doc_id long, cv array<long>"
+
+
+def dct_coeff_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas 1->1: (doc_id, payload) -> (doc_id, cv[256]) exact
+    integer 16x16 DCT coefficients via the REAL PNG decode path (the
+    phash256_block_batches tensor contraction, stopped before
+    binarization)."""
+    import numpy as np
+
+    from kinesyslog_spark.operators.png import PHASH_DCT_T16
+
+    T = np.array(PHASH_DCT_T16, dtype=np.int64)  # (16, 32)
+    for pdf in batches:
+        ids, rasters = [], []
+        for d, p in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                w, h, ch, px = decode_png(bytes(p))
+            except DECODE_ERRORS:
+                continue
+            gray = to_gray(px, ch)
+            if (w, h) != (32, 32):
+                gray = box_downscale(gray, w, h, 32, 32)
+            ids.append(d)
+            rasters.append(np.frombuffer(gray, dtype=np.uint8))
+        if not ids:
+            yield pd.DataFrame({"doc_id": [], "cv": []})
+            continue
+        G = np.stack(rasters).astype(np.int64).reshape(-1, 32, 32)
+        R = G @ T.T                                  # (n, 32 y, 16 u)
+        C = np.einsum("vy,nyu->nuv", T, R)           # (n, 16 u, 16 v)
+        flat = C.reshape(-1, 256)
+        yield pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "cv": list(flat),
+        })
+
+
+def hot_dct_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_id, cv[256]) exact DCT coefficient vectors
+    (shares _PHASH_CACHE / release_hot under a tagged key)."""
+    key = (id(spark), sf_dir.rstrip("/"), "coef")
+    got = _PHASH_CACHE.get(key)
+    if got is None:
+        from kinesyslog_spark.tables import HOT_LEVEL
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        payloads = docs.mapInPandas(
+            render_png_batches, schema="doc_id long, payload binary"
+        )
+        got = payloads.mapInPandas(
+            dct_coeff_batches, schema=COEFF_SCHEMA
+        ).persist(HOT_LEVEL)
+        got.count()
+        _PHASH_CACHE[key] = got
+    return got
+
+
+PROJ_SCHEMA = "doc_id long, pj array<long>"
+
+
+def _proj_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas 1->1: (doc_id, cr[256] centered ranks) ->
+    (doc_id, pj[64]) exact integer projections cr @ P.T (|cr| <= n and
+    256 terms, so |pj| <= 256n — int64-safe at any conceivable corpus).
+    """
+    import numpy as np
+
+    P = _proj_matrix()
+    for pdf in batches:
+        if not len(pdf):
+            yield pd.DataFrame({"doc_id": [], "pj": []})
+            continue
+        cr = np.stack(pdf["cr"].to_numpy()).astype(np.int64)
+        pj = cr @ P.T
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+            "pj": list(pj),
+        })
+
+
+def _q175_oracle() -> str:
+    n = SHINGLE_N
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, strlen(text) - {n} + 2),
+                      i -> substring(lower(text), i, {n}))) AS g
+        FROM documents WHERE strlen(text) >= {n}
+      ) GROUP BY doc_id, g
+    ), cells AS (
+      SELECT doc_id, cell, LEAST(255, {CELL_GAIN} * SUM(c)) AS gv
+      FROM (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 1024
+                 AS cell,
+               c
+        FROM sh
+      ) GROUP BY doc_id, cell
+    ), dctt AS (
+      SELECT * FROM (VALUES {dct_table_sql_values(16)}) AS t(u, x, tv)
+    ), rd AS (
+      SELECT c.doc_id, c.cell // 32 AS y, t.u, SUM(c.gv * t.tv) AS rv
+      FROM cells c JOIN dctt t ON t.x = c.cell % 32
+      GROUP BY c.doc_id, c.cell // 32, t.u
+    ), co AS MATERIALIZED (
+      SELECT r.doc_id, r.u, t.u AS v, SUM(r.rv * t.tv) AS cv
+      FROM rd r JOIN dctt t ON t.x = r.y
+      GROUP BY r.doc_id, r.u, t.u
+    ), nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM co),
+    rk AS (
+      -- centered corpus min-rank per coefficient: 2*rank - (n+1)
+      SELECT doc_id, u * 16 + v AS i,
+             2 * RANK() OVER (PARTITION BY u, v ORDER BY cv)
+               - (SELECT n FROM nn) - 1 AS cr
+      FROM co
+    ), sgn AS MATERIALIZED (
+      SELECT p.range AS p, i.range AS i,
+             1 - 2 * (CAST('0x' || substring(
+                 md5('{_PROJ_SEED}:' || p.range || ':' || i.range), 1, 1)
+                 AS INT) % 2) AS s
+      FROM range(0, {_PROJ_BITS}) p, range(0, {_PROJ_DIM}) i
+    ), pr AS MATERIALIZED (
+      SELECT r.doc_id, g.p, SUM(g.s * r.cr) AS pv
+      FROM rk r JOIN sgn g ON g.i = r.i
+      GROUP BY r.doc_id, g.p
+    ), med AS (
+      SELECT p, quantile_disc(pv, 0.5) AS m FROM pr GROUP BY p
+    ), bl AS (
+      SELECT pr.doc_id, pr.p // 8 AS j,
+             CAST(SUM(CASE WHEN pr.pv > med.m
+                           THEN 1 << (7 - (pr.p % 8)) ELSE 0 END)
+                  AS BIGINT) AS bv
+      FROM pr JOIN med ON med.p = pr.p
+      GROUP BY pr.doc_id, pr.p // 8
+    ), bh AS (
+      -- brute-force all-pairs hamming, like q174's oracle: independently
+      -- verifies the Spark side's multi-index candidate completeness
+      SELECT doc_id, list(bv ORDER BY j) AS bs FROM bl GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(list_sum(list_transform(range(1, 9),
+                  i -> bit_count(xor(a.bs[i], b.bs[i])))) AS BIGINT)
+               AS hamming
+      FROM bh a JOIN bh b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= {HAM_T175}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q175_image_projhash_neardup", oracle=_q175_oracle())
+def q175_image_projhash_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    coeffs = hot_dct_coeffs(spark, sf_dir)
+    n_docs = coeffs.count()  # cached frame: cheap action
+    # centered corpus rank per coefficient, histogram-shaped so no
+    # corpus-sized window runs: the window walks the (i, cv) HISTOGRAM
+    # (map-side-combined counts; distinct values per coefficient are a
+    # small fraction of rows), and ranks join back on (i, cv).
+    flat = coeffs.select(
+        "doc_id", F.posexplode("cv").alias("i", "c")
+    )
+    hist = flat.groupBy("i", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        W.partitionBy("i").orderBy("c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranks = hist.withColumn(
+        "cum", F.sum("cnt").over(wcum)
+    ).select(
+        "i", "c",
+        # min-rank = strictly-smaller count + 1; centered = 2*rank-(n+1)
+        (2 * (F.col("cum") - F.col("cnt") + 1) - F.lit(n_docs + 1))
+        .alias("cr"),
+    )
+    centered = (
+        flat.join(ranks, ["i", "c"])
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cr"))),
+                lambda st: st["cr"],
+            ).alias("cr")
+        )
+    )
+    proj = persist_now(
+        centered.mapInPandas(_proj_batches, schema=PROJ_SCHEMA)
+    )
+    # exact per-projection lower median (quantile_disc semantics: the
+    # value at ascending rank ceil(n/2)) from the projection histogram;
+    # 64 rows to the driver.
+    k = (n_docs + 1) // 2
+    pflat = proj.select(F.posexplode("pj").alias("p", "v"))
+    phist = pflat.groupBy("p", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    pcum = (
+        W.partitionBy("p").orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    med_rows = (
+        phist.withColumn("cum", F.sum("cnt").over(pcum))
+        .filter(F.col("cum") >= k)
+        .groupBy("p")
+        .agg(F.min("v").alias("m"))
+        .collect()
+    )
+    med = {r["p"]: r["m"] for r in med_rows}
+    blocks = [
+        sum(
+            (
+                F.when(F.col("pj")[8 * j + b] > F.lit(med[8 * j + b]), 1)
+                .otherwise(0)
+                * (1 << (7 - b))
+                for b in range(8)
+            ),
+            F.lit(0),
+        ).cast("long")
+        for j in range(8)
+    ]
+    v = proj.select("doc_id", F.array(*blocks).alias("ba"))
+    return _mih64_tail(spark, v, "q175_image_projhash_neardup")
