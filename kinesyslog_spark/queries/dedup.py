@@ -91,8 +91,25 @@ LEN_BAND = 25
 # occupies. Same asymptotics caveat as all fixed-(b,r) LSH: rows must
 # grow ~log N to keep chance candidates subquadratic forever; the
 # hot-bucket cap below bounds the damage per bucket either way.
+#
+# ROWS IS THE SCALE DIAL (SCALING_R9 decomposition): at fixed rows the
+# per-pair chance collision rate is constant, so chance candidates are
+# Theta(N^2) — measured sf1 -> sf10: verified pairs grew 10.2x (linear,
+# planted-dup-bound) while REJECTED chance candidates grew 100x
+# (39.5k -> 3.95M, 99.3% of the verify work at 500k docs), refuting the
+# round-8 "output-bound" attribution. The fix is the documented
+# rows ~ log N schedule, operational via SPARK_GRAFT_NGRAM_ROWS:
+# rows=4 measured at sf10 cuts rejected 21.7x (3.95M -> 182k) and
+# slots 12.6x while keeping 99.1% of verified output (26,699 ->
+# 26,450; the lost pairs sit at the j=0.5 band edge where the rows=4
+# collision curve is 0.40 — the standard LSH trade, now measured).
+# Default stays 3 (exactly right through ~10^5 docs and what the
+# pinned recall-floor tests certify); deployments at the 10^6-doc
+# decade set 4. Both engines read this constant at oracle-registration
+# time, so the dial keeps Spark and DuckDB in lockstep (verified:
+# rows=4 oracle-green at sf0.01).
 NGRAM_BANDS = 8
-NGRAM_ROWS = 3
+NGRAM_ROWS = int(os.environ.get("SPARK_GRAFT_NGRAM_ROWS", "3"))
 # Blocking shingles are LONGER than the verify shingles: the verify
 # measure stays char-5-gram jaccard (the declared q28 semantic), but
 # 5-grams are template-saturated on this corpus — random same-length
