@@ -32,15 +32,21 @@ so the driver verifies the WHOLE chain including the PNG roundtrip
 (any codec bug perturbs pixels -> coefficients -> pairs).
 
 Scale posture (100 TB of images):
-- HONEST LIMIT (measured, SCALING_R8.md): any fixed 64-bit hash under
-  an exhaustive hamming join saturates its key space — at 500k
-  correlated images the 4x16-bit multi-index holds 4.2B pair slots
-  (101x the 50k-image count for 10x docs). The "use a longer hash"
-  fix was BUILT and measured (q174, 256-bit): on this DCT family the
-  added bits carry verify precision but almost no blocking entropy
-  (sf1 slots 208M vs 42M — worse), so past ~10^6 images the honest
-  paths are the capped/streaming recall-bounded twin (W20) or a hash
-  family whose added bits are actually independent.
+- HONEST LIMIT (measured, SCALING_R8.md), now OPERATIONAL
+  (PHASH_MAX_SLOTS, SCALING_R9.md): any fixed 64-bit hash under an
+  exhaustive hamming join saturates its key space — at 500k correlated
+  images the 4x16-bit multi-index holds 4.2B pair slots (101x the
+  50k-image count for 10x docs), and the slot-budget guard fails fast
+  at that scale (64.8 s) instead of launching the kernel. The "use a
+  longer hash" fix was BUILT and refuted (q174, 256-bit: verify
+  precision, no blocking entropy — sf1 slots 208M vs 42M). The hash
+  family whose added bits ARE independent was then built and measured
+  (q175, rank-centered random projections): ~3x the uncorrelated slot
+  floor at BOTH probed decades (4.2M at sf1 / 423M at sf10 vs this
+  family's 41.5M / 4.2B), better truth recall AND precision at sf0.1.
+  So past ~10^6 images the measured paths are q175, the
+  capped/streaming recall-bounded twin (W20), or a tighter hot-bucket
+  cap — all named by the guard's error.
 - render/phash are map-only Arrow-batched stages (the two intended
   Python stages; everything after is JVM);
 - the only shuffle after hashing is the multi-index groupBy (68 rows
