@@ -67,13 +67,27 @@ def minhash_signature(shingles: Column, k: int = 12) -> list[Column]:
     NOTE: higher-order functions run *interpreted* (outside whole-stage
     codegen); for corpus-scale signatures prefer minhash_df, which hashes
     in an exploded codegen pipeline with map-side partial MIN aggregation.
-    """
-    return [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+
+    The per-coordinate lambda MUST take exactly one argument: PySpark
+    passes (element, index) to a TWO-argument transform lambda, so the
+    old `lambda s, i=i:` form had its salt silently replaced by the
+    index Column — the f-string then embedded the Column's plan-local
+    variable name ("Column<'y_4'>:") as the salt. Still a valid
+    (consistent-within-one-plan) hash family, which is why same-run
+    dedup and the replay tests never caught it, but the family CHANGED
+    on every plan build: signatures persisted in streaming state
+    stopped matching after any query restart (found by the round-9
+    coarse-layout parity test, which compares two independently built
+    plans)."""
+
+    def coord(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+            )
         ).alias(f"mh{i}")
-        for i in range(k)
-    ]
+
+    return [coord(i) for i in range(k)]
 
 
 def md5_int60(col: Column, prefix: str = "") -> Column:

@@ -168,3 +168,112 @@ def streaming_neardup(docs: DataFrame, text_col: str = "text",
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Coarse-group state layout — W9's scale shape (SCALING_R9)
+# ---------------------------------------------------------------------------
+# The round-9 streaming decade probe measured W9's per-epoch cost at
+# ~35 ms/doc, FLAT across epochs from the first — not state pressure
+# but per-key dispatch: `applyInPandasWithState` pays ~3 ms of Arrow
+# grouped-map overhead per state key, and LSH band keys are
+# high-entropy by design (~40k near-singleton groups per 5k-doc epoch
+# at sf1 -> ~120 s of pure dispatch). This is the same pathology q124's
+# batch kernel solved with coarse groups + an in-kernel bucket loop;
+# the state twin of that trick keys state by pmod(hash(bucket), G) and
+# holds the coarse group's buckets as one state value (parallel
+# member arrays tagged by bucket key). Semantics are pinned equal to
+# the per-bucket layout by tests/test_streaming_dedup.py (identical
+# output multiset, same FIFO cap per LOGICAL bucket) with ONE
+# documented difference: ttl_ms expires a coarse GROUP after it goes
+# idle, not each bucket individually — a coarse horizon (any activity
+# in the group refreshes its neighbors-in-group). Measured at sf1
+# (SCALING_R9): 174 -> 15.5 s/epoch.
+
+COARSE_GROUPS = 1024
+_COARSE_STATE_SCHEMA = (
+    "bks array<string>, ids array<long>, sigs array<string>"
+)
+
+
+def make_coarse_bucket_fn(sim_thr: float = SIM_THR,
+                          max_bucket_state: int = MAX_BUCKET_STATE,
+                          ttl_ms: int | None = None):
+    """applyInPandasWithState body keyed by the coarse group id; state
+    holds every bucket of the group as aligned member arrays."""
+
+    def coarse_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["doc_id", "dup_of", "est_sim"])
+            return
+
+        from collections import defaultdict
+
+        buckets: dict[str, list] = defaultdict(list)
+        if state.exists:
+            bks, ids, sigs = state.get
+            for b, i, s in zip(bks, ids, sigs):
+                buckets[b].append((int(i), str(s)))
+        out = []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            allr = pd.concat(frames) if len(frames) > 1 else frames[0]
+            # Same per-bucket doc_id order as the per-key layout:
+            # deterministic dup_of for same-batch collisions.
+            allr = allr.sort_values(["band_idx", "band_key", "doc_id"])
+            for row in allr.itertuples(index=False):
+                bk = f"{int(row.band_idx)}|{row.band_key}"
+                did, sig = int(row.doc_id), str(row.sig)
+                mem = buckets[bk]
+                for prev_id, prev_sig in mem:
+                    if prev_id == did:
+                        continue
+                    est = _agreement(sig, prev_sig)
+                    if est >= sim_thr:
+                        out.append({"doc_id": did, "dup_of": prev_id,
+                                    "est_sim": round(est, 4)})
+                mem.append((did, sig))
+                if len(mem) > max_bucket_state:  # FIFO per logical bucket
+                    del mem[:len(mem) - max_bucket_state]
+        n_bks, n_ids, n_sigs = [], [], []
+        for bk, mem in buckets.items():
+            for i, s in mem:
+                n_bks.append(bk)
+                n_ids.append(i)
+                n_sigs.append(s)
+        state.update((n_bks, n_ids, n_sigs))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield (pd.DataFrame(out, columns=["doc_id", "dup_of", "est_sim"])
+               if out else
+               pd.DataFrame(columns=["doc_id", "dup_of", "est_sim"]))
+
+    return coarse_fn
+
+
+def streaming_neardup_coarse(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             sim_thr: float = SIM_THR,
+                             max_bucket_state: int = MAX_BUCKET_STATE,
+                             ttl_ms: int | None = None,
+                             groups: int = COARSE_GROUPS) -> DataFrame:
+    """streaming_neardup with the coarse-group state layout: identical
+    candidate output, ~G state keys instead of one per LSH bucket."""
+    banded = banded_signatures(docs, text_col, id_col).withColumn(
+        "gid",
+        F.pmod(F.hash("band_idx", "band_key"), F.lit(groups)).cast("int"),
+    )
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
+    return banded.groupBy("gid").applyInPandasWithState(
+        make_coarse_bucket_fn(sim_thr, max_bucket_state, ttl_ms),
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=_COARSE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

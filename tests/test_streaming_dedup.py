@@ -154,3 +154,85 @@ def test_bucket_fifo_cap():
     # every doc after the first matched at least its predecessor
     matches = pd.concat(out)
     assert (1, 0) in set(zip(matches.doc_id, matches.dup_of))
+
+
+def test_coarse_layout_parity(spark, tmp_path, sf_dir):
+    """The coarse-group state layout (W9's scale shape, SCALING_R9) must
+    emit EXACTLY the per-bucket layout's candidate multiset over a real
+    multi-epoch replay — same FIFO cap per logical bucket, same
+    deterministic same-batch ordering."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesyslog_spark.streaming.dedup import streaming_neardup_coarse
+    from kinesyslog_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    epochs = [docs.filter(F.pmod("doc_id", F.lit(3)) == e) for e in range(3)]
+
+    def replay(make_stream, tag):
+        in_dir = str(tmp_path / f"in_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        out_dir = str(tmp_path / f"out_{tag}")
+        os.makedirs(in_dir)
+        for sl in epochs:
+            sl.coalesce(1).write.mode("append").parquet(in_dir)
+            src = spark.readStream.schema("doc_id long, text string").parquet(
+                in_dir
+            )
+            # file sink, not memory: state carries across the per-epoch
+            # availableNow restarts only through the checkpoint, and the
+            # memory sink refuses checkpoint recovery
+            q = (
+                make_stream(src)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .outputMode("append")
+                .start()
+            )
+            q.awaitTermination()
+        return sorted(
+            (r["doc_id"], r["dup_of"], r["est_sim"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    base = replay(streaming_neardup, "perkey")
+    coarse = replay(streaming_neardup_coarse, "coarse")
+    assert base, "corpus must produce near-dup candidates for this test"
+    assert coarse == base
+    # and with a tiny group count (pathological collisions) it still holds
+    tiny = replay(
+        lambda s: streaming_neardup_coarse(s, groups=4), "tiny"
+    )
+    assert tiny == base
+
+
+def test_banded_signatures_deterministic(spark):
+    """Regression (round 9): the signature stage must produce the SAME
+    hash family on every plan build. The old 2-arg transform lambda
+    received (element, index) — its salt literal silently became the
+    index Column's plan-local name, so every freshly built plan used a
+    different (internally consistent) hash family and signatures
+    persisted in streaming state stopped matching after any restart."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta eps zeta")], "doc_id long, text string"
+    )
+    s1 = banded_signatures(df).select("sig").distinct().collect()[0][0]
+    s2 = banded_signatures(df).select("sig").distinct().collect()[0][0]
+    s3 = (
+        banded_signatures(df.repartition(3))
+        .select("sig").distinct().collect()[0][0]
+    )
+    assert s1 == s2 == s3
+    # and the salt is the documented '<i>:' convention, replayable
+    import hashlib
+
+    toks = "alpha beta gamma delta eps zeta".split()
+    sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    want0 = min(
+        hashlib.md5(f"0:{s}".encode()).hexdigest() for s in sh
+    )
+    assert s1.split("|")[0] == want0

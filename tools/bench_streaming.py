@@ -126,6 +126,25 @@ def probe_sf(spark, sf_dir: str, work: str) -> list[dict]:
     r = _run_epochs(spark, work, "w9", slices, start_w9)
     out.append({"twin": "W9_dedup", "sf_dir": sf_dir, "docs": n_docs, **r})
 
+    # ---- W9 coarse-group state layout (SCALING_R9) ----------------------
+    from kinesyslog_spark.streaming.dedup import streaming_neardup_coarse
+
+    def start_w9c(in_dir, ckpt):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            in_dir
+        )
+        return (
+            streaming_neardup_coarse(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    r = _run_epochs(spark, work, "w9c", slices, start_w9c)
+    out.append({"twin": "W9_dedup_coarse", "sf_dir": sf_dir,
+                "docs": n_docs, **r})
+
     # ---- W20: continuous image pHash near-dup --------------------------
     img_slices = [
         sl.mapInPandas(
