@@ -53,12 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from kinesyslog_spark.operators.text import (
-    lsh_band_keys,
-    minhash_signature,
-    tokens,
-    word_shingles,
-)
+from kinesyslog_spark.operators.text import lsh_band_keys
 
 SIG_K = 12
 BANDS = 4
@@ -72,20 +67,66 @@ MATCH_SCHEMA = "doc_id long, dup_of long, est_sim double"
 _STATE_SCHEMA = "ids array<long>, sigs array<string>"
 
 
+def _sig_coords_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas: (doc_id, text) -> (doc_id, mh array<string>[SIG_K]).
+
+    BIT-IDENTICAL to the Catalyst `minhash_signature` convention
+    (min over word-3-shingles of md5('<i>:' || shingle); tokens =
+    lowercase [a-z0-9]+ runs) — pinned by the hashlib replay in
+    tests/test_streaming_dedup.py. It exists because the Catalyst
+    higher-order-function form runs INTERPRETED at ~23 ms/doc, which
+    the round-9 streaming decade probe measured as W9's actual
+    bottleneck (a 5k-doc micro-batch spent ~120 s here, dwarfing the
+    state stage everyone suspected); hashlib in an Arrow batch does
+    the same integers at ~0.4 ms/doc."""
+    import hashlib
+    import re
+
+    split = re.compile(r"[^a-z0-9]+")
+    for pdf in batches:
+        ids, sigs = [], []
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = [w for w in split.split(str(text).lower()) if w]
+            if len(toks) < SHINGLE_N:
+                continue
+            sh = {
+                " ".join(toks[i:i + SHINGLE_N])
+                for i in range(len(toks) - SHINGLE_N + 1)
+            }
+            ids.append(int(did))
+            sigs.append([
+                min(
+                    hashlib.md5(f"{i}:{s}".encode("utf-8")).hexdigest()
+                    for s in sh
+                )
+                for i in range(SIG_K)
+            ])
+        # explicit dtypes: an empty/batch-built frame otherwise infers
+        # float64 / a 2-D numpy block that Arrow can't cast to
+        # list<string>
+        yield pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "mh": pd.Series(sigs, dtype=object),
+        })
+
+
 def banded_signatures(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Stage 1 (stateless): one row per (doc, band) with the full
     signature along for the stateful verify. Works on batch and
-    streaming frames alike."""
-    toks = tokens(F.col(text_col))
-    sig_cols = minhash_signature(word_shingles(toks, SHINGLE_N), SIG_K)
-    with_sig = (
-        docs.filter(F.size(tokens(F.col(text_col))) >= SHINGLE_N)
-        .select(F.col(id_col).alias("doc_id"), *sig_cols)
+    streaming frames alike. Signatures come from the Arrow-batched
+    kernel above; band keys stay Catalyst (same md5-over-row-slice
+    convention as the batch LSH family)."""
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        _sig_coords_batches, schema=f"doc_id long, mh array<string>"
     )
-    mh = [f"mh{i}" for i in range(SIG_K)]
+    mh = [F.col("mh")[i] for i in range(SIG_K)]
     return (
-        with_sig.select(
+        keyed.select(
             "doc_id",
             F.concat_ws("|", *mh).alias("sig"),
             F.explode(lsh_band_keys(mh, BANDS, ROWS)).alias("b"),
