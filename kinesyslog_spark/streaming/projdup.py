@@ -1,0 +1,190 @@
+"""W33 — continuous image near-dup over the rank-centered
+random-projection hash (the streaming twin of q175, frozen-artifact
+pattern).
+
+q175's hash family is corpus-trained: per-coefficient rank transforms
+and per-projection medians come from a corpus pass. A stream cannot
+retrain per micro-batch — and SHOULDN'T: if the hash family drifted,
+signatures stored in state would stop matching new arrivals (exactly
+the failure mode the round-9 minhash-salt bug produced by accident).
+The production pattern is FROZEN ARTIFACTS: train the transform once
+on a reference corpus snapshot, broadcast it, and re-train/restart on
+a cadence. This module implements that:
+
+1. `frozen_projection_artifacts(spark, ref_sf_dir)` — one batch pass
+   over the reference corpus builds (a) per-coefficient sorted value
+   arrays (the exact min-rank transform: rank(v) = #\\{ref < v\\} + 1 by
+   searchsorted, which REPRODUCES the batch rank for in-reference
+   values and extends monotonically to unseen ones), (b) the 64
+   projection medians over the reference, (c) n_ref. All exact
+   integers, derived from the same kernels q175 uses.
+2. stateless Arrow stage: PNG decode -> 16x16 integer DCT -> centered
+   reference ranks -> 64 seeded +-1 projections -> median bits ->
+   8x8-bit block values, one row per block with the full signature.
+3. stateful stage: W20's bucket machinery VERBATIM
+   (`make_image_bucket_fn` — keyed by (block_idx, block_val),
+   FIFO-capped members, in-bucket hamming verify). hamming <= 7 over
+   8 blocks keeps the pigeonhole candidate-recall guarantee.
+
+Artifact size: the sorted-value matrix is 256 x n_ref int64 (~2 KB per
+reference doc — 10 MB at a 5k-doc reference, 100 MB at 50k). At corpus
+scale freeze a QUANTIZED rank table (fixed quantile boundaries per
+coefficient) instead; the exact form here keeps the replay test
+byte-deterministic.
+
+Reference parity: none (no media surface in the reference); streaming
+counterpart of q175. Replay-tested against a numpy referee that
+recomputes the whole chain (no SQL oracle — arrival order defines
+dup_of).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: F401
+
+from kinesyslog_spark.operators.multimodal import DECODE_ERRORS
+from kinesyslog_spark.streaming.imagedup import (
+    HAM_T,
+    MATCH_SCHEMA,
+    MAX_BUCKET_STATE,
+    _STATE_SCHEMA,
+    BANDED_SCHEMA,
+    make_image_bucket_fn,
+)
+
+__all__ = [
+    "frozen_projection_artifacts",
+    "proj_banded_batches",
+    "streaming_projdup",
+]
+
+
+def frozen_projection_artifacts(spark: SparkSession, ref_sf_dir: str):
+    """Train the q175 hash family on a reference corpus snapshot.
+
+    Returns a plain dict of numpy arrays (picklable, closed over by the
+    stateless stage — Spark ships it once per executor):
+      sorted_cols (256, n_ref) int64 — per-coefficient sorted values,
+      medians     (64,) int64       — per-projection reference medians,
+      n_ref       int.
+    """
+    import numpy as np
+
+    from kinesyslog_spark.queries.imagehash import (
+        _proj_matrix,
+        hot_dct_coeffs,
+    )
+
+    pdf = hot_dct_coeffs(spark, ref_sf_dir).toPandas()
+    C = np.stack(pdf["cv"].to_numpy()).astype(np.int64)  # (n_ref, 256)
+    n_ref = len(C)
+    sorted_cols = np.sort(C, axis=0).T.copy()            # (256, n_ref)
+    # centered min-ranks of the reference against itself (exactly the
+    # batch q175 transform), then projections and their lower medians
+    ranks = np.empty_like(C)
+    for i in range(C.shape[1]):
+        ranks[:, i] = (
+            np.searchsorted(sorted_cols[i], C[:, i], side="left") + 1
+        )
+    cr = 2 * ranks - (n_ref + 1)
+    proj = cr @ _proj_matrix().T                          # (n_ref, 64)
+    k = (n_ref + 1) // 2
+    medians = np.sort(proj, axis=0)[k - 1].astype(np.int64)
+    return {"sorted_cols": sorted_cols, "medians": medians, "n_ref": n_ref}
+
+
+def proj_banded_batches(artifacts: dict):
+    """mapInPandas 1->8 factory: (img_id, payload) -> one row per
+    8-bit hash block (W20's BANDED_SCHEMA), hashing with the FROZEN
+    family. Malformed payloads are dropped."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from kinesyslog_spark.operators.png import (
+            PHASH_DCT_T16,
+            box_downscale,
+            decode_png,
+            to_gray,
+        )
+        from kinesyslog_spark.queries.imagehash import _proj_matrix
+
+        T = np.array(PHASH_DCT_T16, dtype=np.int64)
+        P = _proj_matrix()
+        sc = artifacts["sorted_cols"]
+        med = artifacts["medians"]
+        n_ref = artifacts["n_ref"]
+        weights = 1 << np.arange(7, -1, -1, dtype=np.int64)
+        for pdf in batches:
+            ids, rasters = [], []
+            for d, p in zip(pdf["img_id"], pdf["payload"]):
+                try:
+                    w, h, ch, px = decode_png(bytes(p))
+                except DECODE_ERRORS:
+                    continue
+                gray = to_gray(px, ch)
+                if (w, h) != (32, 32):
+                    gray = box_downscale(gray, w, h, 32, 32)
+                ids.append(int(d))
+                rasters.append(np.frombuffer(gray, dtype=np.uint8))
+            if not ids:
+                yield pd.DataFrame({
+                    "img_id": pd.Series([], dtype="int64"),
+                    "sig": pd.Series([], dtype=object),
+                    "block_idx": pd.Series([], dtype="int32"),
+                    "block_val": pd.Series([], dtype="int64"),
+                })
+                continue
+            G = np.stack(rasters).astype(np.int64).reshape(-1, 32, 32)
+            C = np.einsum("vy,nyu->nuv", T, G @ T.T).reshape(-1, 256)
+            ranks = np.empty_like(C)
+            for i in range(256):
+                ranks[:, i] = (
+                    np.searchsorted(sc[i], C[:, i], side="left") + 1
+                )
+            cr = 2 * ranks - (n_ref + 1)
+            proj = cr @ P.T                                   # (n, 64)
+            bits = proj > med[None, :]
+            bv = (bits.reshape(-1, 8, 8) * weights).sum(axis=2)  # (n, 8)
+            sig = ["|".join(str(int(x)) for x in row) for row in bv]
+            n = len(ids)
+            yield pd.DataFrame({
+                "img_id": np.repeat(np.asarray(ids, dtype=np.int64), 8),
+                "sig": np.repeat(np.asarray(sig, dtype=object), 8),
+                "block_idx": np.tile(np.arange(8, dtype=np.int32), n),
+                "block_val": bv.reshape(-1),
+            })
+
+    return stage
+
+
+def streaming_projdup(
+    imgs: DataFrame,
+    artifacts: dict,
+    payload_col: str = "payload",
+    id_col: str = "img_id",
+    ham_t: int = HAM_T,
+    max_bucket_state: int = MAX_BUCKET_STATE,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Continuous projection-hash near-dup candidates over a streaming
+    binary frame, under a frozen hash family. Returns
+    (img_id, dup_of, hamming); `min(dup_of)` per img_id is canonical."""
+    from pyspark.sql import functions as F
+
+    banded = imgs.select(
+        F.col(id_col).alias("img_id"), F.col(payload_col).alias("payload")
+    ).mapInPandas(proj_banded_batches(artifacts), schema=BANDED_SCHEMA)
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
+    return banded.groupBy("block_idx", "block_val").applyInPandasWithState(
+        make_image_bucket_fn(ham_t, max_bucket_state, ttl_ms),
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
