@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from kinesyslog_spark.env import env_budget
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.tables import hot_vectors, load_table, persist_now
 
@@ -293,9 +294,10 @@ _Q38_MARGIN = 1e-4
 # count that already materializes the persisted base — no extra job.
 # Over budget the yardstick refuses to launch and names the ANN scale
 # paths. The default admits sf0.1 (20k vectors ~ 200M pairs) and
-# rejects the next decade (200k ~ 20B). 0/unset disables.
-GEMM_MAX_PAIRS: int | None = (
-    int(os.environ.get("SPARK_GRAFT_GEMM_MAX_PAIRS", "1000000000")) or None
+# rejects the next decade (200k ~ 20B). Set to 0 to disable (unset
+# keeps the default budget; malformed values fall back to it).
+GEMM_MAX_PAIRS: int | None = env_budget(
+    "SPARK_GRAFT_GEMM_MAX_PAIRS", 1_000_000_000
 )
 
 

@@ -33,6 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.env import env_budget, env_int
 from kinesyslog_spark.operators.text import (
     HEX_HIGH,
     TOKEN_RE,
@@ -109,7 +110,7 @@ LEN_BAND = 25
 # time, so the dial keeps Spark and DuckDB in lockstep (verified:
 # rows=4 oracle-green at sf0.01).
 NGRAM_BANDS = 8
-NGRAM_ROWS = int(os.environ.get("SPARK_GRAFT_NGRAM_ROWS", "3"))
+NGRAM_ROWS = env_int("SPARK_GRAFT_NGRAM_ROWS", 3)
 # Blocking shingles are LONGER than the verify shingles: the verify
 # measure stays char-5-gram jaccard (the declared q28 semantic), but
 # 5-grams are template-saturated on this corpus — random same-length
@@ -125,9 +126,7 @@ NGRAM_BLOCK_N = 9
 # dominate the job at corpus scale. The default is far above anything a
 # test-SF corpus produces (oracle parity is unaffected) but bounds the
 # worst bucket to ~10^8 pairs at 100 TB; tune per-corpus via env.
-LSH_MAX_BUCKET: int | None = (
-    int(os.environ.get("SPARK_GRAFT_LSH_MAX_BUCKET", "10000")) or None
-)
+LSH_MAX_BUCKET: int | None = env_budget("SPARK_GRAFT_LSH_MAX_BUCKET", 10_000)
 
 
 _SIG_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}

@@ -68,6 +68,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.env import env_budget
 from kinesyslog_spark.operators.multimodal import DECODE_ERRORS
 from kinesyslog_spark.operators.png import (
     box_downscale,
@@ -257,9 +258,10 @@ _PHASH_GROUPS = 64
 # entropy) — past the budget the honest paths are the recall-bounded
 # streaming twin (W20) or a tighter hot-bucket cap, and the guard names
 # them. The default admits the sf1 probe (41.5M slots 64-bit / 208M
-# 256-bit) and rejects the saturated decade (~4.2B). 0/unset disables.
-PHASH_MAX_SLOTS: int | None = (
-    int(os.environ.get("SPARK_GRAFT_PHASH_MAX_SLOTS", "500000000")) or None
+# 256-bit) and rejects the saturated decade (~4.2B). Set to 0 to
+# disable (unset keeps the default budget; malformed values fall back).
+PHASH_MAX_SLOTS: int | None = env_budget(
+    "SPARK_GRAFT_PHASH_MAX_SLOTS", 500_000_000
 )
 
 

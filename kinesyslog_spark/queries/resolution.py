@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from kinesyslog_spark.env import env_budget
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.cluster import q40_dedup_clusters
 
@@ -492,9 +493,10 @@ PFJ_NUM, PFJ_DEN = 6, 10  # jaccard threshold t = 0.6
 # query raises CandidateBudgetExceeded naming the LSH twins instead of
 # launching an unbounded quadratic join — an exactness yardstick should
 # fail fast on a corpus it was never meant for. The default admits the
-# sf1 probe (~41M) and rejects the next decade (~4B). 0/unset disables.
-PFJ_MAX_CANDIDATES: int | None = (
-    int(os.environ.get("SPARK_GRAFT_PFJ_MAX_CANDIDATES", "200000000")) or None
+# sf1 probe (~41M) and rejects the next decade (~4B). Set to 0 to
+# disable (unset keeps the default budget; malformed values fall back).
+PFJ_MAX_CANDIDATES: int | None = env_budget(
+    "SPARK_GRAFT_PFJ_MAX_CANDIDATES", 200_000_000
 )
 
 

@@ -163,11 +163,16 @@ def make_bucket_fn(sim_thr: float = SIM_THR,
         ids, sigs = ([list(x) for x in state.get] if state.exists
                      else ([], []))
         out = []
-        for pdf in pdfs:
-            # Process in doc_id order within the batch: deterministic
-            # dup_of for same-batch collisions regardless of Arrow
-            # batch slicing.
-            for row in pdf.sort_values("doc_id").itertuples(index=False):
+        # Concat the iterator's Arrow chunks and sort ONCE in doc_id
+        # order: deterministic dup_of for same-batch collisions
+        # regardless of Arrow batch slicing — a bucket whose batch rows
+        # span chunks must not process a higher doc_id before a lower
+        # one (the coarse layout sorts globally; both layouts share
+        # this one order so their outputs stay an identical multiset).
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            allr = pd.concat(frames) if len(frames) > 1 else frames[0]
+            for row in allr.sort_values("doc_id").itertuples(index=False):
                 did, sig = int(row.doc_id), str(row.sig)
                 for prev_id, prev_sig in zip(ids, sigs):
                     if prev_id == did:
@@ -279,11 +284,16 @@ def make_coarse_bucket_fn(sim_thr: float = SIM_THR,
                         out.append({"doc_id": did, "dup_of": prev_id,
                                     "est_sim": round(est, 4)})
                 mem.append((did, sig))
-                if len(mem) > max_bucket_state:  # FIFO per logical bucket
-                    del mem[:len(mem) - max_bucket_state]
+        # FIFO cap per LOGICAL bucket, applied in the state-serialization
+        # pass — NOT inside the row loop: the per-key layout compares
+        # every same-batch arrival against ALL members appended so far
+        # and trims only at end-of-batch, so an in-loop trim here would
+        # evict members mid-batch and miss pairs the per-key layout
+        # emits (the documented contract is an identical output
+        # multiset; ttl_ms granularity is the only difference).
         n_bks, n_ids, n_sigs = [], [], []
         for bk, mem in buckets.items():
-            for i, s in mem:
+            for i, s in mem[-max_bucket_state:]:
                 n_bks.append(bk)
                 n_ids.append(i)
                 n_sigs.append(s)

@@ -156,6 +156,81 @@ def test_bucket_fifo_cap():
     assert (1, 0) in set(zip(matches.doc_id, matches.dup_of))
 
 
+def test_same_batch_overflow_and_chunk_split_parity():
+    """The two state layouts must emit an IDENTICAL multiset even when
+    (a) one logical bucket receives more rows than max_bucket_state in a
+    SINGLE micro-batch (the trim must happen at state serialization, not
+    inside the row loop — an in-loop trim makes later same-batch docs
+    compare against an already-evicted member list), and (b) the batch
+    arrives as several Arrow chunks with doc_ids out of order across
+    chunks (both layouts must sort the WHOLE batch once)."""
+    import pandas as pd
+
+    from kinesyslog_spark.streaming.dedup import (
+        make_bucket_fn,
+        make_coarse_bucket_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    cap = 3
+    sig = "|".join("x" * 4 for _ in range(SIG_K))
+    # 8 identical docs -> one bucket overflows the cap within the batch;
+    # ids deliberately interleaved across three Arrow chunks
+    chunks = [[5, 1, 7], [0, 3, 6], [2, 4]]
+
+    def perkey_chunks():
+        return [
+            pd.DataFrame([{"doc_id": i, "sig": sig} for i in ids])
+            for ids in chunks
+        ]
+
+    def coarse_chunks():
+        return [
+            pd.DataFrame([
+                {"band_idx": 0, "band_key": "k", "doc_id": i, "sig": sig}
+                for i in ids
+            ])
+            for ids in chunks
+        ]
+
+    st_p, st_c = FakeState(), FakeState()
+    out_p = pd.concat(list(
+        make_bucket_fn(max_bucket_state=cap)(("0", "k"), iter(perkey_chunks()), st_p)
+    ))
+    out_c = pd.concat(list(
+        make_coarse_bucket_fn(max_bucket_state=cap)((0,), iter(coarse_chunks()), st_c)
+    ))
+    pairs_p = sorted(zip(out_p.doc_id, out_p.dup_of))
+    pairs_c = sorted(zip(out_c.doc_id, out_c.dup_of))
+    # every doc compares against ALL earlier same-batch arrivals (no
+    # mid-batch eviction): doc i pairs with each of 0..i-1 -> C(8,2)
+    want = sorted((i, j) for i in range(8) for j in range(i))
+    assert pairs_p == want
+    assert pairs_c == want
+    # both layouts keep the newest `cap` members per logical bucket
+    assert list(st_p.get[0]) == [5, 6, 7]
+    assert sorted(st_c.get[1]) == [5, 6, 7]
+
+
 def test_coarse_layout_parity(spark, tmp_path, sf_dir):
     """The coarse-group state layout (W9's scale shape, SCALING_R9) must
     emit EXACTLY the per-bucket layout's candidate multiset over a real
