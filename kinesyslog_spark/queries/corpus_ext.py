@@ -207,8 +207,17 @@ def q96_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # their members still pair through their other bands. No bucket in
     # the tested corpora approaches the default cap, so oracle parity
     # is untouched (same contract as q26-q29).
-    bands = cap_hot_buckets(bands, ["band_idx", "band_key"], LSH_MAX_BUCKET)
     is_new = F.col("doc_id") % NEW_MOD == NEW_REM
+    # Slot-budget fail-fast (the q26-q28 guard, asymmetric form): the
+    # probe join emits exactly Σ n_new*n_old over band buckets; over
+    # budget the query refuses to launch and names the scale dials.
+    from kinesyslog_spark.queries.dedup import _lsh_slot_budget_check
+
+    _lsh_slot_budget_check(
+        "q96_incremental_neardup", bands, ["band_idx", "band_key"],
+        LSH_MAX_BUCKET, side=is_new, cache_key=sf_dir.rstrip("/"),
+    )
+    bands = cap_hot_buckets(bands, ["band_idx", "band_key"], LSH_MAX_BUCKET)
     new_b = bands.filter(is_new).select(
         F.col("doc_id").alias("doc_new"), "band_idx", "band_key"
     )

@@ -111,6 +111,30 @@ LEN_BAND = 25
 # rows=4 oracle-green at sf0.01).
 NGRAM_BANDS = 8
 NGRAM_ROWS = env_int("SPARK_GRAFT_NGRAM_ROWS", 3)
+
+
+def auto_ngram_rows(n_docs: int) -> int:
+    """The rows ~ log10(N) schedule as a callable, for the engine-API
+    path (callers OUTSIDE the registry that run ngram-style blocking on
+    their own corpora and can derive the dial from the materialized
+    signature count at call time — the same shape as graph.py's
+    _pr_broadcast_cap deriving the broadcast cap from executor memory).
+    The REGISTERED q28 deliberately keeps the constant NGRAM_ROWS: both
+    engines read the dial at oracle-registration time, so a data-
+    dependent value would break the Spark/DuckDB lockstep.
+
+    3 rows through 10^5 docs (the regime the pinned recall-floor tests
+    certify), then +1 per decade: 10^6 -> 4 (the measured sf10 setting:
+    21.7x chance-candidate cut keeping 99.1% of output, SCALING_R9),
+    10^7 -> 5, ... Chance-candidate mass stays ~subquadratic because the
+    per-pair collision probability falls geometrically in rows while
+    true pairs at jaccard >= 0.8 survive (1-(1-j^r)^8 stays >= 0.94
+    through rows=6)."""
+    import math
+
+    if n_docs <= 100_000:
+        return 3
+    return 3 + (math.ceil(math.log10(n_docs)) - 5)
 # Blocking shingles are LONGER than the verify shingles: the verify
 # measure stays char-5-gram jaccard (the declared q28 semantic), but
 # 5-grams are template-saturated on this corpus — random same-length
@@ -127,6 +151,28 @@ NGRAM_BLOCK_N = 9
 # test-SF corpus produces (oracle parity is unaffected) but bounds the
 # worst bucket to ~10^8 pairs at 100 TB; tune per-corpus via env.
 LSH_MAX_BUCKET: int | None = env_budget("SPARK_GRAFT_LSH_MAX_BUCKET", 10_000)
+# Slot-budget fail-fast for the band-bucket expansion family (q26/q28
+# and the q96/q117/q122/q163 compositions; q27's codegen self-join gets
+# the same check) — the PHASH_MAX_SLOTS pattern from
+# queries/imagehash.py applied to the last quadratic-capable pair
+# expansion that lacked one (round-9 verdict). The expansion's emitted
+# pair count is EXACTLY Σ C(n,2) over bucket occupancies (n = distinct
+# members per bucket key), known from one cheap aggregate over the
+# already-persisted signature frame before the expansion launches;
+# cap-excluded buckets are subtracted, mirroring the size filter inside
+# _pair_candidates. The hot-bucket cap bounds the worst BUCKET, not the
+# total: q28's sf10 decomposition (SCALING_R9) measured chance
+# candidates Θ(N²) at fixed rows with every bucket under the cap, so
+# without this budget nothing stops a 10^7-doc corpus from launching
+# the saturated join. Set to 0 to disable (unset keeps the default;
+# malformed values fall back). The default (= PHASH_MAX_SLOTS') admits
+# every family member at the certified sf1 decade (worst: q27 at 126.8M
+# slots, which runs in ~13 s) and rejects the measured sf10 saturation
+# (q27: 2.41B admitted + 10.4B already cap-excluded, 101x per decade —
+# the guard trips in the ~27 s estimate pass instead; SCALING_R10.md).
+LSH_MAX_SLOTS: int | None = env_budget(
+    "SPARK_GRAFT_LSH_MAX_SLOTS", 500_000_000
+)
 
 
 _SIG_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
@@ -184,11 +230,99 @@ def cap_hot_buckets(keyed: DataFrame, key_cols: list[str],
     return keyed.join(F.broadcast(hot), on=key_cols, how="left_anti")
 
 
+def lsh_slot_estimate(keyed: DataFrame, key_cols: list[str],
+                      max_bucket: int | None,
+                      side=None) -> tuple[int, int]:
+    """(admitted, cap_excluded) pair-slot counts for a band-bucket
+    expansion over `keyed` — the exact arithmetic behind
+    _lsh_slot_budget_check, exposed for the scale probes
+    (tools/probe_lsh_slots.py). One aggregate; see the check's
+    docstring for the bucket-kind arithmetic."""
+    g = keyed.groupBy(*key_cols)
+    if side is None:
+        counts = g.agg(F.countDistinct("doc_id").alias("n"))
+        slots = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+        total = F.col("n")
+    else:
+        counts = g.agg(
+            F.countDistinct(F.when(side, F.col("doc_id"))).alias("n1"),
+            F.countDistinct(F.when(~side, F.col("doc_id"))).alias("n0"),
+        )
+        slots = (F.col("n1") * F.col("n0")).cast("double")
+        total = F.col("n1") + F.col("n0")
+    skipped = (total > F.lit(max_bucket)) if max_bucket else F.lit(False)
+    row = counts.agg(
+        F.sum(F.when(~skipped, slots).otherwise(F.lit(0.0))).alias("adm"),
+        F.sum(F.when(skipped, slots).otherwise(F.lit(0.0))).alias("cap"),
+    ).collect()[0]
+    return int(row["adm"] or 0), int(row["cap"] or 0)
+
+
+# Session memo for the slot estimates: the estimate is a pure function
+# of (corpus, blocking scheme, cap), and the signature frames it reads
+# are themselves session-memoized — re-running the aggregate on every
+# query call measured ~1 s at sf0.1 (a 12% headline hit on q26).
+# Keyed by (spark id, family name, caller-supplied corpus key, cap,
+# rows dial); cleared with the session.
+_SLOT_EST_CACHE: dict[tuple, tuple[int, int]] = {}
+
+
+def _lsh_slot_budget_check(name: str, keyed: DataFrame, key_cols: list[str],
+                           max_bucket: int | None, side=None,
+                           cache_key=None) -> None:
+    """Fail fast if a band-bucket expansion would emit more candidate
+    pair slots than LSH_MAX_SLOTS.
+
+    `keyed` is the exploded (doc_id, *key_cols) bucket frame BEFORE the
+    hot-bucket cap. The estimate mirrors the expansion bit-for-bit:
+    per bucket of n distinct members, the self-join family
+    (_pair_candidates / q27's codegen join) emits C(n, 2) ordered pairs
+    pre-distinct; with `side` given (q96's asymmetric new-vs-old probe)
+    a bucket with n1 new and n0 old members emits n1*n0. Buckets the
+    hot-bucket cap excludes (total membership > max_bucket) are
+    subtracted — so the admitted number IS the expansion's emitted pair
+    count, not an upper bound. One aggregate over the (persisted)
+    signature frame; only distinct bucket keys cross the wire thanks to
+    partial aggregation."""
+    if not LSH_MAX_SLOTS:
+        return
+    from kinesyslog_spark.queries.resolution import CandidateBudgetExceeded
+
+    memo = (
+        (id(keyed.sparkSession), name, cache_key, max_bucket, NGRAM_ROWS)
+        if cache_key is not None else None
+    )
+    got = _SLOT_EST_CACHE.get(memo) if memo else None
+    if got is None:
+        got = lsh_slot_estimate(keyed, key_cols, max_bucket, side=side)
+        if memo:
+            _SLOT_EST_CACHE[memo] = got
+    adm, cap = got
+    if adm > LSH_MAX_SLOTS:
+        raise CandidateBudgetExceeded(
+            f"{name} band-bucket expansion would emit ~{adm:,} candidate "
+            f"pair slots (budget {LSH_MAX_SLOTS:,}; a further "
+            f"~{cap:,} already excluded by the hot-bucket "
+            "cap). Fixed-(bands, rows) LSH collides chance pairs at a "
+            "constant per-pair rate, so slots grow Θ(N²) in corpus size "
+            "(SCALING_R9/R10) — at this scale raise the blocking "
+            "selectivity (SPARK_GRAFT_NGRAM_ROWS for the n-gram family: "
+            "rows ~ log N keeps chance candidates subquadratic, rows=4 "
+            "measured a 21.7x cut at 500k docs keeping 99.1% of output; "
+            "more/wider blocks for SimHash), use the recall-bounded "
+            "streaming twin (W9 continuous near-dup dedups within a "
+            "horizon at O(new) cost), lower SPARK_GRAFT_LSH_MAX_BUCKET, "
+            "or raise SPARK_GRAFT_LSH_MAX_SLOTS."
+        )
+
+
 _USE_GLOBAL_CAP = object()  # sentinel: resolve LSH_MAX_BUCKET at call time
 
 
 def _pair_candidates(keyed: DataFrame, key_cols: list[str],
-                     max_bucket=_USE_GLOBAL_CAP) -> DataFrame:
+                     max_bucket=_USE_GLOBAL_CAP,
+                     name: str = "LSH",
+                     budget_cache_key=None) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing every key column.
 
     One groupBy per bucket key collects the member set, applies the
@@ -206,6 +340,8 @@ def _pair_candidates(keyed: DataFrame, key_cols: list[str],
     compute-heavy, output-quadratic)."""
     if max_bucket is _USE_GLOBAL_CAP:
         max_bucket = LSH_MAX_BUCKET
+    _lsh_slot_budget_check(name, keyed, key_cols, max_bucket,
+                           cache_key=budget_cache_key)
     members = (
         keyed.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_set("doc_id")).alias("_ms"))
@@ -316,7 +452,9 @@ def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsh_band_keys([f"mh{i}" for i in range(MINHASH_K)], LSH_BANDS, LSH_ROWS)
         ).alias("bd"),
     ).select("doc_id", "bd.band_idx", "bd.band_key")
-    cand = _pair_candidates(bands, ["band_idx", "band_key"])
+    cand = _pair_candidates(bands, ["band_idx", "band_key"],
+                            name="q26_minhash_lsh",
+                            budget_cache_key=sf_dir.rstrip("/"))
     return _verify_jaccard(cand, sh, JACCARD_THR)
 
 
@@ -396,6 +534,15 @@ def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape. _pair_candidates stays right for q26's md5 band keys, where
     # buckets are near-singletons. Hamming is evaluated and thresholded
     # BEFORE the distinct so candidate fingerprints are never shuffled.
+    try:
+        _lsh_slot_budget_check(
+            "q27_simhash_pairs", blocks,
+            ["block_idx", "block_val"], LSH_MAX_BUCKET,
+            cache_key=sf_dir.rstrip("/"),
+        )
+    except Exception:
+        fps.unpersist()  # abort path must not leak the persisted frame
+        raise
     blocks = cap_hot_buckets(blocks, ["block_idx", "block_val"], LSH_MAX_BUCKET)
     n_par = _par(fps)
     x = blocks.select("block_idx", "block_val", F.col("doc_id").alias("doc_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a")).repartition(n_par, "block_idx", "block_val")
@@ -534,7 +681,16 @@ def ngram_candidates(
             F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
         )
     )
-    return _pair_candidates(blocked, ["t", "bk", "bucket"]), base
+    try:
+        cand = _pair_candidates(blocked, ["t", "bk", "bucket"],
+                                name="q28_ngram_jaccard",
+                                budget_cache_key=sf_dir.rstrip("/"))
+    except Exception:
+        # abort path must not leak the persisted frames
+        base.unpersist()
+        keyed.unpersist()
+        raise
+    return cand, base
 
 
 @query("q28_ngram_jaccard", oracle=_ngram_oracle())

@@ -26,11 +26,18 @@ a cadence. This module implements that:
    FIFO-capped members, in-bucket hamming verify). hamming <= 7 over
    8 blocks keeps the pigeonhole candidate-recall guarantee.
 
-Artifact size: the sorted-value matrix is 256 x n_ref int64 (~2 KB per
-reference doc — 10 MB at a 5k-doc reference, 100 MB at 50k). At corpus
-scale freeze a QUANTIZED rank table (fixed quantile boundaries per
-coefficient) instead; the exact form here keeps the replay test
-byte-deterministic.
+Artifact size and shipping: the EXACT form's sorted-value matrix is
+256 x n_ref int64 (~2 KB per reference doc — 10 MB at a 5k-doc
+reference, 100 MB at 50k); it keeps the replay test byte-deterministic
+against batch q175. At corpus scale use `quantized_projection_artifacts`
+— fixed per-coefficient quantile boundaries (256 x bins int64, 512 KB
+at the default 256 bins REGARDLESS of reference size) with medians
+re-trained under the quantized ranks, so the family stays internally
+consistent (the frozen-artifact rule: state outlives any one batch, so
+the hash family must be a pure function of the artifact). Either form
+is `sc.broadcast` by `streaming_projdup` and dereferenced inside the
+stage — a plain closure would serialize the matrix into the task binary
+and deserialize it PER TASK, not once per executor.
 
 Reference parity: none (no media surface in the reference); streaming
 counterpart of q175. Replay-tested against a numpy referee that
@@ -58,16 +65,46 @@ from kinesyslog_spark.streaming.imagedup import (
 
 __all__ = [
     "frozen_projection_artifacts",
+    "quantized_projection_artifacts",
     "proj_banded_batches",
     "streaming_projdup",
 ]
 
 
-def frozen_projection_artifacts(spark: SparkSession, ref_sf_dir: str):
-    """Train the q175 hash family on a reference corpus snapshot.
+def _rank_transform(art: dict):
+    """rank(i, values) closure for either artifact form — training and
+    serving MUST share this one implementation (a drifted rank rule is
+    a drifted hash family, the exact failure mode W33 exists to avoid).
 
-    Returns a plain dict of numpy arrays (picklable, closed over by the
-    stateless stage — Spark ships it once per executor):
+    Exact form ('sorted_cols'): rank(v) = #{ref < v} + 1 by searchsorted
+    — reproduces batch q175 bit-for-bit for in-reference values.
+    Quantized form ('boundaries', 'bins'): k = #{boundaries < v} in
+    [0, bins], rank = k*n_ref//bins + 1 — a step function within
+    n_ref/bins of the exact rank, monotone, integer-exact."""
+    import numpy as np
+
+    if "sorted_cols" in art:
+        sc = art["sorted_cols"]
+
+        def rank(i: int, v):
+            return np.searchsorted(sc[i], v, side="left") + 1
+    else:
+        bnd, n_ref, bins = art["boundaries"], art["n_ref"], art["bins"]
+
+        def rank(i: int, v):
+            k = np.searchsorted(bnd[i], v, side="left")
+            return (k * n_ref) // bins + 1
+
+    return rank
+
+
+def frozen_projection_artifacts(spark: SparkSession, ref_sf_dir: str):
+    """Train the q175 hash family on a reference corpus snapshot
+    (EXACT form — 256 x n_ref int64; see the module docstring for when
+    to prefer the quantized form).
+
+    Returns a plain dict of numpy arrays (picklable; `streaming_projdup`
+    broadcasts it so executors fetch it once instead of per task):
       sorted_cols (256, n_ref) int64 — per-coefficient sorted values,
       medians     (64,) int64       — per-projection reference medians,
       n_ref       int.
@@ -97,10 +134,58 @@ def frozen_projection_artifacts(spark: SparkSession, ref_sf_dir: str):
     return {"sorted_cols": sorted_cols, "medians": medians, "n_ref": n_ref}
 
 
-def proj_banded_batches(artifacts: dict):
+def quantized_projection_artifacts(spark: SparkSession, ref_sf_dir: str,
+                                   bins: int = 256):
+    """Train the q175 hash family with a QUANTIZED rank table — fixed
+    per-coefficient quantile boundaries instead of the full sorted
+    matrix: 256 x bins int64 (512 KB at the default 256 bins) no matter
+    how large the reference corpus is, vs ~2 KB/doc for the exact form.
+
+    boundaries[i][j] = the (j+1)/bins quantile of coefficient i over the
+    reference (the sorted column sampled at positions (j+1)*n_ref//bins
+    - 1), so the serving-side rank k*n_ref//bins + 1 is within
+    n_ref/bins of the exact rank. The 64 projection medians are
+    RE-TRAINED under the quantized ranks — the family is a pure function
+    of this artifact, internally consistent between training and
+    serving, which is what the frozen-artifact contract requires (a
+    family mixing exact training with quantized serving would place
+    median bits off-center and silently skew every signature).
+    """
+    import numpy as np
+
+    from kinesyslog_spark.queries.imagehash import (
+        _proj_matrix,
+        hot_dct_coeffs,
+    )
+
+    pdf = hot_dct_coeffs(spark, ref_sf_dir).toPandas()
+    C = np.stack(pdf["cv"].to_numpy()).astype(np.int64)  # (n_ref, 256)
+    n_ref = len(C)
+    bins = min(bins, n_ref)
+    sorted_cols = np.sort(C, axis=0)                      # (n_ref, 256)
+    idx = np.arange(1, bins + 1) * n_ref // bins - 1
+    art = {
+        "boundaries": sorted_cols[idx, :].T.copy(),       # (256, bins)
+        "n_ref": n_ref,
+        "bins": bins,
+    }
+    rank = _rank_transform(art)
+    ranks = np.stack([rank(i, C[:, i]) for i in range(256)], axis=1)
+    cr = 2 * ranks - (n_ref + 1)
+    proj = cr @ _proj_matrix().T                          # (n_ref, 64)
+    k = (n_ref + 1) // 2
+    art["medians"] = np.sort(proj, axis=0)[k - 1].astype(np.int64)
+    return art
+
+
+def proj_banded_batches(artifacts):
     """mapInPandas 1->8 factory: (img_id, payload) -> one row per
     8-bit hash block (W20's BANDED_SCHEMA), hashing with the FROZEN
-    family. Malformed payloads are dropped."""
+    family (exact or quantized artifact form). `artifacts` may be the
+    plain dict or an sc.broadcast handle — dereferenced INSIDE the
+    stage so the matrix ships via the broadcast mechanism (fetched once
+    per executor), not pickled into every task binary. Malformed
+    payloads are dropped."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -113,11 +198,12 @@ def proj_banded_batches(artifacts: dict):
         )
         from kinesyslog_spark.queries.imagehash import _proj_matrix
 
+        art = artifacts.value if hasattr(artifacts, "value") else artifacts
         T = np.array(PHASH_DCT_T16, dtype=np.int64)
         P = _proj_matrix()
-        sc = artifacts["sorted_cols"]
-        med = artifacts["medians"]
-        n_ref = artifacts["n_ref"]
+        rank = _rank_transform(art)
+        med = art["medians"]
+        n_ref = art["n_ref"]
         weights = 1 << np.arange(7, -1, -1, dtype=np.int64)
         for pdf in batches:
             ids, rasters = [], []
@@ -143,9 +229,7 @@ def proj_banded_batches(artifacts: dict):
             C = np.einsum("vy,nyu->nuv", T, G @ T.T).reshape(-1, 256)
             ranks = np.empty_like(C)
             for i in range(256):
-                ranks[:, i] = (
-                    np.searchsorted(sc[i], C[:, i], side="left") + 1
-                )
+                ranks[:, i] = rank(i, C[:, i])
             cr = 2 * ranks - (n_ref + 1)
             proj = cr @ P.T                                   # (n, 64)
             bits = proj > med[None, :]
@@ -176,6 +260,8 @@ def streaming_projdup(
     (img_id, dup_of, hamming); `min(dup_of)` per img_id is canonical."""
     from pyspark.sql import functions as F
 
+    if not hasattr(artifacts, "value"):  # ship once per executor
+        artifacts = imgs.sparkSession.sparkContext.broadcast(artifacts)
     banded = imgs.select(
         F.col(id_col).alias("img_id"), F.col(payload_col).alias("payload")
     ).mapInPandas(proj_banded_batches(artifacts), schema=BANDED_SCHEMA)

@@ -378,3 +378,112 @@ def test_q38_pair_budget_guardrail(spark, sf_dir, monkeypatch):
     assert not leaked, (
         f"over-budget abort left {len(leaked)} persisted RDDs cached"
     )
+
+
+def test_lsh_slot_budget_arithmetic(spark, monkeypatch):
+    """The band-bucket slot estimate must equal the expansion's emitted
+    pair count bit-for-bit: C(n,2) per bucket (n = distinct members),
+    capped buckets excluded; n1*n0 in the asymmetric (q96) form. Pinned
+    on a hand-countable frame."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import kinesyslog_spark.queries.dedup as dd
+    from kinesyslog_spark.queries.resolution import CandidateBudgetExceeded
+
+    # bucket (0,'a'): 4 members -> C(4,2) = 6 slots
+    # bucket (1,'b'): 2 members -> 1 slot; total 7
+    rows = (
+        [(i, 0, "a") for i in range(4)]
+        + [(10, 1, "b"), (11, 1, "b")]
+        + [(10, 1, "b")]  # duplicate row: countDistinct must dedup it
+    )
+    keyed = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_key string"
+    )
+    monkeypatch.setattr(dd, "LSH_MAX_SLOTS", 7)
+    dd._lsh_slot_budget_check("unit", keyed, ["band_idx", "band_key"], None)
+    monkeypatch.setattr(dd, "LSH_MAX_SLOTS", 6)
+    with pytest.raises(CandidateBudgetExceeded, match="~7 candidate pair slots"):
+        dd._lsh_slot_budget_check("unit", keyed, ["band_idx", "band_key"], None)
+    # the hot-bucket cap excludes the 4-member bucket's 6 slots -> 1 admitted
+    monkeypatch.setattr(dd, "LSH_MAX_SLOTS", 1)
+    dd._lsh_slot_budget_check("unit", keyed, ["band_idx", "band_key"], 3)
+    # asymmetric form: sides by doc parity -> bucket (0,'a') has 2x2 = 4,
+    # bucket (1,'b') 1x1 = 1; total 5
+    side = F.col("doc_id") % 2 == 0
+    monkeypatch.setattr(dd, "LSH_MAX_SLOTS", 5)
+    dd._lsh_slot_budget_check("unit", keyed, ["band_idx", "band_key"], None, side=side)
+    monkeypatch.setattr(dd, "LSH_MAX_SLOTS", 4)
+    with pytest.raises(CandidateBudgetExceeded, match="~5 candidate pair slots"):
+        dd._lsh_slot_budget_check("unit", keyed, ["band_idx", "band_key"], None, side=side)
+    # cap excludes the 4-member bucket -> 1 admitted
+    monkeypatch.setattr(dd, "LSH_MAX_SLOTS", 1)
+    dd._lsh_slot_budget_check("unit", keyed, ["band_idx", "band_key"], 3, side=side)
+
+
+def test_q26_q28_slot_budget_guardrail(spark, sf_dir, monkeypatch):
+    """Over the slot budget the band-bucket family must fail FAST (one
+    aggregate over the persisted signature frame, before the expansion
+    launches), name the W9 streaming twin and the rows dial, and leave
+    no persisted frames behind on the abort path."""
+    import pytest
+
+    import kinesyslog_spark.queries.dedup as dd
+    from kinesyslog_spark.queries.dedup import hot_shingle_sigs
+    from kinesyslog_spark.queries.resolution import CandidateBudgetExceeded
+
+    hot_shingle_sigs(spark, sf_dir)  # session artifact, not a leak
+    monkeypatch.setattr(dd, "LSH_MAX_SLOTS", 1)
+    with pytest.raises(CandidateBudgetExceeded, match="W9"):
+        QUERIES["q26_minhash_lsh"](spark, sf_dir)
+    before = _persistent_rdd_ids(spark)
+    with pytest.raises(CandidateBudgetExceeded, match="SPARK_GRAFT_NGRAM_ROWS"):
+        QUERIES["q28_ngram_jaccard"](spark, sf_dir)
+    leaked = _persistent_rdd_ids(spark) - before
+    assert not leaked, (
+        f"q28 over-budget abort left {len(leaked)} persisted RDDs cached "
+        "(base/keyed must be unpersisted before the raise)"
+    )
+
+
+def test_q27_q96_slot_budget_guardrail(spark, sf_dir, monkeypatch):
+    """q27's codegen self-join and q96's asymmetric probe join get the
+    same fail-fast budget; q27's persisted fingerprint frame must not
+    leak on abort."""
+    import pytest
+
+    import kinesyslog_spark.queries.dedup as dd
+    from kinesyslog_spark.queries.dedup import hot_shingle_sigs
+    from kinesyslog_spark.queries.resolution import CandidateBudgetExceeded
+    from kinesyslog_spark.tables import hot_tokens
+
+    hot_tokens(spark, sf_dir)
+    before = _persistent_rdd_ids(spark)
+    monkeypatch.setattr(dd, "LSH_MAX_SLOTS", 1)
+    with pytest.raises(CandidateBudgetExceeded, match="W9"):
+        QUERIES["q27_simhash_pairs"](spark, sf_dir)
+    leaked = _persistent_rdd_ids(spark) - before
+    assert not leaked, (
+        f"q27 over-budget abort left {len(leaked)} persisted RDDs cached "
+        "(fps must be unpersisted before the raise)"
+    )
+    hot_shingle_sigs(spark, sf_dir)
+    with pytest.raises(CandidateBudgetExceeded, match="q96_incremental_neardup"):
+        QUERIES["q96_incremental_neardup"](spark, sf_dir)
+
+
+def test_auto_ngram_rows_schedule():
+    """The engine-API rows ~ log10(N) schedule: constant 3 through the
+    certified 10^5 regime, +1 per decade after (10^6 -> 4 matches the
+    measured sf10 setting)."""
+    from kinesyslog_spark.queries.dedup import auto_ngram_rows
+
+    assert auto_ngram_rows(1) == 3
+    assert auto_ngram_rows(60_000) == 3
+    assert auto_ngram_rows(100_000) == 3
+    assert auto_ngram_rows(500_000) == 4
+    assert auto_ngram_rows(1_000_000) == 4
+    assert auto_ngram_rows(5_000_000) == 5
+    assert auto_ngram_rows(10_000_000) == 5
+    assert auto_ngram_rows(100_000_000) == 6

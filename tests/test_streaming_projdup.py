@@ -101,3 +101,95 @@ def test_streaming_projdup_replay(spark, tmp_path, sf_dir):
         late, early = (a, b) if arrival(a) > arrival(b) else (b, a)
         want.add((late, early, h))
     assert got == want
+
+
+def test_quantized_artifacts_bounded_and_pair_parity(spark, sf_dir):
+    """The quantized rank-table artifact (the corpus-scale form the
+    module docstring promises) must be (a) fixed-size — 256 x bins
+    int64, independent of reference-corpus size, vs ~2 KB/doc for the
+    exact matrix — and (b) produce the SAME near-dup pair set as the
+    exact family at the blocking threshold (measured: identical pair
+    keys at sf0.001 and sf0.01; per-pair hamming may drift by <= 2 bits
+    because the two are distinct-but-both-valid frozen families)."""
+    import numpy as np
+    import pandas as pd
+
+    from kinesyslog_spark.queries.imagehash import render_png_batches
+    from kinesyslog_spark.streaming.imagedup import HAM_T
+    from kinesyslog_spark.streaming.projdup import (
+        frozen_projection_artifacts,
+        proj_banded_batches,
+        quantized_projection_artifacts,
+    )
+    from kinesyslog_spark.tables import load_table
+
+    exact = frozen_projection_artifacts(spark, sf_dir)
+    quant = quantized_projection_artifacts(spark, sf_dir)
+    assert quant["boundaries"].shape == (256, quant["bins"])
+    assert quant["boundaries"].nbytes <= 256 * 256 * 8  # 512 KB ceiling
+    # the exact matrix grows ~2 KB/doc; quantized must not grow at all
+    assert quant["boundaries"].nbytes <= exact["sorted_cols"].nbytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = (
+        docs.mapInPandas(render_png_batches, schema="doc_id long, payload binary")
+        .toPandas()
+        .rename(columns={"doc_id": "img_id"})
+    )
+
+    def pairs(art):
+        out = pd.concat(list(proj_banded_batches(art)(iter([pdf]))))
+        one = out.drop_duplicates("img_id")
+        ids = one.img_id.to_numpy()
+        M = np.stack([
+            np.array([int(x) for x in s.split("|")], dtype=np.uint64)
+            .view(np.uint8)
+            for s in one.sig
+        ])
+        B = np.unpackbits(M, axis=1)
+        got = {}
+        for i in range(len(ids)):
+            d = (B[i] != B).sum(axis=1)
+            for j in np.nonzero(d <= HAM_T)[0]:
+                if ids[i] < ids[j]:
+                    got[(int(ids[i]), int(ids[j]))] = int(d[j])
+        return got
+
+    pe, pq = pairs(exact), pairs(quant)
+    assert pe, "corpus must contain projection-hash near-dups"
+    assert set(pe) == set(pq), "pair-key sets must match"
+    assert all(abs(pe[k] - pq[k]) <= 2 for k in pe)
+
+
+def test_streaming_projdup_broadcasts_artifacts(spark, sf_dir):
+    """streaming_projdup must ship the artifact dict via sc.broadcast
+    (fetched once per executor), not a pickled task closure — at the
+    exact form's 100 MB / 50k-doc size a per-task closure is a large
+    recurring cost. Pinned by checking the stage accepts a broadcast
+    handle and dereferences it."""
+    import pandas as pd
+
+    from kinesyslog_spark.queries.imagehash import render_png_batches
+    from kinesyslog_spark.streaming.projdup import (
+        proj_banded_batches,
+        quantized_projection_artifacts,
+    )
+    from kinesyslog_spark.tables import load_table
+
+    art = quantized_projection_artifacts(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(art)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    pdf = (
+        docs.mapInPandas(render_png_batches, schema="doc_id long, payload binary")
+        .toPandas()
+        .rename(columns={"doc_id": "img_id"})
+    )
+    via_bc = pd.concat(list(proj_banded_batches(bc)(iter([pdf]))))
+    via_dict = pd.concat(list(proj_banded_batches(art)(iter([pdf]))))
+    assert via_bc.equals(via_dict)
+    # and the distributed path accepts the plain dict by broadcasting it
+    banded = (
+        spark.createDataFrame(pdf)
+        .mapInPandas(proj_banded_batches(bc), schema="img_id long, sig string, block_idx int, block_val long")
+    )
+    assert banded.count() == 8 * pdf.shape[0]
