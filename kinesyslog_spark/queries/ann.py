@@ -20,7 +20,6 @@ recall loss vs q21 is the documented LSH/IVF tradeoff.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -6,7 +6,6 @@ Registered late so the frozen 50-query driver window is untouched
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

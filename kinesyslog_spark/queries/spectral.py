@@ -14,6 +14,19 @@ map-side-combined aggregate per iteration with O(D) driver traffic
 (the q161/MLlib GD posture; D = 64 here). PI_ITERS fixed iterations
 from the deterministic start v0 = 1/8 (unit norm at D = 64).
 
+Convergence-tolerance early stop: MEASURED AND REFUTED (round 10, the
+q174 pattern). An early stop is exactly output-preserving only at a
+quantized-v fixpoint (v_k == v_{k-1} at 1e-9 makes every later round
+recompute identical values, so the fixed-round oracle still matches) —
+but on this corpus the spectrum is near-degenerate (synthetic
+embeddings have no dominant direction) and the probe measured the max
+component delta still ~2e-2 after EIGHT rounds at sf0.1 AND sf1: the
+fixpoint never arrives, so any dynamic round count below PI_ITERS
+changes the output and breaks the exact-spectrum pin. Cost decomposes
+as rounds x one O(N*D) corpus pass (measured 1.4 s/round at sf0.1,
+3.7 s at sf1, ~25 s at sf10) — the wall scales with rounds x corpus
+and the rounds dial is semantic, not free (SCALING_R10.md).
+
 Determinism contract: dot products and norms are written as explicit
 64-term left-associated expressions on BOTH engines (never list_sum —
 DuckDB may sum lists pairwise), cross-row sums are exact

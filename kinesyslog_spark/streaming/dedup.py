@@ -27,14 +27,33 @@ near-dups emit).
 
 Scale posture (100 TB / continuous):
 - State is sharded by band bucket — the natural LSH partitioning; no
-  per-doc state, no global structure. RocksDB state store holds it at
-  cluster scale.
+  per-doc state, no global structure. **RocksDB is the corpus-scale
+  default store for W9**: without a TTL, state is ~4 rows/doc (measured
+  247 MB at 50k docs, SCALING_R9 — ~25 GB extrapolated to 5M docs),
+  which belongs on executor-local SSD with bounded block-cache memory,
+  not on-heap; `session.enable_rocksdb_state` switches the provider and
+  `tests/test_streaming_rocksdb.py` runs this exact flow live on it
+  with the provider's rocksdb* metrics asserted. The round-10 decade
+  probe (SCALING_R10) measures the provider delta on this operator
+  end-to-end.
 - FIFO cap per bucket (`max_bucket_state`) bounds the hot-boilerplate
   bucket exactly like `cap_hot_buckets` does in batch; state TTL
   (`ttl_ms`, ProcessingTimeTimeout) turns the operator into
   dedup-within-a-horizon, the same contract as
   `dropDuplicatesWithinWatermark` — both caps are the documented recall
-  trade-off, not accidents.
+  trade-off, not accidents. In-horizon parity is pinned
+  (tests/test_streaming_dedup.py::test_ttl_in_horizon_parity: a TTL
+  longer than the replay emits EXACTLY the no-TTL output) and the
+  decade probe shows the state plateau when epochs outlive the TTL.
+- TTL DEPLOYMENT CAVEAT (measured, SCALING_R10): `ttl_ms` requires a
+  processingTime-trigger deployment. Under Trigger.AvailableNow (or
+  Once) a query with ProcessingTimeTimeout NEVER terminates — Spark's
+  should-run-another-batch check treats processing-time timers as
+  always-pending work, so the query keeps scheduling ~2 batches/s
+  forever even after every group is evicted (measured: batch 89+ at 0
+  state rows). Catch-up/backfill runs must therefore pass
+  ttl_ms=None and rely on the FIFO cap; the horizon only makes sense
+  on a live cadence anyway.
 - Signature agreement (fraction of the K coordinates equal) is the
   standard unbiased Jaccard estimator, so `sim_thr=0.5` ~ Jaccard 0.5.
 

@@ -99,6 +99,17 @@ def streaming_hll(
     FileSystem API — so state_dir may live on HDFS/object storage,
     matching the checkpointed-stream posture, not just the driver's
     local disk."""
+    return (
+        docs.writeStream.foreachBatch(make_fold(state_dir, out_dir, key_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+
+def make_fold(state_dir: str, out_dir: str, key_col: str):
+    """The W22 foreachBatch body (exposed like the other folds, for the
+    retry tests and the decade probe, which drives it availableNow)."""
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -132,9 +143,4 @@ def streaming_hll(
             [(int(epoch_id), float(est))], "epoch long, est_raw double"
         ).write.mode("overwrite").parquet(f"{out_dir}/epoch_id={epoch_id}")
 
-    return (
-        docs.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=trigger)
-        .start()
-    )
+    return fold

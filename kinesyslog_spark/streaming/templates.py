@@ -65,6 +65,20 @@ def streaming_new_templates(
 ) -> StreamingQuery:
     """Alert on never-seen templates; union them into the known set
     (write-then-rename, the W22 pattern)."""
+    fold = make_fold(state_dir, out_dir, message_col, max_templates)
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+
+def make_fold(state_dir: str, out_dir: str,
+              message_col: str = "message",
+              max_templates: int = DEFAULT_MAX_TEMPLATES):
+    """The W24 foreachBatch body (exposed like the other folds, for the
+    decade probe, which drives it availableNow)."""
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -104,9 +118,4 @@ def streaming_new_templates(
 
                 shutil.rmtree(prev)
 
-    return (
-        docs.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=trigger)
-        .start()
-    )
+    return fold

@@ -311,3 +311,122 @@ def test_banded_signatures_deterministic(spark):
         hashlib.md5(f"0:{s}".encode()).hexdigest() for s in sh
     )
     assert s1.split("|")[0] == want0
+
+
+def test_ttl_timeout_evicts_bucket():
+    """ProcessingTimeTimeout expiry forgets the bucket (dedup-within-a-
+    horizon): the timed-out call must remove state and emit nothing."""
+    import pandas as pd
+
+    from kinesyslog_spark.streaming.dedup import make_bucket_fn
+
+    class FakeState:
+        def __init__(self, value):
+            self.exists = value is not None
+            self.hasTimedOut = True
+            self._v = value
+            self.removed = False
+            self.timeout_set = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        def remove(self):
+            self._v, self.exists, self.removed = None, False, True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    st = FakeState(([1], ["a|b|c"]))
+    out = list(make_bucket_fn(ttl_ms=5000)(("0", "k"), iter([]), st))
+    assert st.removed
+    assert sum(len(o) for o in out) == 0
+    # non-timed-out path arms the timer
+    st2 = FakeState(None)
+    st2.hasTimedOut = False
+    pdf = pd.DataFrame([{"doc_id": 1, "sig": "a|b|c"}])
+    list(make_bucket_fn(ttl_ms=5000)(("0", "k"), iter([pdf]), st2))
+    assert st2.timeout_set == 5000
+
+
+def test_ttl_in_horizon_parity(spark, tmp_path, sf_dir):
+    """With a TTL far longer than the run, the horizon contains every
+    epoch, so the TTL path must emit EXACTLY the no-TTL output — the
+    in-horizon parity pin for dedup-within-a-horizon (SCALING_R10: the
+    probe separately shows state PLATEAU when epochs outlive the TTL).
+
+    The TTL side runs as ONE continuous processingTime query: a query
+    with ProcessingTimeTimeout never terminates under availableNow
+    (Spark treats processing-time timers as always-pending work — see
+    the module docstring's deployment caveat), so the availableNow
+    replay pattern the other parity tests use would hang here."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kinesyslog_spark.streaming.dedup import streaming_neardup
+    from kinesyslog_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    epochs = [docs.filter(F.pmod("doc_id", F.lit(3)) == e) for e in range(3)]
+
+    # no-TTL baseline: the standard per-epoch availableNow replay
+    in_b = str(tmp_path / "in_nottl")
+    ckpt_b = str(tmp_path / "ckpt_nottl")
+    out_b = str(tmp_path / "out_nottl")
+    os.makedirs(in_b)
+    for sl in epochs:
+        sl.coalesce(1).write.mode("append").parquet(in_b)
+        src = spark.readStream.schema("doc_id long, text string").parquet(in_b)
+        q = (
+            streaming_neardup(src)
+            .writeStream.format("parquet")
+            .option("path", out_b)
+            .option("checkpointLocation", ckpt_b)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+    base = sorted(
+        (r["doc_id"], r["dup_of"], r["est_sim"])
+        for r in spark.read.parquet(out_b).collect()
+    )
+    assert base, "corpus must produce near-dup candidates for this test"
+
+    # TTL side: one long-lived processingTime query fed epoch by epoch
+    in_t = str(tmp_path / "in_ttl")
+    ckpt_t = str(tmp_path / "ckpt_ttl")
+    os.makedirs(in_t)
+    epochs[0].coalesce(1).write.mode("append").parquet(in_t)
+    src = spark.readStream.schema("doc_id long, text string").parquet(in_t)
+    q = (
+        streaming_neardup(src, ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("ttl_parity_sink")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def rows():
+            return sorted(
+                (r["doc_id"], r["dup_of"], r["est_sim"])
+                for r in spark.sql("SELECT * FROM ttl_parity_sink").collect()
+            )
+
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.lastProgress:
+            time.sleep(0.5)
+        for sl in epochs[1:]:
+            sl.coalesce(1).write.mode("append").parquet(in_t)
+        while time.time() < deadline and rows() != base:
+            time.sleep(1.0)
+        assert rows() == base
+    finally:
+        q.stop()

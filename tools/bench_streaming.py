@@ -26,6 +26,24 @@ triggers. Per-epoch wall time plus state rows/bytes come from the last
 progress event (state-store twins) or the on-disk store (foreachBatch
 twins).
 
+Round 10 extends the probe to the remaining state-carrying twins
+(round-9 verdict #2) plus the W9 horizon/state-store variants
+(verdict #3):
+
+  W12 SCD2 snapshot fold        (foreachBatch; table grows O(keys) —
+      per-epoch fold reads the WHOLE current table)
+  W22 HyperLogLog               (64 registers — state O(1) by design)
+  W24 new-template detection    (set-union state, O(templates))
+  W25 scene-cut                 (per-video last-histogram state)
+  W28 retraction changelog      (merged view, O(distinct keys); the
+      fold diffs old vs new snapshot per epoch)
+  W32 spectral monitor          (1 + D + D^2 moment rows — O(1))
+  W33 projection-hash image dedup (frozen-artifact stateful twin)
+  W9_ttl / W9_rocksdb           (dedup-within-a-horizon eviction; the
+      RocksDB provider as the corpus-scale store)
+
+Filter with STREAM_TWINS=w9,w12,... (comma list; default: all).
+
 Usage:
   python tools/bench_streaming.py [sf_dir ...]
     (default: /root/testdata/sf0.1 artifacts/sf1)
@@ -49,6 +67,14 @@ from kinesyslog_spark.session import get_spark  # noqa: E402
 from kinesyslog_spark.tables import load_table  # noqa: E402
 
 EPOCHS = int(os.environ.get("STREAM_EPOCHS", "10"))
+TWINS = {
+    t.strip()
+    for t in os.environ.get(
+        "STREAM_TWINS",
+        "w9,w9c,w20,w27,w30,w12,w22,w24,w25,w28,w32,w33,w9_ttl,w9_rocksdb",
+    ).split(",")
+    if t.strip()
+}
 
 
 def _dir_bytes(path: str) -> int:
@@ -123,8 +149,9 @@ def probe_sf(spark, sf_dir: str, work: str) -> list[dict]:
             .start()
         )
 
-    r = _run_epochs(spark, work, "w9", slices, start_w9)
-    out.append({"twin": "W9_dedup", "sf_dir": sf_dir, "docs": n_docs, **r})
+    if "w9" in TWINS:
+        r = _run_epochs(spark, work, "w9", slices, start_w9)
+        out.append({"twin": "W9_dedup", "sf_dir": sf_dir, "docs": n_docs, **r})
 
     # ---- W9 coarse-group state layout (SCALING_R9) ----------------------
     from kinesyslog_spark.streaming.dedup import streaming_neardup_coarse
@@ -141,9 +168,10 @@ def probe_sf(spark, sf_dir: str, work: str) -> list[dict]:
             .start()
         )
 
-    r = _run_epochs(spark, work, "w9c", slices, start_w9c)
-    out.append({"twin": "W9_dedup_coarse", "sf_dir": sf_dir,
-                "docs": n_docs, **r})
+    if "w9c" in TWINS:
+        r = _run_epochs(spark, work, "w9c", slices, start_w9c)
+        out.append({"twin": "W9_dedup_coarse", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
 
     # ---- W20: continuous image pHash near-dup --------------------------
     img_slices = [
@@ -165,8 +193,10 @@ def probe_sf(spark, sf_dir: str, work: str) -> list[dict]:
             .start()
         )
 
-    r = _run_epochs(spark, work, "w20", img_slices, start_w20)
-    out.append({"twin": "W20_imagedup", "sf_dir": sf_dir, "docs": n_docs, **r})
+    if "w20" in TWINS:
+        r = _run_epochs(spark, work, "w20", img_slices, start_w20)
+        out.append({"twin": "W20_imagedup", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
 
     # ---- W27: continuous quality monitor (foreachBatch snapshot) -------
     # The production wrappers (streaming_quality / streaming_chunkstore)
@@ -190,9 +220,11 @@ def probe_sf(spark, sf_dir: str, work: str) -> list[dict]:
             .start()
         )
 
-    r = _run_epochs(spark, work, "w27", slices, start_w27)
-    r["state_mem"] = [_dir_bytes(st27)] * 1  # final on-disk snapshot size
-    out.append({"twin": "W27_quality", "sf_dir": sf_dir, "docs": n_docs, **r})
+    if "w27" in TWINS:
+        r = _run_epochs(spark, work, "w27", slices, start_w27)
+        r["state_mem"] = [_dir_bytes(st27)]  # final on-disk snapshot size
+        out.append({"twin": "W27_quality", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
 
     # ---- W30: CDC chunk store (foreachBatch append-only) ---------------
     st30 = os.path.join(work, "state_w30")
@@ -209,10 +241,15 @@ def probe_sf(spark, sf_dir: str, work: str) -> list[dict]:
             .start()
         )
 
-    r = _run_epochs(spark, work, "w30", slices, start_w30)
-    r["state_rows"] = [read_store(spark, st30).count()]
-    r["state_mem"] = [_dir_bytes(st30)]
-    out.append({"twin": "W30_chunkstore", "sf_dir": sf_dir, "docs": n_docs, **r})
+    if "w30" in TWINS:
+        r = _run_epochs(spark, work, "w30", slices, start_w30)
+        r["state_rows"] = [read_store(spark, st30).count()]
+        r["state_mem"] = [_dir_bytes(st30)]
+        out.append({"twin": "W30_chunkstore", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
+
+    out.extend(probe_sf_round10(spark, sf_dir, work, slices, img_slices,
+                                n_docs))
     return out
 
 
@@ -239,6 +276,368 @@ def main() -> None:
         print(f"# {rec['twin']} | {rec['sf_dir']} | {rec['docs']} | "
               f"{mean:.2f} | {slope:.2f} | {rows[-1] if rows else '-'}",
               file=sys.stderr)
+
+
+
+
+def probe_sf_round10(spark, sf_dir: str, work: str, slices, img_slices,
+                     n_docs: int) -> list[dict]:
+    """Round-10 twins (verdict #2/#3). Same epoch drive as probe_sf;
+    foreachBatch twins report final on-disk state, state-store twins the
+    per-epoch progress stats."""
+    from pyspark.sql import functions as F
+
+    out: list[dict] = []
+
+    # ---- W12: SCD2 snapshot fold (time-range epochs: SCD2 folds are
+    # order-sensitive, so epochs must be event-time splits) -------------
+    if "w12" in TWINS:
+        from kinesyslog_spark.queries.pipeline_ops import tier_expr
+        from kinesyslog_spark.streaming import cdc as _cdc
+
+        ev = load_table(spark, sf_dir, "events")
+        changes = ev.select(
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.col("event_id").alias("ord"),
+            tier_expr("value").alias("tier"),
+        )
+        lo, hi = changes.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
+        span = (hi - lo + 1) / EPOCHS
+        ch_slices = [
+            changes.filter(
+                (F.col("ts_ms") >= lo + int(e * span))
+                & (F.col("ts_ms") < lo + int((e + 1) * span))
+            )
+            for e in range(EPOCHS)
+        ]
+        tbl12 = os.path.join(work, "scd2_table")
+
+        def start_w12(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "user_id long, ts_ms long, ord long, tier string"
+            ).parquet(in_dir)
+
+            def sink(b, eid):
+                if not b.isEmpty():
+                    _cdc.apply_epoch(b.sparkSession, tbl12, eid, b)
+
+            return (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w12", ch_slices, start_w12)
+        snap = _cdc.read_scd2(spark, tbl12)
+        r["state_rows"] = [snap.count() if snap is not None else 0]
+        r["state_mem"] = [_dir_bytes(tbl12)]
+        out.append({"twin": "W12_scd2", "sf_dir": sf_dir, "docs": n_docs, **r})
+
+    # ---- W22: HyperLogLog registers (state O(1) by design) -------------
+    if "w22" in TWINS:
+        from kinesyslog_spark.streaming import hll as _hll
+
+        ev = load_table(spark, sf_dir, "events").select("user_id")
+        k_slices = [
+            ev.filter(F.pmod("user_id", F.lit(EPOCHS)) == e)
+            for e in range(EPOCHS)
+        ]
+        st22 = os.path.join(work, "state_w22")
+        out22 = os.path.join(work, "out_w22")
+
+        def start_w22(in_dir, ckpt):
+            stream = spark.readStream.schema("user_id long").parquet(in_dir)
+            return (
+                stream.writeStream.foreachBatch(
+                    _hll.make_fold(st22, out22, "user_id")
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w22", k_slices, start_w22)
+        r["state_rows"] = [64]
+        r["state_mem"] = [_dir_bytes(st22)]
+        out.append({"twin": "W22_hll", "sf_dir": sf_dir, "docs": n_docs, **r})
+
+    # ---- W24: new-template detection (state O(templates); the synth
+    # messages are log-shaped — event_type + masked numerics — so the
+    # template cardinality is the operator's contract, not the corpus) --
+    if "w24" in TWINS:
+        from kinesyslog_spark.streaming import templates as _tpl
+
+        ev = load_table(spark, sf_dir, "events")
+        msgs = ev.select(
+            "event_id",
+            F.concat(
+                F.col("event_type"), F.lit(" user="), F.col("user_id"),
+                F.lit(" value="), F.round("value", 0).cast("int"),
+            ).alias("message"),
+        )
+        m_slices = [
+            msgs.filter(F.pmod("event_id", F.lit(EPOCHS)) == e)
+            for e in range(EPOCHS)
+        ]
+        st24 = os.path.join(work, "state_w24")
+        out24 = os.path.join(work, "out_w24")
+
+        def start_w24(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "event_id long, message string"
+            ).parquet(in_dir)
+            return (
+                stream.writeStream.foreachBatch(
+                    _tpl.make_fold(st24, out24, "message")
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w24", m_slices, start_w24)
+        n_tpl = (
+            spark.read.parquet(st24).count() if os.path.isdir(st24) else 0
+        )
+        r["state_rows"] = [n_tpl]
+        r["state_mem"] = [_dir_bytes(st24)]
+        out.append({"twin": "W24_templates", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
+
+    # ---- W25: scene cuts (per-video last-histogram state) --------------
+    if "w25" in TWINS:
+        import pandas as pd  # noqa: F401
+
+        from kinesyslog_spark.streaming.scenecut import streaming_scene_cuts
+
+        n_vids = max(50, n_docs // 100)
+
+        def synth(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                dids = [int(d) for d in pdf["doc_id"]]
+                frames = []
+                for d in dids:
+                    g = (d * 37) % 256
+                    frames.append(bytes([g, g, g] * 16) * 16)  # 16x16 BGR
+                yield pd.DataFrame({
+                    "vid_id": [d % n_vids for d in dids],
+                    "frame_idx": dids,
+                    "frame": frames,
+                    "width": [16] * len(dids),
+                    "height": [16] * len(dids),
+                    "bpp": [24] * len(dids),
+                })
+
+        f_slices = [
+            sl.mapInPandas(
+                synth,
+                schema=("vid_id long, frame_idx long, frame binary, "
+                        "width int, height int, bpp int"),
+            )
+            for sl in slices
+        ]
+
+        def start_w25(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "vid_id long, frame_idx long, frame binary, "
+                "width int, height int, bpp int"
+            ).parquet(in_dir)
+            return (
+                streaming_scene_cuts(stream)
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w25", f_slices, start_w25)
+        out.append({"twin": "W25_scenecut", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
+
+    # ---- W28: retraction changelog (merged view O(keys); the fold
+    # diffs old vs new snapshot per epoch — O(view) epoch cost) ----------
+    if "w28" in TWINS:
+        from kinesyslog_spark.streaming import changelog as _cl
+
+        ev = load_table(spark, sf_dir, "events").select("event_id",
+                                                        "user_id", "value")
+        e_slices = [
+            ev.filter(F.pmod("event_id", F.lit(EPOCHS)) == e)
+            for e in range(EPOCHS)
+        ]
+        st28 = os.path.join(work, "state_w28")
+        out28 = os.path.join(work, "out_w28")
+
+        def start_w28(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "event_id long, user_id long, value double"
+            ).parquet(in_dir)
+            return (
+                stream.writeStream.foreachBatch(
+                    _cl.make_fold(out28, st28, "user_id", "value")
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w28", e_slices, start_w28)
+        from kinesyslog_spark.streaming.epoch_state import latest_state_epoch
+
+        le = latest_state_epoch(spark, st28)
+        r["state_rows"] = [
+            spark.read.parquet(f"{st28}/epoch={le}").count()
+            if le is not None else 0
+        ]
+        r["state_mem"] = [_dir_bytes(st28)]
+        out.append({"twin": "W28_changelog", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
+
+    # ---- W32: spectral monitor (1 + D + D^2 moment rows, O(1)) ---------
+    if "w32" in TWINS:
+        from kinesyslog_spark.streaming import spectral as _sp
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("emb")
+        )
+        v_slices = [
+            emb.filter(F.pmod("vec_id", F.lit(EPOCHS)) == e)
+            for e in range(EPOCHS)
+        ]
+        st32 = os.path.join(work, "state_w32")
+        out32 = os.path.join(work, "out_w32")
+
+        def start_w32(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "vec_id long, emb array<float>"
+            ).parquet(in_dir)
+            return (
+                stream.writeStream.foreachBatch(
+                    _sp.make_fold(out32, st32, "emb")
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w32", v_slices, start_w32)
+        from kinesyslog_spark.streaming.epoch_state import latest_state_epoch
+
+        le = latest_state_epoch(spark, st32)
+        r["state_rows"] = [
+            spark.read.parquet(f"{st32}/epoch={le}").count()
+            if le is not None else 0
+        ]
+        r["state_mem"] = [_dir_bytes(st32)]
+        out.append({"twin": "W32_spectral", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
+
+    # ---- W33: projection-hash image dedup (frozen QUANTIZED artifact —
+    # the corpus-scale form; broadcast by streaming_projdup) -------------
+    if "w33" in TWINS:
+        from kinesyslog_spark.streaming.projdup import (
+            quantized_projection_artifacts,
+            streaming_projdup,
+        )
+
+        art = quantized_projection_artifacts(spark, sf_dir)
+
+        def start_w33(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "img_id long, payload binary"
+            ).parquet(in_dir)
+            return (
+                streaming_projdup(stream, art)
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w33", img_slices, start_w33)
+        out.append({"twin": "W33_projdup", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
+
+    # ---- W9 with a TTL horizon: state must PLATEAU at the horizon ------
+    # NOT driven availableNow-per-epoch like the others: a query with
+    # ProcessingTimeTimeout never terminates under Trigger.AvailableNow
+    # (Spark treats processing-time timers as always-pending work — the
+    # round-10 repro measured batch 89+ at 0 state rows, ~2 batches/s
+    # forever). The TTL contract is a live-cadence feature, so the probe
+    # drives ONE long-lived processingTime query and appends an epoch
+    # file per cadence tick, sampling state size from progress events.
+    if "w9_ttl" in TWINS:
+        from kinesyslog_spark.streaming.dedup import streaming_neardup
+
+        ttl_ms = int(os.environ.get("STREAM_TTL_MS", "8000"))
+        gap_s = float(os.environ.get("STREAM_TTL_GAP_S", "6"))
+        in_dir = os.path.join(work, "in_w9_ttl")
+        ckpt = os.path.join(work, "ckpt_w9_ttl")
+        os.makedirs(in_dir, exist_ok=True)
+        slices[0].coalesce(1).write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(in_dir)
+        q = (
+            streaming_neardup(stream, ttl_ms=ttl_ms)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="2 seconds")
+            .start()
+        )
+        lat, rows_series, mem_series = [], [], []
+        try:
+            for sl in slices[1:]:
+                t0 = time.perf_counter()
+                sl.coalesce(1).write.mode("append").parquet(in_dir)
+                time.sleep(gap_s)
+                lat.append(round(time.perf_counter() - t0, 2))
+                rows, mem = _state_op_stats(q)
+                rows_series.append(rows)
+                mem_series.append(mem)
+        finally:
+            q.stop()
+        out.append({
+            "twin": "W9_dedup_ttl", "sf_dir": sf_dir, "docs": n_docs,
+            "epoch_sec": lat, "state_rows": rows_series,
+            "state_mem": mem_series, "ttl_ms": ttl_ms,
+            "note": "continuous processingTime drive (TTL is incompatible "
+                    "with availableNow; see streaming/dedup.py)",
+        })
+
+    # ---- W9 on the RocksDB state store (the corpus-scale default) ------
+    if "w9_rocksdb" in TWINS:
+        from kinesyslog_spark.session import (
+            disable_rocksdb_state,
+            enable_rocksdb_state,
+        )
+        from kinesyslog_spark.streaming.dedup import streaming_neardup
+
+        def start_w9r(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).parquet(in_dir)
+            return (
+                streaming_neardup(stream)
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        enable_rocksdb_state(spark)
+        try:
+            r = _run_epochs(spark, work, "w9_rocks", slices, start_w9r)
+        finally:
+            disable_rocksdb_state(spark)
+        out.append({"twin": "W9_dedup_rocksdb", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
+
+    return out
 
 
 if __name__ == "__main__":
