@@ -99,3 +99,4 @@ from kinesyslog_spark.queries import robust  # noqa: E402,F401
 from kinesyslog_spark.queries import lshaudit  # noqa: E402,F401
 from kinesyslog_spark.queries import dedupsweep  # noqa: E402,F401
 from kinesyslog_spark.queries import imageresolve  # noqa: E402,F401
+from kinesyslog_spark.queries import provenance  # noqa: E402,F401
