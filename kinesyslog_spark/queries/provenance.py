@@ -64,17 +64,16 @@ def q177_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = hot_table(spark, sf_dir, "documents").select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
-    # the source frame is tiny relative to the corpus scan it prunes to
-    # (two columns) and far under the broadcast threshold at any SF the
-    # pair graph itself is tractable at
-    tagged = (
-        pairs.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
-        .select(
-            F.least("sa", "sb").alias("src_lo"),
-            F.greatest("sa", "sb").alias("src_hi"),
-            F.floor(F.col("jaccard") * 10000 + 0.5).cast("long").alias("j4"),
-        )
+    # Broadcast the PAIR side, stream the corpus: the verified pair
+    # graph is orders of magnitude below the corpus, while (doc_id,
+    # source) is corpus-cardinality — broadcasting it would ship the
+    # whole documents table to every executor at 100 TB. Each join's
+    # output stays pair-sized, so the second hop broadcasts too.
+    t1 = a.join(F.broadcast(pairs), "doc_a").select("doc_b", "sa", "jaccard")
+    tagged = b.join(F.broadcast(t1), "doc_b").select(
+        F.least("sa", "sb").alias("src_lo"),
+        F.greatest("sa", "sb").alias("src_hi"),
+        F.floor(F.col("jaccard") * 10000 + 0.5).cast("long").alias("j4"),
     )
     return (
         tagged.groupBy("src_lo", "src_hi")
@@ -150,4 +149,52 @@ def q178_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("tokens_total"),
         )
         .orderBy("source")
+    )
+
+
+def _q180_oracle() -> str:
+    return f"""
+    WITH clus AS (
+      SELECT doc_id, cluster_id, cluster_size
+      FROM ({ORACLE["q40_dedup_clusters"]})
+    ), per AS (
+      SELECT cluster_id, MAX(cluster_size) AS sz FROM clus GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS docs_in_clusters,
+           CAST(SUM(sz - 1) AS BIGINT) AS docs_removable
+    FROM per
+    GROUP BY sz
+    ORDER BY sz
+    """
+
+
+@query("q180_cluster_size_spectrum", oracle=_q180_oracle())
+def q180_cluster_size_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup report's first chart: how large do near-dup clusters
+    get, how many docs sit in clusters, and how many are removable
+    (size - 1 per cluster under any one-survivor rule). A heavy tail
+    here means boilerplate families that the hot-bucket cap and exact
+    dedup should be catching instead — the number that decides whether
+    to tighten the LSH threshold before a 100 TB run."""
+    from kinesyslog_spark.queries.cluster import cluster_labels
+
+    per = (
+        cluster_labels(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.max("cluster_size").alias("sz"))
+    )
+    return (
+        per.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("docs_in_clusters"),
+            F.sum(F.col("sz") - 1).cast("long").alias("docs_removable"),
+        )
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters", "docs_in_clusters", "docs_removable",
+        )
+        .orderBy("cluster_size")
     )
