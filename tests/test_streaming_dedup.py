@@ -399,10 +399,15 @@ def test_ttl_in_horizon_parity(spark, tmp_path, sf_dir):
     )
     assert base, "corpus must produce near-dup candidates for this test"
 
-    # TTL side: one long-lived processingTime query fed epoch by epoch
+    # TTL side: one long-lived processingTime query fed epoch by epoch.
+    # Each epoch must land in its OWN micro-batch (dup_of orientation is
+    # arrival-defined; two epochs merged into one batch fall back to the
+    # doc_id order and can flip orientation vs the per-epoch baseline),
+    # so the feed waits until the source has consumed everything written
+    # so far before appending the next epoch.
     in_t = str(tmp_path / "in_ttl")
-    ckpt_t = str(tmp_path / "ckpt_ttl")
     os.makedirs(in_t)
+    counts = [sl.count() for sl in epochs]
     epochs[0].coalesce(1).write.mode("append").parquet(in_t)
     src = spark.readStream.schema("doc_id long, text string").parquet(in_t)
     q = (
@@ -420,11 +425,19 @@ def test_ttl_in_horizon_parity(spark, tmp_path, sf_dir):
                 for r in spark.sql("SELECT * FROM ttl_parity_sink").collect()
             )
 
-        deadline = time.time() + 60
-        while time.time() < deadline and not q.lastProgress:
-            time.sleep(0.5)
-        for sl in epochs[1:]:
+        def consumed():
+            return sum(
+                int(p["numInputRows"]) for p in (q.recentProgress or [])
+            )
+
+        deadline = time.time() + 240
+        written = counts[0]
+        for sl, c in zip(epochs[1:], counts[1:]):
+            while time.time() < deadline and consumed() < written:
+                time.sleep(0.5)
+            assert consumed() >= written, "source failed to catch up"
             sl.coalesce(1).write.mode("append").parquet(in_t)
+            written += c
         while time.time() < deadline and rows() != base:
             time.sleep(1.0)
         assert rows() == base
