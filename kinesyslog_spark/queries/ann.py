@@ -106,7 +106,7 @@ def q29_lsh_bucket_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET, cap_hot_buckets
 
-    e = cap_hot_buckets(e, ["bucket"], LSH_MAX_BUCKET)
+    e = cap_hot_buckets(e, ["bucket"], LSH_MAX_BUCKET, id_col="vec_id")
     x = e.select("bucket", F.col("vec_id").alias("vec_id"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
     y = e.select("bucket", F.col("vec_id").alias("nn_id"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
     pairs = (

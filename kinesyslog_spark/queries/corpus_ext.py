@@ -213,9 +213,13 @@ def q96_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # budget the query refuses to launch and names the scale dials.
     from kinesyslog_spark.queries.dedup import _lsh_slot_budget_check
 
+    # family "minhash_bands:asym": same bands frame as q26/q163 but the
+    # side-form estimate (n_new*n_old per bucket) is a DIFFERENT number
+    # than the symmetric C(n,2) form — it must not share their memo.
     _lsh_slot_budget_check(
         "q96_incremental_neardup", bands, ["band_idx", "band_key"],
         LSH_MAX_BUCKET, side=is_new, cache_key=sf_dir.rstrip("/"),
+        family="minhash_bands:asym",
     )
     bands = cap_hot_buckets(bands, ["band_idx", "band_key"], LSH_MAX_BUCKET)
     new_b = bands.filter(is_new).select(

@@ -206,7 +206,8 @@ def _par(df: DataFrame) -> int:
 
 
 def cap_hot_buckets(keyed: DataFrame, key_cols: list[str],
-                    max_bucket: int | None) -> DataFrame:
+                    max_bucket: int | None,
+                    id_col: str = "doc_id") -> DataFrame:
     """Drop buckets with more than `max_bucket` members before a bucket
     self-join.
 
@@ -217,12 +218,18 @@ def cap_hot_buckets(keyed: DataFrame, key_cols: list[str],
     degrades only for docs whose every band is hot, which at the default
     cap means near-identical boilerplate that exact dedup (q20) already
     collapses. The aggregation is a cheap count per bucket key +
-    broadcast-sized anti-join."""
+    broadcast-sized anti-join.
+
+    Bucket size is COUNT(DISTINCT id_col) — the same definition
+    lsh_slot_estimate and _pair_candidates' in-aggregate size filter
+    use, so the budget's admitted/excluded split always mirrors what
+    this cap actually drops (a caller with duplicate (id, key) rows
+    would otherwise see the two guards disagree)."""
     if not max_bucket:
         return keyed
     hot = (
         keyed.groupBy(*key_cols)
-        .agg(F.count("*").alias("_n"))
+        .agg(F.countDistinct(id_col).alias("_n"))
         .filter(F.col("_n") > max_bucket)
         .select(*key_cols)
     )
@@ -261,14 +268,16 @@ def lsh_slot_estimate(keyed: DataFrame, key_cols: list[str],
 # of (corpus, blocking scheme, cap), and the signature frames it reads
 # are themselves session-memoized — re-running the aggregate on every
 # query call measured ~1 s at sf0.1 (a 12% headline hit on q26).
-# Keyed by (spark id, family name, caller-supplied corpus key, cap,
-# rows dial); cleared with the session.
+# Keyed by (spark id, BLOCKING FAMILY, caller-supplied corpus key, cap,
+# rows dial) — family, not caller name, so q26/q163 (identical minhash
+# bands frame) share one estimate per corpus. Cleared by
+# tables.release_hot alongside the DataFrame memos.
 _SLOT_EST_CACHE: dict[tuple, tuple[int, int]] = {}
 
 
 def _lsh_slot_budget_check(name: str, keyed: DataFrame, key_cols: list[str],
                            max_bucket: int | None, side=None,
-                           cache_key=None) -> None:
+                           cache_key=None, family: str | None = None) -> None:
     """Fail fast if a band-bucket expansion would emit more candidate
     pair slots than LSH_MAX_SLOTS.
 
@@ -288,7 +297,8 @@ def _lsh_slot_budget_check(name: str, keyed: DataFrame, key_cols: list[str],
     from kinesyslog_spark.queries.resolution import CandidateBudgetExceeded
 
     memo = (
-        (id(keyed.sparkSession), name, cache_key, max_bucket, NGRAM_ROWS)
+        (id(keyed.sparkSession), family or name, cache_key, max_bucket,
+         NGRAM_ROWS)
         if cache_key is not None else None
     )
     got = _SLOT_EST_CACHE.get(memo) if memo else None
@@ -321,7 +331,8 @@ _USE_GLOBAL_CAP = object()  # sentinel: resolve LSH_MAX_BUCKET at call time
 def _pair_candidates(keyed: DataFrame, key_cols: list[str],
                      max_bucket=_USE_GLOBAL_CAP,
                      name: str = "LSH",
-                     budget_cache_key=None) -> DataFrame:
+                     budget_cache_key=None,
+                     budget_family: str | None = None) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing every key column.
 
     One groupBy per bucket key collects the member set, applies the
@@ -340,7 +351,8 @@ def _pair_candidates(keyed: DataFrame, key_cols: list[str],
     if max_bucket is _USE_GLOBAL_CAP:
         max_bucket = LSH_MAX_BUCKET
     _lsh_slot_budget_check(name, keyed, key_cols, max_bucket,
-                           cache_key=budget_cache_key)
+                           cache_key=budget_cache_key,
+                           family=budget_family)
     members = (
         keyed.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_set("doc_id")).alias("_ms"))
@@ -453,7 +465,8 @@ def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bd.band_idx", "bd.band_key")
     cand = _pair_candidates(bands, ["band_idx", "band_key"],
                             name="q26_minhash_lsh",
-                            budget_cache_key=sf_dir.rstrip("/"))
+                            budget_cache_key=sf_dir.rstrip("/"),
+                            budget_family="minhash_bands")
     return _verify_jaccard(cand, sh, JACCARD_THR)
 
 
@@ -683,7 +696,8 @@ def ngram_candidates(
     try:
         cand = _pair_candidates(blocked, ["t", "bk", "bucket"],
                                 name="q28_ngram_jaccard",
-                                budget_cache_key=sf_dir.rstrip("/"))
+                                budget_cache_key=sf_dir.rstrip("/"),
+                                budget_family="ngram_bands")
     except Exception:
         # abort path must not leak the persisted frames
         base.unpersist()

@@ -13,8 +13,10 @@ training-data curation team reads weekly:
   both engines aggregate identically in any order.
 - q178 dedup token savings per source: the q40 clusters with q107's
   quality-rule survivors — every non-survivor member is a dropped doc;
-  group the dropped docs' exact whitespace-token counts by source.
-  THE number a dedup deployment is judged on (tokens saved vs corpus).
+  group the dropped docs' canonical-tokenizer ([a-z0-9]+ over
+  lower(text), the hot_tokens stream both engines count) token counts
+  by source. THE number a dedup deployment is judged on (tokens saved
+  vs corpus).
 
 Scale notes: both ride the session-memoized family artifacts
 (hot_shingle_sigs / cluster_labels) — the pair graph and clusters are

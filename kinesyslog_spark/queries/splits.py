@@ -124,7 +124,8 @@ def q163_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bd.band_idx", "bd.band_key")
     cand = _pair_candidates(bands, ["band_idx", "band_key"],
                             name="q163_split_leakage",
-                            budget_cache_key=sf_dir.rstrip("/"))
+                            budget_cache_key=sf_dir.rstrip("/"),
+                            budget_family="minhash_bands")
     ver = _verify_jaccard(cand, sh, JACCARD_THR)
     sp = hot_table(spark, sf_dir, "documents").select(
         "doc_id", split_assignment(F.col("doc_id")).alias("split")

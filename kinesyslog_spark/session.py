@@ -102,3 +102,32 @@ def disable_rocksdb_state(spark: SparkSession) -> None:
         "spark.sql.streaming.stateStore.rocksdb."
         "changelogCheckpointing.enabled"
     )
+
+
+def auto_rocksdb_for_unbounded_state(spark: SparkSession) -> bool:
+    """Default-on RocksDB for the corpus-linear-state twins.
+
+    The streaming operators whose state grows with the corpus (W9/W20/
+    W33 near-dup without a TTL horizon) call this when they build their
+    stateful stage: measurements (SCALING_R10 §6: 2.38 GB on-heap vs
+    ~14 MB provider memory at 500k docs, latency parity) say RocksDB is
+    the only sane default there, and a default that matters must BE the
+    default — not a doc sentence pointing at enable_rocksdb_state.
+
+    Respects an explicit choice: if the session already sets ANY
+    providerClass (the user picked a store) this is a no-op, and
+    SPARK_GRAFT_ROCKSDB_AUTO=0 disables the auto-flip globally (e.g.
+    to A/B the on-heap provider). The conf is read at query START, so
+    this affects queries started after the operator is built — callers
+    resuming a checkpoint created under another provider must pin that
+    provider explicitly (flipping providers across restarts of one
+    checkpoint is never safe). Returns True if the conf was applied."""
+    from kinesyslog_spark.env import env_int
+
+    if not env_int("SPARK_GRAFT_ROCKSDB_AUTO", 1):
+        return False
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if spark.conf.get(key, None):
+        return False
+    enable_rocksdb_state(spark)
+    return True

@@ -222,7 +222,15 @@ def streaming_neardup(docs: DataFrame, text_col: str = "text",
     """Continuous near-dup candidates over a (streaming) document frame.
 
     Returns (doc_id, dup_of, est_sim) rows, possibly repeated across
-    bands; `min(dup_of)` per doc_id is the canonical representative."""
+    bands; `min(dup_of)` per doc_id is the canonical representative.
+
+    Without a TTL horizon state is corpus-linear (~4 rows/doc), so the
+    RocksDB store is auto-enabled for the session unless the caller
+    pinned a provider (session.auto_rocksdb_for_unbounded_state)."""
+    if ttl_ms is None:
+        from kinesyslog_spark.session import auto_rocksdb_for_unbounded_state
+
+        auto_rocksdb_for_unbounded_state(docs.sparkSession)
     banded = banded_signatures(docs, text_col, id_col)
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
                else GroupStateTimeout.NoTimeout)
@@ -334,6 +342,10 @@ def streaming_neardup_coarse(docs: DataFrame, text_col: str = "text",
                              groups: int = COARSE_GROUPS) -> DataFrame:
     """streaming_neardup with the coarse-group state layout: identical
     candidate output, ~G state keys instead of one per LSH bucket."""
+    if ttl_ms is None:
+        from kinesyslog_spark.session import auto_rocksdb_for_unbounded_state
+
+        auto_rocksdb_for_unbounded_state(docs.sparkSession)
     banded = banded_signatures(docs, text_col, id_col).withColumn(
         "gid",
         F.pmod(F.hash("band_idx", "band_key"), F.lit(groups)).cast("int"),

@@ -217,6 +217,17 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     for key in list(_CENTROID_CACHE):  # plain lists, no unpersist needed
         if key[0] == id(spark) and (sf_dir is None or key[1] == sf_dir.rstrip("/")):
             _CENTROID_CACHE.pop(key)
+    from kinesyslog_spark.queries.dedup import _SLOT_EST_CACHE
+
+    # plain (adm, cap) ints, but keyed on id(spark) — CPython can reuse
+    # the id after the old session is GC'd, so stale entries must go
+    # with the session like every other memo. Corpus key is key[2]
+    # (key = (spark_id, family, corpus_key, cap, rows)).
+    for key in list(_SLOT_EST_CACHE):
+        if key[0] == id(spark) and (
+            sf_dir is None or key[2] == sf_dir.rstrip("/")
+        ):
+            _SLOT_EST_CACHE.pop(key)
     n = 0
     for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE,
                   _CLUSTER_CACHE, _PHASH_CACHE, _IMG_PAIR_CACHE):

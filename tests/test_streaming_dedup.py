@@ -425,10 +425,17 @@ def test_ttl_in_horizon_parity(spark, tmp_path, sf_dir):
                 for r in spark.sql("SELECT * FROM ttl_parity_sink").collect()
             )
 
+        # recentProgress retains only ~100 events, so summing the window
+        # undercounts once older non-empty batches roll off (1 s trigger
+        # x 240 s deadline >> 100). Accumulate per-batchId counts across
+        # polls instead — the 0.5 s poll cadence is well under the 100-
+        # batch retention horizon, so no batch can roll off unseen.
+        seen_batches: dict[int, int] = {}
+
         def consumed():
-            return sum(
-                int(p["numInputRows"]) for p in (q.recentProgress or [])
-            )
+            for p in q.recentProgress or []:
+                seen_batches[int(p["batchId"])] = int(p["numInputRows"])
+            return sum(seen_batches.values())
 
         deadline = time.time() + 240
         written = counts[0]

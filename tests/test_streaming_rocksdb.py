@@ -100,3 +100,73 @@ def test_w9_neardup_on_rocksdb_state(spark, tmp_path):
             "spark.sql.streaming.stateStore.providerClass"
         ]
     )
+
+
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
+
+
+def test_w9_default_path_auto_selects_rocksdb(spark, tmp_path):
+    """Round-10 verdict #3: RocksDB is DOCUMENTED as the corpus-scale
+    default for the no-TTL (corpus-linear-state) twins — so the default
+    path must actually select it, live, without the caller knowing
+    about enable_rocksdb_state."""
+    in_dir = str(tmp_path / "docs")
+    os.makedirs(in_dir)
+    _write_json(os.path.join(in_dir, "b1.json"), [
+        {"doc_id": 1, "text": _text()},
+        {"doc_id": 3, "text": _text(perturb=5)},
+    ])
+    docs = spark.readStream.schema("doc_id long, text string").json(in_dir)
+    try:
+        spark.conf.unset(_PROVIDER_KEY)
+    except Exception:
+        pass
+    try:
+        out = streaming_neardup(docs)  # no TTL -> auto-flip at build time
+        assert (
+            spark.conf.get(_PROVIDER_KEY, None)
+            == ROCKSDB_STATE_CONF[_PROVIDER_KEY]
+        ), "no-TTL streaming_neardup did not auto-enable RocksDB"
+        q = (
+            out.writeStream.format("memory")
+            .queryName("auto_rocksdb_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+            prog = q.lastProgress
+            ops = prog["stateOperators"] if prog else []
+            assert ops, f"no state operators in progress: {prog}"
+            metrics = ops[0].get("customMetrics", {})
+            assert any(k.startswith("rocksdb") for k in metrics), (
+                f"default path not on RocksDB; metrics {sorted(metrics)}"
+            )
+        finally:
+            q.stop()
+    finally:
+        disable_rocksdb_state(spark)
+
+
+def test_auto_rocksdb_respects_pinned_provider_and_dial(
+    spark, monkeypatch
+):
+    """The auto-flip is a default, not a mandate: an explicitly pinned
+    provider wins, and SPARK_GRAFT_ROCKSDB_AUTO=0 disables it."""
+    from kinesyslog_spark.session import auto_rocksdb_for_unbounded_state
+
+    spark.conf.set(_PROVIDER_KEY, _HDFS_PROVIDER)
+    try:
+        assert auto_rocksdb_for_unbounded_state(spark) is False
+        assert spark.conf.get(_PROVIDER_KEY) == _HDFS_PROVIDER
+    finally:
+        spark.conf.unset(_PROVIDER_KEY)
+
+    monkeypatch.setenv("SPARK_GRAFT_ROCKSDB_AUTO", "0")
+    assert auto_rocksdb_for_unbounded_state(spark) is False
+    assert spark.conf.get(_PROVIDER_KEY, None) is None
