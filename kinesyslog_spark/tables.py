@@ -209,7 +209,7 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     when a dataset's query family is done. Next access rebuilds."""
     from kinesyslog_spark.queries.ann import _IVF_CACHE
     from kinesyslog_spark.queries.cluster import _CLUSTER_CACHE
-    from kinesyslog_spark.queries.dedup import _SIG_CACHE
+    from kinesyslog_spark.queries.dedup import _SIG_CACHE, _SIMHASH_CACHE
     from kinesyslog_spark.queries.imagehash import _PHASH_CACHE
     from kinesyslog_spark.queries.imageresolve import _IMG_PAIR_CACHE
     from kinesyslog_spark.queries.semantic import _CENTROID_CACHE, _KMEANS_CACHE
@@ -230,7 +230,8 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
             _SLOT_EST_CACHE.pop(key)
     n = 0
     for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE,
-                  _CLUSTER_CACHE, _PHASH_CACHE, _IMG_PAIR_CACHE):
+                  _SIMHASH_CACHE, _CLUSTER_CACHE, _PHASH_CACHE,
+                  _IMG_PAIR_CACHE):
         for key in list(cache):
             if key[0] != id(spark):
                 continue

@@ -204,7 +204,14 @@ def test_lsh_families_route_hot_bucket_cap(spark, sf_dir, monkeypatch):
         "q96_incremental_neardup",
         "q117_edit_distance_pairs",
     ]:
-        assert QUERIES[name](spark, sf_dir).count() == 0, (
+        got = QUERIES[name](spark, sf_dir)
+        if name == "q27_simhash_pairs":
+            # q27's identical-fingerprint (hamming-0) pairs come from
+            # the distinct-fp GROUP, not from any bucket join — only
+            # the blocked (hamming > 0) candidates route through the
+            # cap, so only those must vanish.
+            got = got.filter("hamming > 0")
+        assert got.count() == 0, (
             f"{name} emitted candidate pairs with every bucket over the "
             "hot-bucket cap — its candidate generation bypasses "
             "cap_hot_buckets"
@@ -449,16 +456,22 @@ def test_q26_q28_slot_budget_guardrail(spark, sf_dir, monkeypatch):
 
 def test_q27_q96_slot_budget_guardrail(spark, sf_dir, monkeypatch):
     """q27's codegen self-join and q96's asymmetric probe join get the
-    same fail-fast budget; q27's persisted fingerprint frame must not
-    leak on abort."""
+    same fail-fast budget; the abort must not leak any per-call
+    persisted frames (the session family artifacts — hot_simhash_groups
+    for q27, hot_shingle_sigs for q96 — are pre-warmed below and are
+    release_hot's responsibility, not the abort path's)."""
     import pytest
 
     import kinesyslog_spark.queries.dedup as dd
-    from kinesyslog_spark.queries.dedup import hot_shingle_sigs
+    from kinesyslog_spark.queries.dedup import (
+        hot_shingle_sigs,
+        hot_simhash_groups,
+    )
     from kinesyslog_spark.queries.resolution import CandidateBudgetExceeded
     from kinesyslog_spark.tables import hot_tokens
 
     hot_tokens(spark, sf_dir)
+    hot_simhash_groups(spark, sf_dir)
     before = _persistent_rdd_ids(spark)
     monkeypatch.setattr(dd, "LSH_MAX_SLOTS", 1)
     with pytest.raises(CandidateBudgetExceeded, match="W9"):

@@ -66,24 +66,11 @@ def main() -> None:
                    side=F.col("doc_id") % NEW_MOD == NEW_REM)
 
     if "q27" in which:
-        from kinesyslog_spark.operators.text import simhash_df
-        from kinesyslog_spark.tables import hot_tokens
-
-        toks = hot_tokens(spark, sf_dir).filter(F.size("toks") >= 1)
-        fps = simhash_df(toks, ["doc_id"], "toks").select("doc_id", "fp")
-        blocks = fps.select(
-            "doc_id",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("block_idx"),
-                        F.substring("fp", off, w).alias("block_val"),
-                    )
-                    for b, (off, w) in enumerate(dd._simhash_block_bounds())
-                ])
-            ).alias("bk"),
-        ).select("doc_id", "bk.block_idx", "bk.block_val")
-        record("q27_simhash_pairs", blocks, ["block_idx", "block_val"])
+        # the registered q27 stages exactly: distinct-fp collapse, bias-
+        # balanced snake blocks, C(10,6) combo keys (one rep per fp)
+        _grp, blk = dd.hot_simhash_groups(spark, sf_dir)
+        keyed = dd.combo_keyed(blk).select("doc_id", "cid", "ckey")
+        record("q27_simhash_pairs", keyed, ["cid", "ckey"])
 
     if "q28" in which:
         from kinesyslog_spark.operators.text import char_grams, minhash_df
