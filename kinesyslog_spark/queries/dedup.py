@@ -915,30 +915,40 @@ def _ngram_oracle() -> str:
     """
 
 
-def ngram_candidates(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """q28's blocking as a reusable stage: returns (cand, base) where
-    cand = distinct (doc_a < doc_b) candidate pairs and base = persisted
-    (doc_id, n, sh). Shared with q117's edit-distance verify.
+def ngram_candidates_frame(
+    docs: DataFrame,
+    rows: int | None = None,
+    name: str = "ngram_candidates",
+    budget_cache_key=None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Engine-API form of q28's blocking over an ARBITRARY
+    (doc_id, text) frame: returns (cand, base, rows_used) where cand =
+    distinct (doc_a < doc_b) candidate pairs and base = persisted
+    (doc_id, n, sh).
 
-    Blocking = length band (prefix filter) AND an NGRAM_ROWS-row
-    MinHash band agreeing in one of NGRAM_BANDS tables — (8, 3), the
-    LSH tuning for the jaccard 0.5 threshold; see the constants' note
-    for the chance-candidate math and the measured sf1 blowup that
-    retired the earlier 2-row scheme. The 24 minhash coordinates cost
-    the same explode+md5 pass as 2 did (two-hash scheme: extra
-    coordinates are extra MIN aggregates, not extra hashes). Pair
-    expansion is the grouped single-shuffle form (high-entropy-key
+    rows=None derives the LSH rows dial from the MATERIALIZED
+    signature count via auto_ngram_rows — the graph.py pattern of
+    deriving a scale dial from the data at call time, so an engine-API
+    caller with a 500k-doc frame gets rows=4 (the measured sf10
+    setting) without knowing about SPARK_GRAFT_NGRAM_ROWS. The
+    REGISTERED q28 path passes rows=NGRAM_ROWS explicitly: its DuckDB
+    oracle reads the same constant at registration time, so a
+    data-dependent value there would break engine/oracle lockstep.
+
+    Blocking = length band (prefix filter) AND a rows-row MinHash band
+    agreeing in one of NGRAM_BANDS tables; see the constants' note for
+    the chance-candidate math. The bands*rows minhash coordinates cost
+    the same explode+md5 pass regardless of rows (two-hash scheme:
+    extra coordinates are extra MIN aggregates, not extra hashes).
+    Pair expansion is the grouped single-shuffle form (high-entropy-key
     rule: md5 band keys make near-singleton buckets). The
-    |na - nb| <= LEN_BAND refinement rides the caller's verify join
-    — blocking already bounds it below 2 bands, and the n column is on
+    |na - nb| <= LEN_BAND refinement rides the caller's verify join —
+    blocking already bounds it below 2 bands, and the n column is on
     the same persisted row as the shingles."""
-    docs = hot_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= NGRAM_BLOCK_N
-    )
+    docs = docs.filter(F.length("text") >= NGRAM_BLOCK_N)
     # Persisted: feeds both verify-join sides (5-gram shingles — the
-    # declared similarity measure).
+    # declared similarity measure) AND, when rows is underived, the
+    # count that picks the dial.
     base = persist_now(
         docs.select(
             "doc_id",
@@ -946,6 +956,8 @@ def ngram_candidates(
             char_grams(F.col("text"), NGRAM_N).alias("sh"),
         )
     )
+    if rows is None:
+        rows = auto_ngram_rows(base.count())
     # Blocking signatures run over the LONGER 9-gram shingles (see the
     # NGRAM_BLOCK_N note): same minhash machinery, different gram size.
     keyed = persist_now(
@@ -957,7 +969,7 @@ def ngram_candidates(
             ),
             ["doc_id", "n"],
             "sh_b",
-            NGRAM_BANDS * NGRAM_ROWS,
+            NGRAM_BANDS * rows,
         )
     )
     blocked = (
@@ -965,8 +977,8 @@ def ngram_candidates(
             "doc_id", "n",
             F.explode(
                 lsh_band_keys(
-                    [f"mh{i}" for i in range(NGRAM_BANDS * NGRAM_ROWS)],
-                    NGRAM_BANDS, NGRAM_ROWS,
+                    [f"mh{i}" for i in range(NGRAM_BANDS * rows)],
+                    NGRAM_BANDS, rows,
                 )
             ).alias("bd"),
             ((F.col("n") / LEN_BAND).cast("int")).alias("b0"),
@@ -979,15 +991,37 @@ def ngram_candidates(
         )
     )
     try:
+        # the memo tuple carries the global NGRAM_ROWS, not the local
+        # dial — fold the actual rows into the corpus key so derived-
+        # rows callers can never share an entry across dials
+        memo_key = (
+            (budget_cache_key, rows)
+            if budget_cache_key is not None else None
+        )
         cand = _pair_candidates(blocked, ["t", "bk", "bucket"],
-                                name="q28_ngram_jaccard",
-                                budget_cache_key=sf_dir.rstrip("/"),
+                                name=name,
+                                budget_cache_key=memo_key,
                                 budget_family="ngram_bands")
     except Exception:
         # abort path must not leak the persisted frames
         base.unpersist()
         keyed.unpersist()
         raise
+    return cand, base, rows
+
+
+def ngram_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """q28's registered blocking: ngram_candidates_frame over the
+    `documents` table at the oracle-lockstep NGRAM_ROWS dial. Shared
+    with q117's edit-distance verify."""
+    cand, base, _rows = ngram_candidates_frame(
+        hot_table(spark, sf_dir, "documents"),
+        rows=NGRAM_ROWS,
+        name="q28_ngram_jaccard",
+        budget_cache_key=sf_dir.rstrip("/"),
+    )
     return cand, base
 
 

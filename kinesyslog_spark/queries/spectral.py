@@ -161,11 +161,39 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot_lit(vec: list[float], mu: list[float]) -> Column:
-    """(x - mu) . v as an explicit left-associated 64-term expression."""
+    """(x - mu) . v as an explicit left-associated 64-term expression.
+    (Reference form; the hot loop uses _dot_arrays — identical values.)"""
     e = (F.col("emb")[0] - F.lit(mu[0])) * F.lit(vec[0])
     for j in range(1, EMB_DIM):
         e = e + (F.col("emb")[j] - F.lit(mu[j])) * F.lit(vec[j])
     return e
+
+
+def _dot_arrays(vec: list[float], mu: list[float]) -> Column:
+    """(x - mu) . v with the round parameters as ARRAY literals +
+    zip_with/aggregate HOFs. Bit-identical to _dot_lit: aggregate
+    folds left-associated over the same per-dimension IEEE ops in the
+    same order (0.0 + t0 == t0 for doubles away from -0.0, and the
+    final 1e-9 floor-quantization absorbs the signed zero).
+
+    Why this form: _dot_lit inlines 64 PRIMITIVE literals into the
+    generated Java source, so every power-iteration round (new v, new
+    mu) compiles a fresh whole-stage method — measured 1.5 s/round at
+    sf0.1 on a CACHED 2k-row input, i.e. the rounds were paying
+    javac, not compute. Array literals constant-fold into one
+    reference-array object, the source is round-invariant, and the
+    codegen cache hits from round 2 on. (The earlier broadcast
+    parameter-FRAME + element_at-chain variant measured worse — the
+    chain still codegen'd per round and added a join; see the module
+    note. This one keeps zero joins and stabilizes the source.)"""
+    mu_a = F.array(*[F.lit(float(x)) for x in mu])
+    v_a = F.array(*[F.lit(float(x)) for x in vec])
+    prods = F.zip_with(
+        F.zip_with(F.col("emb"), mu_a, lambda x, m: x - m),
+        v_a,
+        lambda c, w: c * w,
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda a, b: a + b)
 
 
 @query("q166_power_iteration_pc", oracle=_q166_oracle())
@@ -202,7 +230,8 @@ def q166_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PI_ITERS):
         mu_arr = F.array(*[F.lit(x) for x in mu])
         rows = data.select(
-            _dot_lit(v, mu).alias("s"), F.posexplode("emb").alias("j", "x")
+            _dot_arrays(v, mu).alias("s"),
+            F.posexplode("emb").alias("j", "x"),
         )
         g = (
             rows.select(
