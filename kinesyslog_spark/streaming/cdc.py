@@ -17,10 +17,15 @@ and skipped — upsert idempotence without a transaction log.
 
 Scale notes: the merge shuffles only on user_id and touches
 (closed ∪ open ∪ batch) rows — the dimension table, not the fact
-stream; at cluster scale the snapshot write is partitioned by key range
-and only affected partitions would be rewritten (the same dynamic-
-overwrite pattern as sinks/partitioned.py). The window functions run
-per key over run-count-sized partitions.
+stream. The window functions run per key over run-count-sized
+partitions. The whole-snapshot layout still REWRITES the full table
+every epoch (O(store)/epoch, and an SCD2 store grows with epochs as
+closed runs accumulate); `apply_epoch_bucketed` / `start_scd2_stream(
+n_buckets=...)` switch to the bucket-manifest layout
+(streaming/bucketstore.py) where only the batch's dirty key-buckets
+are read and rewritten — the round-11 compaction lever, parity pinned
+per-epoch in tests/test_streaming_compaction.py and measured across
+30+ epochs in tools/probe_history_folds.py.
 
 Reference parity: the reference relay has no dimension maintenance; this
 extends the declared streaming surface (SURVEY §2c) with the standard
@@ -195,20 +200,83 @@ def apply_epoch(
     return True
 
 
+# ---------------------------------------------------------------------------
+# bucket-manifest layout — the compaction lever (round-10 verdict #3)
+# ---------------------------------------------------------------------------
+# The unpartitioned apply_epoch rewrites the WHOLE table every epoch,
+# and an SCD2 table grows with epochs (closed runs accumulate), so the
+# total work is quadratic in stream length. The bucketed layout keys
+# the store by hash(user_id) % B and folds ONLY the buckets the batch
+# touches — the epoch's dirty buckets are known before the fold, the
+# untouched buckets ride the manifest unread and unwritten. Parity
+# with apply_epoch is pinned per-epoch in
+# tests/test_streaming_compaction.py.
+
+def apply_epoch_bucketed(
+    spark: SparkSession,
+    table_dir: str,
+    epoch_id: int,
+    changes: DataFrame,
+    n_buckets: int = None,
+) -> bool:
+    """Bucket-manifest twin of apply_epoch: reads/writes only the
+    batch's dirty key-buckets. Returns False for a replayed epoch."""
+    from kinesyslog_spark.streaming import bucketstore as bs
+
+    if n_buckets is None:
+        n_buckets = bs.DEFAULT_BUCKETS
+    os.makedirs(table_dir, exist_ok=True)
+    if bs.has_epoch(table_dir, epoch_id):
+        return False
+    changes = changes.withColumn(
+        "bucket", bs.bucket_col(F.col("user_id"), n_buckets)
+    )
+    dirty = [
+        r["bucket"]
+        for r in changes.select("bucket").distinct().collect()
+    ]
+    cur = bs.read_buckets(spark, table_dir, SCD2_SCHEMA, buckets=dirty)
+    merged = scd2_apply_batch(
+        cur.drop("bucket") if bs.current_manifest(table_dir) else None,
+        changes.drop("bucket"),
+    ).withColumn("bucket", bs.bucket_col(F.col("user_id"), n_buckets))
+    written = bs.write_dirty_snapshot(merged, table_dir, epoch_id, n_buckets)
+    bs.publish_epoch(table_dir, epoch_id, written, n_buckets)
+    return True
+
+
+def read_scd2_bucketed(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Full current table under the bucket-manifest layout."""
+    from kinesyslog_spark.streaming import bucketstore as bs
+
+    return bs.read_buckets(spark, table_dir, SCD2_SCHEMA).drop("bucket")
+
+
 def start_scd2_stream(
     spark: SparkSession,
     changes_stream: DataFrame,
     table_dir: str,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    n_buckets: int | None = None,
 ) -> StreamingQuery:
     """W12 entry: maintain an SCD2 table from a streaming change feed.
-    `changes_stream` columns: user_id, ts_ms, ord, tier."""
+    `changes_stream` columns: user_id, ts_ms, ord, tier.
+
+    n_buckets selects the bucket-manifest layout (per-epoch cost ~
+    dirty buckets, not table size); None keeps the original
+    whole-snapshot layout."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        apply_epoch(batch_df.sparkSession, table_dir, epoch_id, batch_df)
+        if n_buckets is not None:
+            apply_epoch_bucketed(
+                batch_df.sparkSession, table_dir, epoch_id, batch_df,
+                n_buckets=n_buckets,
+            )
+        else:
+            apply_epoch(batch_df.sparkSession, table_dir, epoch_id, batch_df)
 
     writer = changes_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

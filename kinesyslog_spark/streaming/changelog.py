@@ -27,7 +27,13 @@ BEFORE its own epoch id and pruning keeps that predecessor alive.
 Scale posture: per-batch work is one map-side-combined aggregate over
 the batch plus a key-partitioned outer join against the (view-sized)
 snapshot; changelog volume is bounded by keys TOUCHED per batch, not
-view size.
+view size. The whole-snapshot fold still merges and rewrites the FULL
+view every epoch; `make_fold_bucketed` / `streaming_changelog(
+n_buckets=...)` switch to the bucket-manifest layout
+(streaming/bucketstore.py) where only the batch keys' buckets are
+merged and rewritten — changelog identical by construction (untouched
+keys emit no rows in either layout); parity + retry pinned in
+tests/test_streaming_compaction.py.
 
 Reference parity: none; §2c extension (the emit twin of W12's consume).
 """
@@ -153,14 +159,78 @@ def make_fold(out_dir: str, state_dir: str, key_col: str, val_col: str):
     return fold
 
 
+# ---------------------------------------------------------------------------
+# bucket-manifest layout — the compaction lever (round-10 verdict #3)
+# ---------------------------------------------------------------------------
+# make_fold merges the batch delta against the WHOLE view snapshot and
+# rewrites all of it — O(view) per epoch even when the batch touches 3
+# keys. The bucketed fold reads/merges/writes only the batch keys'
+# hash buckets; untouched buckets ride the manifest. The changelog is
+# unchanged by construction: keys outside the batch emit no rows in
+# either layout. Retry keeps the W27 strictly-before rule — a replayed
+# epoch sees its own manifest marker and skips (SUM-merge never
+# double-applies).
+
+def make_fold_bucketed(out_dir: str, state_dir: str, key_col: str,
+                       val_col: str, n_buckets: int = None):
+    """foreachBatch body for the bucket-manifest layout."""
+    from kinesyslog_spark.streaming import bucketstore as bs
+
+    if n_buckets is None:
+        n_buckets = bs.DEFAULT_BUCKETS
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
+        spark = batch.sparkSession
+        os.makedirs(state_dir, exist_ok=True)
+        if bs.has_epoch(state_dir, epoch_id):
+            return  # replayed epoch: manifest is the applied marker
+        delta = batch_view(batch, key_col, val_col).withColumn(
+            "bucket", bs.bucket_col(F.col("key"), n_buckets)
+        ).localCheckpoint()
+        dirty = [
+            r["bucket"] for r in delta.select("bucket").distinct().collect()
+        ]
+        old = bs.read_buckets(
+            spark, state_dir, _VIEW_SCHEMA, buckets=dirty
+        ).drop("bucket")
+        new = merge_view(old, delta.drop("bucket")).localCheckpoint()
+        log = changelog_rows(old, new, int(epoch_id))
+        written = bs.write_dirty_snapshot(
+            new.withColumn(
+                "bucket", bs.bucket_col(F.col("key"), n_buckets)
+            ),
+            state_dir, int(epoch_id), n_buckets,
+        )
+        log.write.mode("overwrite").parquet(f"{out_dir}/epoch_id={epoch_id}")
+        bs.publish_epoch(state_dir, int(epoch_id), written, n_buckets)
+
+    return fold
+
+
+def read_view_bucketed(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Full current view under the bucket-manifest layout."""
+    from kinesyslog_spark.streaming import bucketstore as bs
+
+    return bs.read_buckets(spark, state_dir, _VIEW_SCHEMA).drop("bucket")
+
+
 def streaming_changelog(
     events: DataFrame, out_dir: str, state_dir: str, checkpoint_dir: str,
     key_col: str = "event_type", val_col: str = "value",
     trigger: str = "1 second",
+    n_buckets: int | None = None,
 ) -> StreamingQuery:
     """Maintain the grouped view continuously; retraction changelog rows
-    land under out_dir/epoch_id=N per micro-batch."""
-    fold = make_fold(out_dir, state_dir, key_col, val_col)
+    land under out_dir/epoch_id=N per micro-batch. n_buckets selects
+    the bucket-manifest state layout (per-epoch cost ~ dirty buckets,
+    not view size); None keeps the whole-snapshot layout."""
+    fold = (
+        make_fold_bucketed(out_dir, state_dir, key_col, val_col, n_buckets)
+        if n_buckets is not None
+        else make_fold(out_dir, state_dir, key_col, val_col)
+    )
     return (
         events.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)

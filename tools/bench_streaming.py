@@ -71,7 +71,8 @@ TWINS = {
     t.strip()
     for t in os.environ.get(
         "STREAM_TWINS",
-        "w9,w9c,w20,w27,w30,w12,w22,w24,w25,w28,w32,w33,w9_ttl,w9_rocksdb",
+        "w9,w9c,w20,w27,w30,w12,w22,w24,w25,w28,w32,w33,w9_ttl,w9_rocksdb,"
+        "w14,w17,w19,w23,w26,w29,w31",
     ).split(",")
     if t.strip()
 }
@@ -250,6 +251,237 @@ def probe_sf(spark, sf_dir: str, work: str) -> list[dict]:
 
     out.extend(probe_sf_round10(spark, sf_dir, work, slices, img_slices,
                                 n_docs))
+    out.extend(probe_sf_round11(spark, sf_dir, work, slices, n_docs))
+    return out
+
+
+def probe_sf_round11(spark, sf_dir: str, work: str, slices,
+                     n_docs: int) -> list[dict]:
+    """Round-11 twins (round-10 verdict #8): the last unprobed
+    state-carrying units — all O(keys)/O(bins)/O(capacity)-bounded by
+    construction, but 'expected flat' is what the probe exists to
+    replace (it has found a real bug every round it ran)."""
+    from pyspark.sql import functions as F
+
+    out: list[dict] = []
+    docs_schema = "doc_id long, text string"
+
+    # ---- W14: Space-Saving heavy hitters (sharded summaries, state
+    # O(shards x capacity) by construction) ------------------------------
+    if "w14" in TWINS:
+        from kinesyslog_spark.streaming.heavy import streaming_heavy_hitters
+
+        def start_w14(in_dir, ckpt):
+            stream = spark.readStream.schema(docs_schema).parquet(in_dir)
+            return (
+                streaming_heavy_hitters(stream)
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w14", slices, start_w14)
+        out.append({"twin": "W14_heavy", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
+
+    # ---- W17: per-source token-quota admission (state O(sources)) ------
+    if "w17" in TWINS:
+        from kinesyslog_spark.streaming.quota import quota_admit
+        from kinesyslog_spark.streaming.quota import doc_token_counts
+
+        src_docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        q_slices = [
+            src_docs.filter(F.pmod(F.col("doc_id"), EPOCHS) == e)
+            for e in range(EPOCHS)
+        ]
+
+        def start_w17(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "doc_id long, source string, text string"
+            ).parquet(in_dir)
+            return (
+                quota_admit(doc_token_counts(stream))
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w17", q_slices, start_w17)
+        out.append({"twin": "W17_quota", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
+
+    # ---- W19: event debounce (state O(active (user, type) keys)) -------
+    # and W29/W31 scored-stream folds share the events table
+    ev = load_table(spark, sf_dir, "events")
+    n_ev = ev.count()
+
+    if "w19" in TWINS:
+        from kinesyslog_spark.streaming.debounce import (
+            debounce,
+            keyed_events,
+        )
+
+        e_slices = [
+            ev.select("user_id", "event_type", "event_id", "ts")
+            .filter(F.pmod(F.col("event_id"), EPOCHS) == e)
+            for e in range(EPOCHS)
+        ]
+
+        def start_w19(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "user_id long, event_type string, event_id long, "
+                "ts timestamp_ntz"
+            ).parquet(in_dir)
+            return (
+                debounce(keyed_events(stream))
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w19", e_slices, start_w19)
+        out.append({"twin": "W19_debounce", "sf_dir": sf_dir,
+                    "docs": n_ev, **r})
+
+    # ---- W23: quantile histogram partials (O(bins)/epoch) --------------
+    if "w23" in TWINS:
+        from kinesyslog_spark.streaming.quantiles import batch_histogram
+
+        v_slices = [
+            ev.select("event_id", "value")
+            .filter(F.pmod(F.col("event_id"), EPOCHS) == e)
+            for e in range(EPOCHS)
+        ]
+        parts_dir = os.path.join(work, "w23_parts")
+
+        def start_w23(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "event_id long, value double"
+            ).parquet(in_dir)
+
+            def fold(batch, eid):
+                batch_histogram(batch, "value", 0.0, 500.0).write.mode(
+                    "overwrite"
+                ).parquet(f"{parts_dir}/epoch_id={eid}")
+
+            return (
+                stream.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w23", v_slices, start_w23)
+        r["state_mem"] = [_dir_bytes(parts_dir)]
+        out.append({"twin": "W23_quantiles", "sf_dir": sf_dir,
+                    "docs": n_ev, **r})
+
+    # ---- W26: vector-index ingestion (stateless route+encode — epoch
+    # cost must track slice size only) ------------------------------------
+    if "w26" in TWINS:
+        from kinesyslog_spark.streaming.vecingest import (
+            streaming_index_ingest,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        n_vec = emb.count()
+        emb_slices = [
+            emb.filter(F.pmod(F.col("vec_id"), EPOCHS) == e)
+            for e in range(EPOCHS)
+        ]
+        # deterministic synthetic coarse/PQ artifacts (the probe times
+        # the streaming plumbing, not codebook quality)
+        coarse = [
+            (c, [((c * 13 + j) % 7 - 3) / 3.0 for j in range(64)])
+            for c in range(8)
+        ]
+        codebooks = [
+            [
+                (k, [((m * 31 + k * 5 + j) % 9 - 4) / 4.0 for j in range(8)])
+                for k in range(16)
+            ]
+            for m in range(8)
+        ]
+
+        def start_w26(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "vec_id long, emb array<double>"
+            ).parquet(in_dir)
+            return (
+                streaming_index_ingest(stream, coarse, codebooks, 8)
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w26", emb_slices, start_w26)
+        out.append({"twin": "W26_vecingest", "sf_dir": sf_dir,
+                    "docs": n_vec, **r})
+
+    # ---- W29/W31: scored-stream folds (state O(bins) epoch snapshots) --
+    scored = ev.select(
+        "event_id",
+        (F.pmod(F.col("value"), F.lit(1.0))).alias("p"),
+        (F.col("value") > 50).cast("int").alias("y"),
+    )
+    s_slices = [
+        scored.filter(F.pmod(F.col("event_id"), EPOCHS) == e)
+        for e in range(EPOCHS)
+    ]
+
+    if "w29" in TWINS:
+        from kinesyslog_spark.streaming.model_monitor import make_fold
+
+        st_dir = os.path.join(work, "w29_state")
+        fold = make_fold(os.path.join(work, "w29_out"), st_dir,
+                         0.0, 1.0, score_col="p", label_col="y")
+
+        def start_w29(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "event_id long, p double, y int"
+            ).parquet(in_dir)
+            return (
+                stream.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w29", s_slices, start_w29)
+        r["state_mem"] = [_dir_bytes(st_dir)]
+        out.append({"twin": "W29_model_monitor", "sf_dir": sf_dir,
+                    "docs": n_ev, **r})
+
+    if "w31" in TWINS:
+        from kinesyslog_spark.streaming.calibration import make_fold
+
+        st_dir = os.path.join(work, "w31_state")
+        fold = make_fold(os.path.join(work, "w31_out"), st_dir)
+
+        def start_w31(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "event_id long, p double, y int"
+            ).parquet(in_dir)
+            return (
+                stream.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w31", s_slices, start_w31)
+        r["state_mem"] = [_dir_bytes(st_dir)]
+        out.append({"twin": "W31_calibration", "sf_dir": sf_dir,
+                    "docs": n_ev, **r})
+
     return out
 
 
