@@ -28,14 +28,16 @@ near-dups emit).
 Scale posture (100 TB / continuous):
 - State is sharded by band bucket — the natural LSH partitioning; no
   per-doc state, no global structure. **RocksDB is the corpus-scale
-  default store for W9**: without a TTL, state is ~4 rows/doc (measured
-  247 MB at 50k docs, SCALING_R9 — ~25 GB extrapolated to 5M docs),
-  which belongs on executor-local SSD with bounded block-cache memory,
-  not on-heap; `session.enable_rocksdb_state` switches the provider and
-  `tests/test_streaming_rocksdb.py` runs this exact flow live on it
-  with the provider's rocksdb* metrics asserted. The round-10 decade
-  probe (SCALING_R10) measures the provider delta on this operator
-  end-to-end.
+  default store for W9, and since round 11 it actually IS the
+  default**: without a TTL, state is ~4 rows/doc (measured 247 MB at
+  50k docs, SCALING_R9; 2.38 GB at 500k, SCALING_R10), which belongs
+  on executor-local SSD with bounded block-cache memory, not on-heap —
+  so the no-TTL builders call
+  `session.auto_rocksdb_for_unbounded_state` themselves (explicit
+  provider settings and SPARK_GRAFT_ROCKSDB_AUTO=0 opt out).
+  `tests/test_streaming_rocksdb.py` runs the DEFAULT path live with
+  the provider's rocksdb* metrics asserted; the round-10 decade probe
+  (SCALING_R10) measures the provider delta end-to-end.
 - FIFO cap per bucket (`max_bucket_state`) bounds the hot-boilerplate
   bucket exactly like `cap_hot_buckets` does in batch; state TTL
   (`ttl_ms`, ProcessingTimeTimeout) turns the operator into

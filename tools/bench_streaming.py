@@ -30,6 +30,12 @@ Round 10 extends the probe to the remaining state-carrying twins
 (round-9 verdict #2) plus the W9 horizon/state-store variants
 (verdict #3):
 
+Round 11 adds the last unprobed state-carrying twins (round-10
+verdict #8): W14 Space-Saving heavy hitters, W17 quota, W19 debounce
+(live-cadence drive — its timers are availableNow-incompatible), W23
+quantile histograms, W26 vector-index ingest, W29 binned AUC, W31
+calibration.
+
   W12 SCD2 snapshot fold        (foreachBatch; table grows O(keys) —
       per-epoch fold reads the WHOLE current table)
   W22 HyperLogLog               (64 registers — state O(1) by design)
@@ -320,6 +326,11 @@ def probe_sf_round11(spark, sf_dir: str, work: str, slices,
     n_ev = ev.count()
 
     if "w19" in TWINS:
+        # debounce state uses ProcessingTimeTimeout unconditionally, so
+        # it CANNOT be driven availableNow-per-epoch (a timer-carrying
+        # query never terminates under availableNow — the round-10
+        # platform finding). Drive one long-lived processingTime query
+        # and append an epoch per cadence tick, like the w9_ttl probe.
         from kinesyslog_spark.streaming.debounce import (
             debounce,
             keyed_events,
@@ -330,23 +341,41 @@ def probe_sf_round11(spark, sf_dir: str, work: str, slices,
             .filter(F.pmod(F.col("event_id"), EPOCHS) == e)
             for e in range(EPOCHS)
         ]
-
-        def start_w19(in_dir, ckpt):
-            stream = spark.readStream.schema(
-                "user_id long, event_type string, event_id long, "
-                "ts timestamp_ntz"
-            ).parquet(in_dir)
-            return (
-                debounce(keyed_events(stream))
-                .writeStream.format("noop")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-
-        r = _run_epochs(spark, work, "w19", e_slices, start_w19)
-        out.append({"twin": "W19_debounce", "sf_dir": sf_dir,
-                    "docs": n_ev, **r})
+        gap_s = float(os.environ.get("STREAM_TTL_GAP_S", "6"))
+        in19 = os.path.join(work, "in_w19")
+        ck19 = os.path.join(work, "ckpt_w19")
+        os.makedirs(in19, exist_ok=True)
+        e_slices[0].coalesce(1).write.mode("append").parquet(in19)
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, event_id long, "
+            "ts timestamp_ntz"
+        ).parquet(in19)
+        q = (
+            debounce(keyed_events(stream))
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck19)
+            .trigger(processingTime="2 seconds")
+            .start()
+        )
+        lat, rows_series, mem_series = [], [], []
+        try:
+            for sl in e_slices[1:]:
+                t0 = time.perf_counter()
+                sl.coalesce(1).write.mode("append").parquet(in19)
+                time.sleep(gap_s)
+                lat.append(round(time.perf_counter() - t0, 2))
+                rows, mem = _state_op_stats(q)
+                rows_series.append(rows)
+                mem_series.append(mem)
+        finally:
+            q.stop()
+        out.append({
+            "twin": "W19_debounce", "sf_dir": sf_dir, "docs": n_ev,
+            "epoch_sec": lat, "state_rows": rows_series,
+            "state_mem": mem_series,
+            "note": "continuous processingTime drive (debounce timers "
+                    "are incompatible with availableNow)",
+        })
 
     # ---- W23: quantile histogram partials (O(bins)/epoch) --------------
     if "w23" in TWINS:

@@ -10,8 +10,10 @@ once B is sized to the key domain. 30+ epochs each so growth would
 show; parity is separately pinned by tests/test_streaming_compaction.py
 (this probe measures, it does not re-verify).
 
-Usage: python tools/probe_history_folds.py [base_keys] [epochs]
-Writes scratch stores under artifacts/probe_folds/ (wiped on start).
+Usage: python tools/probe_history_folds.py [base_keys] [epochs] [twins]
+  twins: comma list from w12,w28,w30 (default all)
+Writes scratch stores under artifacts/probe_folds_<keys>_<epochs>/
+(wiped on start; run-scoped so concurrent invocations never collide).
 """
 
 from __future__ import annotations
@@ -30,17 +32,53 @@ ROOT = "artifacts/probe_folds"
 B = 256
 
 
-def timed_epochs(label, n_epochs, run_epoch):
-    ts = []
+def _dir_bytes(path: str) -> int:
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def timed_epochs(label, n_epochs, run_epoch, store_dir=None):
+    """Per-epoch wall time; with store_dir also the BYTES WRITTEN per
+    epoch (store-dir growth + rewrites) — at local scale wall time is
+    Spark job-overhead-bound, while bytes/epoch is the O(store) term
+    that dominates a real cluster's fold cost."""
+    import os
+
+    ts, wb = [], []
+    prev_sizes: dict[str, int] = {}
     for e in range(n_epochs):
         t0 = time.time()
         run_epoch(e)
         ts.append(time.time() - t0)
+        if store_dir and os.path.isdir(store_dir):
+            sizes = {
+                d: _dir_bytes(os.path.join(store_dir, d))
+                for d in os.listdir(store_dir)
+                if os.path.isdir(os.path.join(store_dir, d))
+            }
+            written = sum(
+                sz for d, sz in sizes.items() if d not in prev_sizes
+            )
+            prev_sizes = sizes
+            wb.append(written)
     k = max(3, n_epochs // 6)
     head = sum(ts[1:1 + k]) / k  # skip epoch 0 (seed/warm-up)
     tail = sum(ts[-k:]) / k
+    extra = ""
+    if wb[1:]:
+        mb = sum(wb[1:]) / len(wb[1:]) / 1e6
+        extra = f" write~{mb:7.2f}MB/ep"
     print(f"{label:34s} first~{head:6.2f}s/ep last~{tail:6.2f}s/ep "
-          f"growth x{tail / max(head, 1e-9):4.2f} total {sum(ts):7.1f}s")
+          f"growth x{tail / max(head, 1e-9):4.2f} total {sum(ts):7.1f}s"
+          f"{extra}")
     return ts
 
 
@@ -70,10 +108,12 @@ def w12(spark, base_keys: int, epochs: int) -> None:
     timed_epochs(
         f"W12 plain (keys={base_keys})", epochs,
         lambda e: apply_epoch(spark, d1, e, seed(e)),
+        store_dir=d1,
     )
     timed_epochs(
         f"W12 bucketed B={B}", epochs,
         lambda e: apply_epoch_bucketed(spark, d2, e, seed(e), n_buckets=B),
+        store_dir=d2,
     )
 
 
@@ -99,9 +139,9 @@ def w28(spark, base_keys: int, epochs: int) -> None:
     b = make_fold_bucketed(f"{ROOT}/w28_bo", f"{ROOT}/w28_bs",
                            "event_type", "value", n_buckets=B)
     timed_epochs(f"W28 plain (keys={base_keys})", epochs,
-                 lambda e: p(seed(e), e))
+                 lambda e: p(seed(e), e), store_dir=f"{ROOT}/w28_ps")
     timed_epochs(f"W28 bucketed B={B}", epochs,
-                 lambda e: b(seed(e), e))
+                 lambda e: b(seed(e), e), store_dir=f"{ROOT}/w28_bs")
 
 
 def w30(spark, epochs: int) -> None:
@@ -137,11 +177,18 @@ def main() -> None:
     # run-scoped scratch dir: concurrent probe invocations must never
     # share (an overlapping run's start-wipe kills in-flight writes)
     ROOT = f"{ROOT}_{base_keys}_{epochs}"
+    twins = (
+        set(sys.argv[3].split(",")) if len(sys.argv) > 3
+        else {"w12", "w28", "w30"}
+    )
     shutil.rmtree(ROOT, ignore_errors=True)
     spark = get_spark("probe_folds")
-    w12(spark, base_keys, epochs)
-    w28(spark, base_keys, epochs)
-    w30(spark, max(epochs, 40))
+    if "w12" in twins:
+        w12(spark, base_keys, epochs)
+    if "w28" in twins:
+        w28(spark, base_keys, epochs)
+    if "w30" in twins:
+        w30(spark, max(epochs, 40))
 
 
 if __name__ == "__main__":
