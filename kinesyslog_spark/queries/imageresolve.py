@@ -105,10 +105,12 @@ def q176_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
+    # no broadcast hint: comp is one row per pair-graph node, which can
+    # be corpus-scale on a near-dup-heavy corpus — let AQE broadcast it
+    # at runtime when it is actually small (simresolve has the same
+    # rationale)
     ps = (
-        pairs.join(
-            F.broadcast(comp.withColumnRenamed("img_id", "doc_a")), "doc_a"
-        )
+        pairs.join(comp.withColumnRenamed("img_id", "doc_a"), "doc_a")
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),

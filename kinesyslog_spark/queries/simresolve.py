@@ -109,10 +109,13 @@ def q182_simhash_dedup_survivors(
     cl = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
+    # no broadcast hint: comp has one row per node of the pair graph,
+    # which on a boilerplate-heavy corpus is corpus-scale (most docs sit
+    # in some near-dup cluster) — a forced broadcast can blow the 8 GB
+    # driver/executor broadcast limit at sf10+. AQE broadcasts it at
+    # runtime when it IS small.
     ps = (
-        pairs.join(
-            F.broadcast(comp.withColumnRenamed("node", "doc_a")), "doc_a"
-        )
+        pairs.join(comp.withColumnRenamed("node", "doc_a"), "doc_a")
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),

@@ -104,7 +104,28 @@ def disable_rocksdb_state(spark: SparkSession) -> None:
     )
 
 
-def auto_rocksdb_for_unbounded_state(spark: SparkSession) -> bool:
+def checkpoint_has_state(checkpoint_dir: str | None) -> bool:
+    """True if `checkpoint_dir` holds state from a previous run of a
+    stateful query (its `state/` tree exists and is non-empty). Used to
+    suppress the RocksDB auto-default on resume: state files written by
+    one provider cannot be read by another, so a checkpoint created
+    under the on-heap default must keep it."""
+    import os
+
+    if not checkpoint_dir:
+        return False
+    state = os.path.join(checkpoint_dir, "state")
+    if not os.path.isdir(state):
+        return False
+    for _root, _dirs, files in os.walk(state):
+        if files:
+            return True
+    return False
+
+
+def auto_rocksdb_for_unbounded_state(
+    spark: SparkSession, checkpoint_dir: str | None = None
+) -> bool:
     """Default-on RocksDB for the corpus-linear-state twins.
 
     The streaming operators whose state grows with the corpus (W9/W20/
@@ -118,13 +139,20 @@ def auto_rocksdb_for_unbounded_state(spark: SparkSession) -> bool:
     providerClass (the user picked a store) this is a no-op, and
     SPARK_GRAFT_ROCKSDB_AUTO=0 disables the auto-flip globally (e.g.
     to A/B the on-heap provider). The conf is read at query START, so
-    this affects queries started after the operator is built — callers
-    resuming a checkpoint created under another provider must pin that
-    provider explicitly (flipping providers across restarts of one
-    checkpoint is never safe). Returns True if the conf was applied."""
+    this affects queries started after the operator is built.
+
+    Resume safety: when the caller passes its `checkpoint_dir` and that
+    checkpoint already holds state (a run started under an earlier —
+    possibly on-heap — provider), the auto-flip is SKIPPED: RocksDB
+    cannot read HDFS-backed state files, so flipping providers across
+    restarts of one checkpoint would fail the resumed query. The
+    default only applies to fresh checkpoints. Returns True if the
+    conf was applied."""
     from kinesyslog_spark.env import env_int
 
     if not env_int("SPARK_GRAFT_ROCKSDB_AUTO", 1):
+        return False
+    if checkpoint_has_state(checkpoint_dir):
         return False
     key = "spark.sql.streaming.stateStore.providerClass"
     if spark.conf.get(key, None):

@@ -95,7 +95,12 @@ def read_buckets(
         for b, snap in man["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            paths.append(os.path.join(table_dir, snap, f"bucket={b}"))
+            p = os.path.join(table_dir, snap, f"bucket={b}")
+            # a dirty bucket whose fold output was EMPTY is remapped to
+            # the epoch's snapshot without a bucket=K dir there — that
+            # mapping means "currently empty", not "missing"
+            if os.path.isdir(p):
+                paths.append(p)
     if not paths:
         return spark.createDataFrame([], schema + ", bucket int")
     # leaf dirs are read directly (no partition discovery); the bucket
@@ -119,7 +124,14 @@ def publish_epoch(
 ) -> None:
     """Write manifest-<epoch> = previous manifest with the dirty
     buckets remapped to this epoch's snapshot, publish the pointer
-    atomically, vacuum unreferenced snapshots."""
+    atomically, vacuum unreferenced snapshots.
+
+    `dirty` MUST be the DECLARED dirty set (the batch's key buckets),
+    not the snapshot dir's listing: a dirty bucket whose fold output is
+    empty writes no bucket=K dir, and remapping only written buckets
+    would leave its OLD mapping live — resurrecting rows the fold just
+    deleted. Remapping it to a snapshot without that dir is the
+    explicit empty marker (read_buckets skips missing dirs)."""
     man = current_manifest(table_dir) or {"epoch": -1, "buckets": {}}
     snap = f"snap-{int(epoch_id):020d}"
     buckets = dict(man["buckets"])

@@ -240,8 +240,11 @@ def apply_epoch_bucketed(
         cur.drop("bucket") if bs.current_manifest(table_dir) else None,
         changes.drop("bucket"),
     ).withColumn("bucket", bs.bucket_col(F.col("user_id"), n_buckets))
-    written = bs.write_dirty_snapshot(merged, table_dir, epoch_id, n_buckets)
-    bs.publish_epoch(table_dir, epoch_id, written, n_buckets)
+    bs.write_dirty_snapshot(merged, table_dir, epoch_id, n_buckets)
+    # publish the DECLARED dirty set, not the snapshot listing — a
+    # dirty bucket the fold emptied must remap (to empty), not keep its
+    # stale mapping (bucketstore.publish_epoch docstring)
+    bs.publish_epoch(table_dir, epoch_id, dirty, n_buckets)
     return True
 
 

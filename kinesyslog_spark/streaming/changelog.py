@@ -197,14 +197,16 @@ def make_fold_bucketed(out_dir: str, state_dir: str, key_col: str,
         ).drop("bucket")
         new = merge_view(old, delta.drop("bucket")).localCheckpoint()
         log = changelog_rows(old, new, int(epoch_id))
-        written = bs.write_dirty_snapshot(
+        bs.write_dirty_snapshot(
             new.withColumn(
                 "bucket", bs.bucket_col(F.col("key"), n_buckets)
             ),
             state_dir, int(epoch_id), n_buckets,
         )
         log.write.mode("overwrite").parquet(f"{out_dir}/epoch_id={epoch_id}")
-        bs.publish_epoch(state_dir, int(epoch_id), written, n_buckets)
+        # publish the DECLARED dirty set, not the snapshot listing
+        # (bucketstore.publish_epoch docstring)
+        bs.publish_epoch(state_dir, int(epoch_id), dirty, n_buckets)
 
     return fold
 

@@ -266,18 +266,53 @@ def make_fold_bucketed(state_dir: str, out_dir: str,
 
             parts = _store_parts(spark, state_dir, int(epoch_id))
             base_dir = f"{state_dir}/base={int(epoch_id) - 1}"
-            (
-                _read_parts(spark, parts)
-                .repartition("bucket")
-                .write.mode("overwrite").partitionBy("bucket")
-                .parquet(base_dir)
-            )
-            # only after the base is complete (_SUCCESS) do the
-            # compacted inputs go away
-            for p in parts:
-                shutil.rmtree(p, ignore_errors=True)
+            if base_dir not in parts:
+                (
+                    _read_parts(spark, parts)
+                    .repartition("bucket")
+                    .write.mode("overwrite").partitionBy("bucket")
+                    .parquet(base_dir)
+                )
+                # only after the base is complete (_SUCCESS) do the
+                # compacted inputs go away
+                for p in parts:
+                    shutil.rmtree(p, ignore_errors=True)
+            # else: a prior attempt of THIS compaction already published
+            # base=<epoch_id-1> (crash between _SUCCESS and cleanup), so
+            # the store below this epoch IS that base — re-compacting
+            # would read-and-overwrite the same directory (Spark refuses
+            # and the stream would wedge on every retry). Finish the
+            # interrupted cleanup instead:
+            _vacuum_below_base(state_dir)
 
     return fold
+
+
+def _vacuum_below_base(state_dir: str) -> None:
+    """Converge a half-finished compaction: remove store dirs already
+    folded into the newest complete base — epoch dirs at-or-below its
+    floor and older bases. A crash between a base's _SUCCESS publish
+    and its input cleanup leaves both on disk; without this sweep the
+    stale epoch dirs keep len(done) >= compact_every forever and every
+    subsequent epoch re-enters the compaction branch."""
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return
+    bases = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("base=")
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    )
+    if not bases:
+        return
+    floor = bases[-1]
+    for d in os.listdir(state_dir):
+        if d.startswith("epoch=") and int(d.split("=", 1)[1]) <= floor:
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+        elif d.startswith("base=") and int(d.split("=", 1)[1]) < floor:
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
 
 def streaming_chunkstore(

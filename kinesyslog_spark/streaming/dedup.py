@@ -220,7 +220,8 @@ def streaming_neardup(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       sim_thr: float = SIM_THR,
                       max_bucket_state: int = MAX_BUCKET_STATE,
-                      ttl_ms: int | None = None) -> DataFrame:
+                      ttl_ms: int | None = None,
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """Continuous near-dup candidates over a (streaming) document frame.
 
     Returns (doc_id, dup_of, est_sim) rows, possibly repeated across
@@ -228,11 +229,12 @@ def streaming_neardup(docs: DataFrame, text_col: str = "text",
 
     Without a TTL horizon state is corpus-linear (~4 rows/doc), so the
     RocksDB store is auto-enabled for the session unless the caller
-    pinned a provider (session.auto_rocksdb_for_unbounded_state)."""
+    pinned a provider or `checkpoint_dir` already holds prior-run state
+    (session.auto_rocksdb_for_unbounded_state)."""
     if ttl_ms is None:
         from kinesyslog_spark.session import auto_rocksdb_for_unbounded_state
 
-        auto_rocksdb_for_unbounded_state(docs.sparkSession)
+        auto_rocksdb_for_unbounded_state(docs.sparkSession, checkpoint_dir)
     banded = banded_signatures(docs, text_col, id_col)
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
                else GroupStateTimeout.NoTimeout)
@@ -341,13 +343,14 @@ def streaming_neardup_coarse(docs: DataFrame, text_col: str = "text",
                              sim_thr: float = SIM_THR,
                              max_bucket_state: int = MAX_BUCKET_STATE,
                              ttl_ms: int | None = None,
-                             groups: int = COARSE_GROUPS) -> DataFrame:
+                             groups: int = COARSE_GROUPS,
+                             checkpoint_dir: str | None = None) -> DataFrame:
     """streaming_neardup with the coarse-group state layout: identical
     candidate output, ~G state keys instead of one per LSH bucket."""
     if ttl_ms is None:
         from kinesyslog_spark.session import auto_rocksdb_for_unbounded_state
 
-        auto_rocksdb_for_unbounded_state(docs.sparkSession)
+        auto_rocksdb_for_unbounded_state(docs.sparkSession, checkpoint_dir)
     banded = banded_signatures(docs, text_col, id_col).withColumn(
         "gid",
         F.pmod(F.hash("band_idx", "band_key"), F.lit(groups)).cast("int"),

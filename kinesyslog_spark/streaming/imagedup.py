@@ -141,19 +141,21 @@ def streaming_image_neardup(
     ham_t: int = HAM_T,
     max_bucket_state: int = MAX_BUCKET_STATE,
     ttl_ms: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Continuous image near-dup candidates over a (streaming) binary
     frame. Returns (img_id, dup_of, hamming), possibly repeated across
     blocks; `min(dup_of)` per img_id is the canonical representative.
 
     No TTL -> corpus-linear state -> RocksDB auto-enabled unless the
-    caller pinned a provider (session.auto_rocksdb_for_unbounded_state)."""
+    caller pinned a provider or `checkpoint_dir` already holds prior-run
+    state (session.auto_rocksdb_for_unbounded_state)."""
     from pyspark.sql import functions as F
 
     if ttl_ms is None:
         from kinesyslog_spark.session import auto_rocksdb_for_unbounded_state
 
-        auto_rocksdb_for_unbounded_state(imgs.sparkSession)
+        auto_rocksdb_for_unbounded_state(imgs.sparkSession, checkpoint_dir)
     banded = imgs.select(
         F.col(id_col).alias("img_id"), F.col(payload_col).alias("payload")
     ).mapInPandas(phash_banded_batches, schema=BANDED_SCHEMA)

@@ -254,19 +254,21 @@ def streaming_projdup(
     ham_t: int = HAM_T,
     max_bucket_state: int = MAX_BUCKET_STATE,
     ttl_ms: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Continuous projection-hash near-dup candidates over a streaming
     binary frame, under a frozen hash family. Returns
     (img_id, dup_of, hamming); `min(dup_of)` per img_id is canonical.
 
     No TTL -> corpus-linear state -> RocksDB auto-enabled unless the
-    caller pinned a provider (session.auto_rocksdb_for_unbounded_state)."""
+    caller pinned a provider or `checkpoint_dir` already holds prior-run
+    state (session.auto_rocksdb_for_unbounded_state)."""
     from pyspark.sql import functions as F
 
     if ttl_ms is None:
         from kinesyslog_spark.session import auto_rocksdb_for_unbounded_state
 
-        auto_rocksdb_for_unbounded_state(imgs.sparkSession)
+        auto_rocksdb_for_unbounded_state(imgs.sparkSession, checkpoint_dir)
     if not hasattr(artifacts, "value"):  # ship once per executor
         artifacts = imgs.sparkSession.sparkContext.broadcast(artifacts)
     banded = imgs.select(

@@ -223,10 +223,17 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     # plain (adm, cap) ints, but keyed on id(spark) — CPython can reuse
     # the id after the old session is GC'd, so stale entries must go
     # with the session like every other memo. Corpus key is key[2]
-    # (key = (spark_id, family, corpus_key, cap, rows)).
+    # (key = (spark_id, family, corpus_key, cap, rows)); the ngram
+    # family folds its rows dial into the corpus key as a
+    # (sf_dir, rows) TUPLE, so match either shape.
+    def _corpus_match(ck, sf: str) -> bool:
+        if isinstance(ck, tuple):
+            return bool(ck) and ck[0] == sf
+        return ck == sf
+
     for key in list(_SLOT_EST_CACHE):
         if key[0] == id(spark) and (
-            sf_dir is None or key[2] == sf_dir.rstrip("/")
+            sf_dir is None or _corpus_match(key[2], sf_dir.rstrip("/"))
         ):
             _SLOT_EST_CACHE.pop(key)
     n = 0

@@ -529,3 +529,31 @@ def test_ngram_candidates_frame_derives_rows(spark, sf_dir):
     # same candidate pairs as the registered q28 blocking at this scale
     assert cand.count() > 0
     base.unpersist()
+
+
+def test_release_hot_clears_ngram_tuple_corpus_keys(spark):
+    """ADVICE r11 (tables.py): the ngram family folds its rows dial
+    into the slot-estimate corpus key as a (sf_dir, rows) tuple; a
+    targeted release_hot(spark, sf_dir) must clear those entries too."""
+    from kinesyslog_spark.queries.dedup import _SLOT_EST_CACHE
+    from kinesyslog_spark.tables import release_hot
+
+    sf, other = "/tmp/slotest-corpus-a", "/tmp/slotest-corpus-b"
+    k_tuple = (id(spark), "ngram_bands", (sf, 4096), 64, 4096)
+    k_plain = (id(spark), "minhash_bands", sf, 64, 4096)
+    k_other = (id(spark), "ngram_bands", (other, 4096), 64, 4096)
+    _SLOT_EST_CACHE[k_tuple] = (1, 0)
+    _SLOT_EST_CACHE[k_plain] = (2, 0)
+    _SLOT_EST_CACHE[k_other] = (3, 0)
+    try:
+        release_hot(spark, sf)
+        assert k_tuple not in _SLOT_EST_CACHE, (
+            "tuple-keyed ngram estimate survived targeted release"
+        )
+        assert k_plain not in _SLOT_EST_CACHE
+        assert k_other in _SLOT_EST_CACHE, (
+            "targeted release must not clear other corpora"
+        )
+    finally:
+        for k in (k_tuple, k_plain, k_other):
+            _SLOT_EST_CACHE.pop(k, None)

@@ -180,3 +180,96 @@ def test_bucketstore_vacuum_keeps_referenced_snapshots(spark, tmp_path):
     # epoch 0's snapshot was remapped away and must be vacuumed
     # (same single key bucket rewritten every 3rd epoch)
     assert f"snap-{0:020d}" not in os.listdir(table)
+
+def test_w30_compaction_crash_replay_converges(spark, tmp_path):
+    """ADVICE r11 (chunkstore.py): a crash AFTER the base=<E-1> _SUCCESS
+    publish but BEFORE the compacted epoch dirs are removed must not
+    wedge the replayed epoch — the retry used to read base=<E-1> and
+    write mode('overwrite') to the same path (Spark refuses), and the
+    stale sub-floor epoch dirs retriggered compaction forever. The fix
+    skips the re-compaction and finishes the interrupted cleanup."""
+    import shutil
+
+    from kinesyslog_spark.streaming.chunkstore import (
+        batch_chunk_occurrences,
+        make_fold_bucketed,
+        read_store,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    state, out = str(tmp_path / "st"), str(tmp_path / "out")
+    fold = make_fold_bucketed(state, out, n_buckets=B, compact_every=3)
+    all_rows = []
+    for e in range(3):
+        rows = [(100 * e + i, f"ep {e} doc {i} " + "shared tail " * 4)
+                for i in range(3)]
+        all_rows += rows
+        fold(docs(rows), e)
+    # snapshot the pre-compaction epoch dirs, then run epoch 3 (which
+    # compacts epochs 0-2 into base=2 and removes them)
+    pre = str(tmp_path / "pre")
+    shutil.copytree(state, pre)
+    rows3 = [(300 + i, f"ep 3 doc {i} " + "shared tail " * 4)
+             for i in range(3)]
+    all_rows += rows3
+    fold(docs(rows3), 3)
+    assert any(d.startswith("base=") for d in os.listdir(state))
+    # simulate the crash: restore the already-compacted epoch dirs so
+    # the on-disk state is {base=2 (_SUCCESS), epoch=0..3}
+    for d in os.listdir(pre):
+        if d.startswith("epoch=") and d not in os.listdir(state):
+            shutil.copytree(os.path.join(pre, d), os.path.join(state, d))
+    assert len([d for d in os.listdir(state) if d.startswith("epoch=")]) == 4
+    # foreachBatch replays epoch 3 — must neither raise nor duplicate
+    fold(docs(rows3), 3)
+    got = {(r.chash, r.nbytes) for r in read_store(spark, state).collect()}
+    want = {(r.chash, r.nbytes)
+            for r in batch_chunk_occurrences(docs(all_rows)).collect()}
+    assert got == want, "store diverged after crash-replay"
+    # the interrupted cleanup converged: sub-floor epoch dirs are gone
+    left = sorted(int(d.split("=")[1]) for d in os.listdir(state)
+                  if d.startswith("epoch="))
+    assert left == [3], left
+    # and the next epoch folds normally without retriggering compaction
+    rows4 = [(400, "ep 4 doc " + "shared tail " * 4)]
+    all_rows += rows4
+    fold(docs(rows4), 4)
+    got = {(r.chash, r.nbytes) for r in read_store(spark, state).collect()}
+    want = {(r.chash, r.nbytes)
+            for r in batch_chunk_occurrences(docs(all_rows)).collect()}
+    assert got == want
+
+
+def test_bucketstore_dirty_empty_bucket_is_explicit_empty(spark, tmp_path):
+    """ADVICE r11 (bucketstore.py): a dirty bucket whose fold output is
+    EMPTY must be remapped (to an explicit empty marker), not left on
+    its old mapping — otherwise deleted rows resurrect."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    schema = "key long, val string"
+    base = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(8)], schema
+    ).withColumn("bucket", bs.bucket_col(F.col("key"), B))
+    by_bucket = {}
+    for r in base.collect():
+        by_bucket.setdefault(r.bucket, []).append(r.key)
+    b_kill, b_keep = sorted(by_bucket)[:2]
+    dirty0 = sorted(by_bucket)
+    bs.write_dirty_snapshot(base, table, 0, B)
+    bs.publish_epoch(table, 0, dirty0, B)
+    assert bs.read_buckets(spark, table, schema).count() == 8
+    # epoch 1: bucket b_kill is dirty and its fold output is empty
+    empty = spark.createDataFrame([], schema + ", bucket int")
+    bs.write_dirty_snapshot(empty, table, 1, B)
+    bs.publish_epoch(table, 1, [b_kill], B)
+    got = {r.key for r in bs.read_buckets(spark, table, schema).collect()}
+    want = {k for b, ks in by_bucket.items() if b != b_kill for k in ks}
+    assert got == want, "emptied dirty bucket resurrected its old rows"
+    assert bs.read_buckets(
+        spark, table, schema, buckets=[b_kill]
+    ).count() == 0
+    assert bs.read_buckets(
+        spark, table, schema, buckets=[b_keep]
+    ).count() == len(by_bucket[b_keep])

@@ -170,3 +170,49 @@ def test_auto_rocksdb_respects_pinned_provider_and_dial(
     monkeypatch.setenv("SPARK_GRAFT_ROCKSDB_AUTO", "0")
     assert auto_rocksdb_for_unbounded_state(spark) is False
     assert spark.conf.get(_PROVIDER_KEY, None) is None
+
+
+def test_auto_rocksdb_skips_resumed_checkpoint(spark, tmp_path):
+    """ADVICE r11 (session.py): a checkpoint created under an earlier
+    provider must keep it — the auto-flip only applies to FRESH
+    checkpoints (RocksDB cannot read HDFS-backed state files)."""
+    from kinesyslog_spark.session import (
+        auto_rocksdb_for_unbounded_state,
+        checkpoint_has_state,
+        disable_rocksdb_state,
+    )
+
+    ck = tmp_path / "ck"
+    # fresh / state-less layouts do not suppress the default
+    assert checkpoint_has_state(None) is False
+    assert checkpoint_has_state(str(ck)) is False
+    (ck / "state" / "0" / "0").mkdir(parents=True)
+    assert checkpoint_has_state(str(ck)) is False  # empty dirs = fresh
+    try:
+        spark.conf.unset(_PROVIDER_KEY)
+    except Exception:
+        pass
+    try:
+        assert auto_rocksdb_for_unbounded_state(spark, str(ck)) is True
+        assert spark.conf.get(_PROVIDER_KEY, None) is not None
+    finally:
+        disable_rocksdb_state(spark)
+    # prior-run state present -> suppressed, conf untouched
+    (ck / "state" / "0" / "0" / "1.delta").write_text("x")
+    assert checkpoint_has_state(str(ck)) is True
+    assert auto_rocksdb_for_unbounded_state(spark, str(ck)) is False
+    assert spark.conf.get(_PROVIDER_KEY, None) is None
+    # and the builder threads its checkpoint_dir through
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    _write_json(str(in_dir / "b.json"), [{"doc_id": 1, "text": _text()}])
+    docs = spark.readStream.schema("doc_id long, text string").json(
+        str(in_dir)
+    )
+    try:
+        streaming_neardup(docs, checkpoint_dir=str(ck))
+        assert spark.conf.get(_PROVIDER_KEY, None) is None, (
+            "builder auto-flipped RocksDB onto a resumed checkpoint"
+        )
+    finally:
+        disable_rocksdb_state(spark)
