@@ -103,3 +103,4 @@ from kinesyslog_spark.queries import provenance  # noqa: E402,F401
 from kinesyslog_spark.queries import embsweep  # noqa: E402,F401
 from kinesyslog_spark.queries import simaudit  # noqa: E402,F401
 from kinesyslog_spark.queries import simresolve  # noqa: E402,F401
+from kinesyslog_spark.queries import govern  # noqa: E402,F401
