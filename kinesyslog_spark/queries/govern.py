@@ -78,10 +78,12 @@ def refine_star_assignments(pairs: DataFrame) -> DataFrame:
             )
         ).select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
     )
-    comp = persist_now(
-        connected_components(edges).select(
-            "node", F.col("component").alias("orig_cluster_id")
-        )
+    # CC output is already localCheckpoint-materialized by the loop's
+    # convergence action — no extra persist (the default-heap vanilla
+    # session is the budget here; q183 OOM'd a 1g driver when every
+    # intermediate was persisted on top of 180 queries' session state)
+    comp = connected_components(edges).select(
+        "node", F.col("component").alias("orig_cluster_id")
     )
     # stage 1: member stays iff it IS the min or is directly adjacent
     # to it (left-semi on the adjacency — edge-scale, never quadratic)
@@ -91,13 +93,11 @@ def refine_star_assignments(pairs: DataFrame) -> DataFrame:
         ["node", "orig_cluster_id"],
         "left_semi",
     )
-    kept1 = persist_now(
-        comp.filter(is_min).unionByName(adj_min).select(
-            F.col("node").alias("doc_id"),
-            F.col("orig_cluster_id").alias("cluster_id"),
-            "orig_cluster_id",
-            F.lit(1).cast("int").alias("stage"),
-        )
+    kept1 = comp.filter(is_min).unionByName(adj_min).select(
+        F.col("node").alias("doc_id"),
+        F.col("orig_cluster_id").alias("cluster_id"),
+        "orig_cluster_id",
+        F.lit(1).cast("int").alias("stage"),
     )
     evicted = persist_now(
         comp.join(
@@ -111,10 +111,8 @@ def refine_star_assignments(pairs: DataFrame) -> DataFrame:
         .join(ev_nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
         .select("src", "dst")
     )
-    comp2 = persist_now(
-        connected_components(edges2).select(
-            "node", F.col("component").alias("cluster_id")
-        )
+    comp2 = connected_components(edges2).select(
+        "node", F.col("component").alias("cluster_id")
     )
     is_min2 = F.col("node") == F.col("cluster_id")
     adj_min2 = comp2.join(
@@ -122,7 +120,7 @@ def refine_star_assignments(pairs: DataFrame) -> DataFrame:
         ["node", "cluster_id"],
         "left_semi",
     )
-    kept2 = persist_now(
+    kept2 = (
         comp2.filter(is_min2).unionByName(adj_min2)
         .join(evicted, "node")
         .select(
@@ -144,8 +142,12 @@ def refine_star_assignments(pairs: DataFrame) -> DataFrame:
             F.lit(0).cast("int").alias("stage"),
         )
     )
-    out = kept1.unionByName(kept2).unionByName(singles)
+    # materialize the (node-scale, narrow) assignment, then drop every
+    # intermediate: the two CC loops' checkpoint blocks and the
+    # adjacency become garbage once nothing references their lineage
+    out = persist_now(kept1.unionByName(kept2).unionByName(singles))
     adj.unpersist()
+    evicted.unpersist()
     return out
 
 
@@ -154,7 +156,7 @@ def refined_survivor_frame(pairs: DataFrame) -> DataFrame:
     (cluster_id, survivor_doc, n_members, n_removed, orig_cluster_id,
     orig_n_members, stage). stage is constant within a final cluster
     by construction (stars are formed whole at one stage)."""
-    asg = persist_now(refine_star_assignments(pairs))
+    asg = refine_star_assignments(pairs)  # persisted by the builder
     orig = asg.groupBy("orig_cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("orig_n_members")
     )
@@ -163,7 +165,7 @@ def refined_survivor_frame(pairs: DataFrame) -> DataFrame:
         F.min("orig_cluster_id").alias("orig_cluster_id"),
         F.min("stage").cast("int").alias("stage"),
     )
-    return (
+    out = persist_now(
         cl.join(orig, "orig_cluster_id")
         .select(
             "cluster_id",
@@ -176,6 +178,10 @@ def refined_survivor_frame(pairs: DataFrame) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+    # cluster-scale result is materialized; the node-scale assignment
+    # can go (the default-heap vanilla budget again)
+    asg.unpersist()
+    return out
 
 
 def _refine_oracle(pairs_sql: str) -> str:
