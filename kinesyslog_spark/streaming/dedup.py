@@ -107,8 +107,10 @@ def _sig_coords_batches(
 
     split = re.compile(r"[^a-z0-9]+")
     for pdf in batches:
-        ids, sigs = [], []
-        for did, text in zip(pdf["doc_id"], pdf["text"]):
+        with_ts = "ts_ms" in pdf.columns
+        ids, sigs, tss = [], [], []
+        ts_iter = pdf["ts_ms"] if with_ts else [None] * len(pdf)
+        for did, text, ts in zip(pdf["doc_id"], pdf["text"], ts_iter):
             toks = [w for w in split.split(str(text).lower()) if w]
             if len(toks) < SHINGLE_N:
                 continue
@@ -124,37 +126,53 @@ def _sig_coords_batches(
                 )
                 for i in range(SIG_K)
             ])
+            if with_ts:
+                tss.append(int(ts))
         # explicit dtypes: an empty/batch-built frame otherwise infers
         # float64 / a 2-D numpy block that Arrow can't cast to
         # list<string>
-        yield pd.DataFrame({
+        out = {
             "doc_id": pd.Series(ids, dtype="int64"),
             "mh": pd.Series(sigs, dtype=object),
-        })
+        }
+        if with_ts:
+            out["ts_ms"] = pd.Series(tss, dtype="int64")
+        yield pd.DataFrame(out)
 
 
 def banded_signatures(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      ts_col: str | None = None) -> DataFrame:
     """Stage 1 (stateless): one row per (doc, band) with the full
     signature along for the stateful verify. Works on batch and
     streaming frames alike. Signatures come from the Arrow-batched
     kernel above; band keys stay Catalyst (same md5-over-row-slice
-    convention as the batch LSH family)."""
-    keyed = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).mapInPandas(
-        _sig_coords_batches, schema=f"doc_id long, mh array<string>"
-    )
-    mh = [F.col("mh")[i] for i in range(SIG_K)]
-    return (
-        keyed.select(
-            "doc_id",
-            F.concat_ws("|", *mh).alias("sig"),
-            F.explode(lsh_band_keys(mh, BANDS, ROWS)).alias("b"),
+    convention as the batch LSH family).
+
+    With `ts_col`, each row also carries (ts_ms long, ts_event
+    timestamp) — the event-time columns the watermark-driven TTL
+    layout needs (streaming_neardup_event_ttl)."""
+    cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+    if ts_col is not None:
+        cols.append(
+            F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms")
         )
-        .select("doc_id", "sig", F.col("b.band_idx").alias("band_idx"),
-                F.col("b.band_key").alias("band_key"))
-    )
+    schema = "doc_id long, mh array<string>"
+    if ts_col is not None:
+        schema += ", ts_ms long"
+    mh = [F.col("mh")[i] for i in range(SIG_K)]
+    out_cols = [
+        "doc_id",
+        F.concat_ws("|", *mh).alias("sig"),
+        F.explode(lsh_band_keys(mh, BANDS, ROWS)).alias("b"),
+    ] + (["ts_ms"] if ts_col is not None else [])
+    sel = ["doc_id", "sig", F.col("b.band_idx").alias("band_idx"),
+           F.col("b.band_key").alias("band_key")]
+    if ts_col is not None:
+        sel += ["ts_ms", F.timestamp_millis(F.col("ts_ms")).alias("ts_event")]
+    return docs.select(*cols).mapInPandas(
+        _sig_coords_batches, schema=schema
+    ).select(*out_cols).select(*sel)
 
 
 def _agreement(a: str, b: str) -> float:
@@ -164,9 +182,19 @@ def _agreement(a: str, b: str) -> float:
 
 def make_bucket_fn(sim_thr: float = SIM_THR,
                    max_bucket_state: int = MAX_BUCKET_STATE,
-                   ttl_ms: int | None = None):
+                   ttl_ms: int | None = None,
+                   event_time: bool = False):
     """applyInPandasWithState body for stage 2, keyed by
-    (band_idx, band_key)."""
+    (band_idx, band_key).
+
+    With `event_time=True` the TTL horizon is WATERMARK-driven
+    (GroupStateTimeout.EventTimeTimeout): the bucket expires when the
+    stream's watermark passes last-activity + ttl_ms. Unlike the
+    processing-time form — which Spark never fires under
+    Trigger.AvailableNow (confirmed on W9-TTL r10 and W19 r11) — this
+    variant's eviction is driven by the DATA, so the deterministic
+    replay harness can exercise it (tests/test_streaming_event_ttl.py).
+    Rows carry ts_ms (banded_signatures ts_col)."""
 
     def bucket_fn(
         key: tuple[Any, ...],
@@ -207,7 +235,14 @@ def make_bucket_fn(sim_thr: float = SIM_THR,
         if len(ids) > max_bucket_state:  # FIFO: keep the newest members
             ids, sigs = ids[-max_bucket_state:], sigs[-max_bucket_state:]
         state.update((ids, sigs))
-        if ttl_ms is not None:
+        if ttl_ms is not None and event_time:
+            # expire when the watermark passes last-activity + ttl; the
+            # timestamp must stay ahead of the current watermark (late
+            # stragglers must not set a timeout already in the past)
+            last_ts = int(allr["ts_ms"].max()) if frames else 0
+            wm = int(state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(max(last_ts + ttl_ms, wm + 1))
+        elif ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         yield (pd.DataFrame(out, columns=["doc_id", "dup_of", "est_sim"])
                if out else
@@ -244,6 +279,41 @@ def streaming_neardup(docs: DataFrame, text_col: str = "text",
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+def streaming_neardup_event_ttl(docs: DataFrame, ts_col: str,
+                                ttl_ms: int,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                sim_thr: float = SIM_THR,
+                                max_bucket_state: int = MAX_BUCKET_STATE,
+                                watermark_delay: str = "0 seconds",
+                                ) -> DataFrame:
+    """streaming_neardup with a WATERMARK-driven dedup horizon: a band
+    bucket is forgotten once the stream's event-time watermark passes
+    its last activity + ttl_ms.
+
+    This exists because ProcessingTimeTimeout is availableNow-
+    incompatible (never fires — W9-TTL r10, W19 r11), which made TTL
+    eviction untestable under deterministic replay and made the horizon
+    wall-clock-relative rather than data-relative. The event-time form
+    keys eviction to the DATA: replay of a recorded stream evicts at
+    the same points every run, and a backfill running 100x real time
+    expires exactly the horizons the live run would. State bound is
+    max_bucket_state per bucket active within the horizon. In-order
+    arrival gives monotone timeouts; late stragglers within the
+    watermark delay extend the horizon, stragglers beyond it re-open a
+    fresh bucket (the documented at-least-once trade-off, same class
+    as the FIFO cap)."""
+    banded = banded_signatures(docs, text_col, id_col, ts_col=ts_col)
+    banded = banded.withWatermark("ts_event", watermark_delay)
+    return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
+        make_bucket_fn(sim_thr, max_bucket_state, ttl_ms, event_time=True),
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
