@@ -115,6 +115,37 @@ def _snake_assignment(pmaj: dict[int, int]) -> list[list[int]]:
     return [sorted(b) for b in blocks]
 
 
+def snake_blocks_for(grp: DataFrame) -> list[list[int]]:
+    """Bias-balanced snake block assignment from a distinct-fingerprint
+    frame (one NARROW aggregate — posexplode -> 64 groups with map-side
+    combine; the 64-column wide form compiled a multi-second codegen
+    method per call, the q166 lesson). 64 rows to the driver. Shared by
+    the batch build (hot_simhash_groups) and the W34 streaming twin's
+    frozen-artifact trainer — training and serving MUST rank bits with
+    this one implementation."""
+    stat_rows = (
+        grp.select(
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+                    lambda j: (F.col("fp").substr(j, F.lit(1)) == "1")
+                    .cast("int"),
+                )
+            ).alias("p", "b")
+        )
+        .groupBy("p")
+        .agg(F.sum("b").alias("c1"), F.count(F.lit(1)).alias("d"))
+        .collect()
+    )
+    pmaj = {
+        int(r["p"]) + 1: max(int(r["c1"] or 0), int(r["d"]) - int(r["c1"] or 0))
+        for r in stat_rows
+    }
+    for j in range(1, SIMHASH_BITS + 1):  # empty corpus: identity order
+        pmaj.setdefault(j, 0)
+    return _snake_assignment(pmaj)
+
+
 def _simhash_combos() -> list[tuple[int, ...]]:
     from itertools import combinations
 
@@ -827,29 +858,9 @@ def hot_simhash_groups(
         .select("fp", "rep", "members", hi.alias("hi"), lo.alias("lo"))
         .persist(HOT_LEVEL)
     )
-    stat_rows = (
-        grp.select(
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
-                    lambda j: (F.col("fp").substr(j, F.lit(1)) == "1")
-                    .cast("int"),
-                )
-            ).alias("p", "b")
-        )
-        .groupBy("p")
-        .agg(F.sum("b").alias("c1"), F.count(F.lit(1)).alias("d"))
-        .collect()
-    )
-    pmaj = {
-        int(r["p"]) + 1: max(int(r["c1"] or 0), int(r["d"]) - int(r["c1"] or 0))
-        for r in stat_rows
-    }
-    for j in range(1, SIMHASH_BITS + 1):  # empty corpus: identity order
-        pmaj.setdefault(j, 0)
     blk = grp.select(
         F.col("rep").alias("doc_id"), "hi", "lo",
-        F.array(*_block_int_cols(_snake_assignment(pmaj))).alias("ba"),
+        F.array(*_block_int_cols(snake_blocks_for(grp))).alias("ba"),
     ).persist(HOT_LEVEL)
     blk.count()
     if apath is not None:

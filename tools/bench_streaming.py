@@ -78,7 +78,7 @@ TWINS = {
     for t in os.environ.get(
         "STREAM_TWINS",
         "w9,w9c,w20,w27,w30,w12,w22,w24,w25,w28,w32,w33,w9_ttl,w9_rocksdb,"
-        "w14,w17,w19,w23,w26,w29,w31",
+        "w14,w17,w19,w23,w26,w29,w31,w34",
     ).split(",")
     if t.strip()
 }
@@ -178,6 +178,75 @@ def probe_sf(spark, sf_dir: str, work: str) -> list[dict]:
     if "w9c" in TWINS:
         r = _run_epochs(spark, work, "w9c", slices, start_w9c)
         out.append({"twin": "W9_dedup_coarse", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
+
+    # ---- W34: continuous SimHash combo near-dup (round-12) -------------
+    if "w34" in TWINS:
+        from kinesyslog_spark.streaming.simdup import (
+            frozen_simhash_artifacts,
+            streaming_simdup,
+        )
+        from kinesyslog_spark.tables import release_hot
+
+        art = spark.sparkContext.broadcast(
+            frozen_simhash_artifacts(spark, sf_dir)
+        )
+        release_hot(spark, sf_dir)  # probe pays stream cost, not batch
+
+        def start_w34(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).parquet(in_dir)
+            return (
+                streaming_simdup(stream, art)
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w34", slices, start_w34)
+        out.append({"twin": "W34_simdup", "sf_dir": sf_dir,
+                    "docs": n_docs, **r})
+
+    # ---- W34 event-time horizon (state bounded by ttl, not corpus) -----
+    if "w34_ttl" in TWINS:
+        from kinesyslog_spark.streaming.simdup import (
+            frozen_simhash_artifacts,
+            streaming_simdup,
+        )
+        from kinesyslog_spark.tables import release_hot
+
+        art = spark.sparkContext.broadcast(
+            frozen_simhash_artifacts(spark, sf_dir)
+        )
+        release_hot(spark, sf_dir)
+        hour = 3_600_000
+        t0 = 1_700_000_000_000
+        # each epoch is one event-time hour; 2 h horizon -> state holds
+        # ~2 epochs of members regardless of corpus length
+        ttl_slices = [
+            sl.withColumn(
+                "ts",
+                F.timestamp_millis(F.lit(t0 + e * hour)),
+            )
+            for e, sl in enumerate(slices)
+        ]
+
+        def start_w34t(in_dir, ckpt):
+            stream = spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            ).parquet(in_dir)
+            return (
+                streaming_simdup(stream, art, ttl_ms=2 * hour, ts_col="ts")
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        r = _run_epochs(spark, work, "w34_ttl", ttl_slices, start_w34t)
+        out.append({"twin": "W34_simdup_ttl", "sf_dir": sf_dir,
                     "docs": n_docs, **r})
 
     # ---- W20: continuous image pHash near-dup --------------------------
