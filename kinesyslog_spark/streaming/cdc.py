@@ -240,7 +240,8 @@ def apply_epoch_bucketed(
         cur.drop("bucket") if bs.current_manifest(table_dir) else None,
         changes.drop("bucket"),
     ).withColumn("bucket", bs.bucket_col(F.col("user_id"), n_buckets))
-    bs.write_dirty_snapshot(merged, table_dir, epoch_id, n_buckets)
+    bs.write_dirty_snapshot(merged, table_dir, epoch_id, n_buckets,
+                            dirty=dirty)
     # publish the DECLARED dirty set, not the snapshot listing — a
     # dirty bucket the fold emptied must remap (to empty), not keep its
     # stale mapping (bucketstore.publish_epoch docstring)

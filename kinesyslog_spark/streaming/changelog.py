@@ -201,7 +201,7 @@ def make_fold_bucketed(out_dir: str, state_dir: str, key_col: str,
             new.withColumn(
                 "bucket", bs.bucket_col(F.col("key"), n_buckets)
             ),
-            state_dir, int(epoch_id), n_buckets,
+            state_dir, int(epoch_id), n_buckets, dirty=dirty,
         )
         log.write.mode("overwrite").parquet(f"{out_dir}/epoch_id={epoch_id}")
         # publish the DECLARED dirty set, not the snapshot listing
