@@ -184,13 +184,13 @@ def refined_survivor_frame(pairs: DataFrame) -> DataFrame:
     return out
 
 
-def _refine_oracle(pairs_sql: str) -> str:
-    """DuckDB twin of refine_star_assignments + refined_survivor_frame
-    over a pairs SQL producing (doc_a, doc_b, ...). CTEs referenced
-    more than once are MATERIALIZED (DuckDB re-inlines per reference;
-    the q83/q109 lesson)."""
-    return f"""
-    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+def _refine_ctes(pairs_sql: str) -> str:
+    """WITH-body through `asg` — the refinement's assignment-level CTE
+    chain, shared by the survivor rollup (q183/q184) and the
+    governance savings report (q185). CTEs referenced more than once
+    are MATERIALIZED (DuckDB re-inlines per reference; the q83/q109
+    lesson)."""
+    return f"""pairs AS MATERIALIZED ({pairs_sql}),
     edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
@@ -249,7 +249,14 @@ def _refine_oracle(pairs_sql: str) -> str:
              ev.orig_cluster_id, 0 AS stage
       FROM evicted ev
       WHERE ev.node NOT IN (SELECT doc_id FROM kept2)
-    ),
+    )"""
+
+
+def _refine_oracle(pairs_sql: str) -> str:
+    """DuckDB twin of refine_star_assignments + refined_survivor_frame
+    over a pairs SQL producing (doc_a, doc_b, ...)."""
+    return f"""
+    WITH RECURSIVE {_refine_ctes(pairs_sql)},
     orig AS (
       SELECT orig_cluster_id, CAST(COUNT(*) AS BIGINT) AS orig_n_members
       FROM asg GROUP BY orig_cluster_id
@@ -298,3 +305,90 @@ def q184_image_refined_survivors(
     the q175 projection-hash pair graph has the identical closure
     hazard (hamming-threshold transitive chains)."""
     return refined_survivor_frame(hot_image_pairs(spark, sf_dir))
+
+
+def _q185_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_refine_ctes(ORACLE["q27_simhash_pairs"])},
+    tk AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cdrop AS (
+      SELECT doc_id FROM asg WHERE doc_id <> orig_cluster_id
+    ),
+    gdrop AS (
+      SELECT doc_id FROM asg WHERE doc_id <> cluster_id
+    )
+    SELECT t.source,
+           CAST(COUNT(c.doc_id) AS BIGINT) AS docs_closure,
+           CAST(COALESCE(SUM(CASE WHEN c.doc_id IS NOT NULL
+                                  THEN t.n_tokens END), 0) AS BIGINT)
+             AS tokens_closure,
+           CAST(COUNT(g.doc_id) AS BIGINT) AS docs_governed,
+           CAST(COALESCE(SUM(CASE WHEN g.doc_id IS NOT NULL
+                                  THEN t.n_tokens END), 0) AS BIGINT)
+             AS tokens_governed,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_total
+    FROM tk t
+    LEFT JOIN cdrop c ON c.doc_id = t.doc_id
+    LEFT JOIN gdrop g ON g.doc_id = t.doc_id
+    GROUP BY t.source
+    ORDER BY t.source
+    """
+
+
+@query("q185_governed_token_savings", oracle=_q185_oracle())
+def q185_governed_token_savings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source governance report: what min-id survivorship over the
+    raw closure WOULD remove (docs + tokens) vs what the star-verify
+    refinement actually certifies for removal — the q178 token-savings
+    shape with the before/after column a 100 TB dedup deployment signs
+    off on. At sf10 the gap is 397,225 vs 5,028 docs (SCALING_R12 §1),
+    which is the difference between a data-destroying bug and a dedup
+    pass.
+
+    One refinement pass feeds both columns: the assignment frame
+    carries orig_cluster_id (closure label) next to cluster_id
+    (governed label), so closure drop = doc != orig min and governed
+    drop = doc != star survivor. Token counts ride the session
+    hot_tokens frame; the drop frames are pair-graph-sized and
+    broadcast into the corpus-wide left joins."""
+    from kinesyslog_spark.tables import hot_table, hot_tokens
+
+    asg = refine_star_assignments(hot_simhash_pairs(spark, sf_dir))
+    cdrop = asg.filter(F.col("doc_id") != F.col("orig_cluster_id")).select(
+        "doc_id", F.lit(1).alias("_c")
+    )
+    gdrop = asg.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.lit(1).alias("_g")
+    )
+    docs = hot_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tk = (
+        hot_tokens(spark, sf_dir)
+        .select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(docs, "doc_id")
+        .join(F.broadcast(cdrop), "doc_id", "left")
+        .join(F.broadcast(gdrop), "doc_id", "left")
+    )
+    return (
+        tk.groupBy("source")
+        .agg(
+            F.count(F.col("_c")).cast("long").alias("docs_closure"),
+            F.coalesce(
+                F.sum(F.when(F.col("_c").isNotNull(), F.col("n_tokens"))),
+                F.lit(0),
+            ).cast("long").alias("tokens_closure"),
+            F.count(F.col("_g")).cast("long").alias("docs_governed"),
+            F.coalesce(
+                F.sum(F.when(F.col("_g").isNotNull(), F.col("n_tokens"))),
+                F.lit(0),
+            ).cast("long").alias("tokens_governed"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+        )
+        .orderBy("source")
+    )
