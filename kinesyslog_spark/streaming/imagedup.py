@@ -63,10 +63,14 @@ def phash_banded_batches(
         to_gray,
     )
 
-    cols = ["img_id", "sig", "block_idx", "block_val"]
     for pdf in batches:
+        with_ts = "ts_ms" in pdf.columns
+        cols = ["img_id", "sig", "block_idx", "block_val"] + (
+            ["ts_ms"] if with_ts else []
+        )
+        ts_iter = pdf["ts_ms"] if with_ts else [None] * len(pdf)
         rows = []
-        for i, p in zip(pdf["img_id"], pdf["payload"]):
+        for i, p, ts in zip(pdf["img_id"], pdf["payload"], ts_iter):
             try:
                 w, h, ch, px = decode_png(bytes(p))
             except DECODE_ERRORS:
@@ -77,10 +81,13 @@ def phash_banded_batches(
             blocks = phash_blocks(gray)
             sig = "|".join(str(b) for b in blocks)
             for j, bv in enumerate(blocks):
-                rows.append({
+                r = {
                     "img_id": int(i), "sig": sig,
                     "block_idx": j, "block_val": int(bv),
-                })
+                }
+                if with_ts:
+                    r["ts_ms"] = int(ts)
+                rows.append(r)
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -93,8 +100,15 @@ def _hamming(a: str, b: str) -> int:
 
 def make_image_bucket_fn(ham_t: int = HAM_T,
                          max_bucket_state: int = MAX_BUCKET_STATE,
-                         ttl_ms: int | None = None):
-    """applyInPandasWithState body, keyed by (block_idx, block_val)."""
+                         ttl_ms: int | None = None,
+                         event_time: bool = False):
+    """applyInPandasWithState body, keyed by (block_idx, block_val).
+
+    With `event_time=True` the TTL horizon is watermark-driven
+    (EventTimeTimeout; rows must carry ts_ms) — eviction keyed to the
+    DATA instead of wall-clock, so deterministic replay exercises it
+    (the W9 event-TTL pattern; ProcessingTimeTimeout never fires under
+    Trigger.AvailableNow)."""
 
     def bucket_fn(
         key: tuple[Any, ...],
@@ -109,10 +123,13 @@ def make_image_bucket_fn(ham_t: int = HAM_T,
         ids, sigs = ([list(x) for x in state.get] if state.exists
                      else ([], []))
         out = []
+        last_ts = 0
         for pdf in pdfs:
             # img_id order: deterministic dup_of for same-batch pairs
             for row in pdf.sort_values("img_id").itertuples(index=False):
                 iid, sig = int(row.img_id), str(row.sig)
+                if event_time:
+                    last_ts = max(last_ts, int(row.ts_ms))
                 for prev_id, prev_sig in zip(ids, sigs):
                     if prev_id == iid:
                         continue
@@ -125,7 +142,10 @@ def make_image_bucket_fn(ham_t: int = HAM_T,
         if len(ids) > max_bucket_state:  # FIFO: keep the newest
             ids, sigs = ids[-max_bucket_state:], sigs[-max_bucket_state:]
         state.update((ids, sigs))
-        if ttl_ms is not None:
+        if ttl_ms is not None and event_time:
+            wm = int(state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(max(last_ts + ttl_ms, wm + 1))
+        elif ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         yield (pd.DataFrame(out, columns=["img_id", "dup_of", "hamming"])
                if out else
@@ -167,4 +187,39 @@ def streaming_image_neardup(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+def streaming_image_neardup_event_ttl(
+    imgs: DataFrame,
+    ts_col: str,
+    ttl_ms: int,
+    payload_col: str = "payload",
+    id_col: str = "img_id",
+    ham_t: int = HAM_T,
+    max_bucket_state: int = MAX_BUCKET_STATE,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """streaming_image_neardup with a WATERMARK-driven dedup horizon:
+    a block bucket is forgotten once the event-time watermark passes
+    its last activity + ttl_ms (the W9 event-TTL pattern — replay
+    evicts at the same points every run; a backfill expires exactly
+    the horizons the live run would)."""
+    from pyspark.sql import functions as F
+
+    banded = imgs.select(
+        F.col(id_col).alias("img_id"), F.col(payload_col).alias("payload"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms"),
+    ).mapInPandas(
+        phash_banded_batches, schema=BANDED_SCHEMA + ", ts_ms long"
+    ).withColumn(
+        "ts_event", F.timestamp_millis(F.col("ts_ms"))
+    ).withWatermark("ts_event", watermark_delay)
+    return banded.groupBy("block_idx", "block_val").applyInPandasWithState(
+        make_image_bucket_fn(ham_t, max_bucket_state, ttl_ms,
+                             event_time=True),
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

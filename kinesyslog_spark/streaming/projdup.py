@@ -68,6 +68,7 @@ __all__ = [
     "quantized_projection_artifacts",
     "proj_banded_batches",
     "streaming_projdup",
+    "streaming_projdup_event_ttl",
 ]
 
 
@@ -206,8 +207,10 @@ def proj_banded_batches(artifacts):
         n_ref = art["n_ref"]
         weights = 1 << np.arange(7, -1, -1, dtype=np.int64)
         for pdf in batches:
-            ids, rasters = [], []
-            for d, p in zip(pdf["img_id"], pdf["payload"]):
+            with_ts = "ts_ms" in pdf.columns
+            ts_iter = pdf["ts_ms"] if with_ts else [None] * len(pdf)
+            ids, rasters, tss = [], [], []
+            for d, p, ts in zip(pdf["img_id"], pdf["payload"], ts_iter):
                 try:
                     w, h, ch, px = decode_png(bytes(p))
                 except DECODE_ERRORS:
@@ -217,13 +220,18 @@ def proj_banded_batches(artifacts):
                     gray = box_downscale(gray, w, h, 32, 32)
                 ids.append(int(d))
                 rasters.append(np.frombuffer(gray, dtype=np.uint8))
+                if with_ts:
+                    tss.append(int(ts))
             if not ids:
-                yield pd.DataFrame({
+                empty = {
                     "img_id": pd.Series([], dtype="int64"),
                     "sig": pd.Series([], dtype=object),
                     "block_idx": pd.Series([], dtype="int32"),
                     "block_val": pd.Series([], dtype="int64"),
-                })
+                }
+                if with_ts:
+                    empty["ts_ms"] = pd.Series([], dtype="int64")
+                yield pd.DataFrame(empty)
                 continue
             G = np.stack(rasters).astype(np.int64).reshape(-1, 32, 32)
             C = np.einsum("vy,nyu->nuv", T, G @ T.T).reshape(-1, 256)
@@ -236,12 +244,17 @@ def proj_banded_batches(artifacts):
             bv = (bits.reshape(-1, 8, 8) * weights).sum(axis=2)  # (n, 8)
             sig = ["|".join(str(int(x)) for x in row) for row in bv]
             n = len(ids)
-            yield pd.DataFrame({
+            out = {
                 "img_id": np.repeat(np.asarray(ids, dtype=np.int64), 8),
                 "sig": np.repeat(np.asarray(sig, dtype=object), 8),
                 "block_idx": np.tile(np.arange(8, dtype=np.int32), n),
                 "block_val": bv.reshape(-1),
-            })
+            }
+            if with_ts:
+                out["ts_ms"] = np.repeat(
+                    np.asarray(tss, dtype=np.int64), 8
+                )
+            yield pd.DataFrame(out)
 
     return stage
 
@@ -282,4 +295,41 @@ def streaming_projdup(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+def streaming_projdup_event_ttl(
+    imgs: DataFrame,
+    artifacts: dict,
+    ts_col: str,
+    ttl_ms: int,
+    payload_col: str = "payload",
+    id_col: str = "img_id",
+    ham_t: int = HAM_T,
+    max_bucket_state: int = MAX_BUCKET_STATE,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """streaming_projdup with a WATERMARK-driven dedup horizon (the W9
+    event-TTL pattern): a block bucket is forgotten once the event-time
+    watermark passes its last activity + ttl_ms — eviction keyed to the
+    data, deterministic under replay."""
+    from pyspark.sql import functions as F
+
+    if not hasattr(artifacts, "value"):  # ship once per executor
+        artifacts = imgs.sparkSession.sparkContext.broadcast(artifacts)
+    banded = imgs.select(
+        F.col(id_col).alias("img_id"), F.col(payload_col).alias("payload"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms"),
+    ).mapInPandas(
+        proj_banded_batches(artifacts), schema=BANDED_SCHEMA + ", ts_ms long"
+    ).withColumn(
+        "ts_event", F.timestamp_millis(F.col("ts_ms"))
+    ).withWatermark("ts_event", watermark_delay)
+    return banded.groupBy("block_idx", "block_val").applyInPandasWithState(
+        make_image_bucket_fn(ham_t, max_bucket_state, ttl_ms,
+                             event_time=True),
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -222,3 +222,105 @@ def test_w19_event_time_replay_closes_bursts(spark, tmp_path):
     # watermark advance of wave 2 — the eviction the processing-time
     # layout could never show under replay
     assert 2 in ends
+
+
+# ---------------------------------------------------------------------------
+# W20 / W33 image twins: same watermark-driven horizon
+# ---------------------------------------------------------------------------
+
+def _image_ttl_run(spark, sf_dir, tmp_path, tag, make_stream):
+    """4-epoch availableNow replay with rendered PNG payloads: exact
+    dup of img 1 arrives as img 2 after two watermark-pushing epochs;
+    returns the pair set involving img 2."""
+    import pyspark.sql.functions as F
+
+    from kinesyslog_spark.queries.imagehash import render_png_batches
+    from kinesyslog_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pay = {
+        r.doc_id: bytes(r.payload)
+        for r in docs.filter(F.col("doc_id").isin(0, 1, 2)).mapInPandas(
+            render_png_batches, schema="doc_id long, payload binary"
+        ).collect()
+    }
+    hour = 3_600_000
+    waves = [
+        [(1, pay[0], T0)],
+        [(50, pay[1], T0 + 2 * hour)],
+        [(51, pay[2], T0 + 2 * hour + 1000)],
+        [(2, pay[0], T0 + 2 * hour + 2000)],  # exact dup of img 1
+    ]
+    in_dir = str(tmp_path / f"imgs_{tag}")
+    out_dir = str(tmp_path / f"iout_{tag}")
+    ck = str(tmp_path / f"ick_{tag}")
+    os.makedirs(in_dir)
+    for w in waves:
+        spark.createDataFrame(
+            [(i, p, m) for i, p, m in w],
+            "img_id long, payload binary, ts_in long",
+        ).select(
+            "img_id", "payload",
+            F.timestamp_millis(F.col("ts_in")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        src = spark.readStream.schema(
+            "img_id long, payload binary, ts timestamp"
+        ).parquet(in_dir)
+        q = (
+            make_stream(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    try:
+        return {(r.img_id, r.dup_of)
+                for r in spark.read.parquet(out_dir).collect()
+                if 2 in (r.img_id, r.dup_of)}
+    except Exception:
+        return set()
+
+
+def test_w20_image_event_ttl(spark, sf_dir, tmp_path):
+    from kinesyslog_spark.streaming.imagedup import (
+        streaming_image_neardup_event_ttl,
+    )
+
+    hour = 3_600_000
+    got = _image_ttl_run(
+        spark, sf_dir, tmp_path, "w20s",
+        lambda src: streaming_image_neardup_event_ttl(
+            src, ts_col="ts", ttl_ms=hour),
+    )
+    assert got == set(), f"expired bucket still produced {got}"
+    got = _image_ttl_run(
+        spark, sf_dir, tmp_path, "w20l",
+        lambda src: streaming_image_neardup_event_ttl(
+            src, ts_col="ts", ttl_ms=10 * hour),
+    )
+    assert got == {(2, 1)}
+
+
+def test_w33_proj_event_ttl(spark, sf_dir, tmp_path):
+    from kinesyslog_spark.streaming.projdup import (
+        frozen_projection_artifacts,
+        streaming_projdup_event_ttl,
+    )
+
+    art = frozen_projection_artifacts(spark, sf_dir)
+    hour = 3_600_000
+    got = _image_ttl_run(
+        spark, sf_dir, tmp_path, "w33s",
+        lambda src: streaming_projdup_event_ttl(
+            src, art, ts_col="ts", ttl_ms=hour),
+    )
+    assert got == set(), f"expired bucket still produced {got}"
+    got = _image_ttl_run(
+        spark, sf_dir, tmp_path, "w33l",
+        lambda src: streaming_projdup_event_ttl(
+            src, art, ts_col="ts", ttl_ms=10 * hour),
+    )
+    assert got == {(2, 1)}
