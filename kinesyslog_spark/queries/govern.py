@@ -356,8 +356,10 @@ def q185_governed_token_savings(
     carries orig_cluster_id (closure label) next to cluster_id
     (governed label), so closure drop = doc != orig min and governed
     drop = doc != star survivor. Token counts ride the session
-    hot_tokens frame; the drop frames are pair-graph-sized and
-    broadcast into the corpus-wide left joins."""
+    hot_tokens frame; the drop frames are pair-graph-NODE-scale, which
+    a boilerplate-heavy corpus makes corpus-scale — no forced
+    broadcast (the r11 q182 lesson), AQE picks the strategy when they
+    are actually small."""
     from kinesyslog_spark.tables import hot_table, hot_tokens
 
     asg = refine_star_assignments(hot_simhash_pairs(spark, sf_dir))
@@ -372,8 +374,8 @@ def q185_governed_token_savings(
         hot_tokens(spark, sf_dir)
         .select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
         .join(docs, "doc_id")
-        .join(F.broadcast(cdrop), "doc_id", "left")
-        .join(F.broadcast(gdrop), "doc_id", "left")
+        .join(cdrop, "doc_id", "left")
+        .join(gdrop, "doc_id", "left")
     )
     return (
         tk.groupBy("source")
