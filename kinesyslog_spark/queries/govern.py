@@ -52,12 +52,19 @@ from pyspark.sql import functions as F
 
 from kinesyslog_spark.queries import ORACLE, query
 from kinesyslog_spark.queries.cluster import connected_components
-from kinesyslog_spark.queries.imageresolve import hot_image_pairs
-from kinesyslog_spark.queries.simresolve import hot_simhash_pairs
+from kinesyslog_spark.queries.imageresolve import (
+    hot_image_components,
+    hot_image_pairs,
+)
+from kinesyslog_spark.queries.simresolve import (
+    hot_simhash_components,
+    hot_simhash_pairs,
+)
 from kinesyslog_spark.tables import persist_now
 
 
-def refine_star_assignments(pairs: DataFrame) -> DataFrame:
+def refine_star_assignments(pairs: DataFrame,
+                            comp: DataFrame | None = None) -> DataFrame:
     """Star-verified cluster assignments over a near-dup pair frame
     (doc_a, doc_b[, ...]) with doc_a < doc_b and exact-recall edges.
 
@@ -65,7 +72,11 @@ def refine_star_assignments(pairs: DataFrame) -> DataFrame:
     (doc_id, cluster_id, orig_cluster_id, stage) where cluster_id is
     the final cluster's survivor (= its min member id by construction)
     and stage is 1 (primary star), 2 (evicted-recluster star) or
-    0 (singleton fallout)."""
+    0 (singleton fallout).
+
+    `comp` (node, component) supplies precomputed closure labels — the
+    registered queries pass the session-memoized hot_*_components so
+    one CC run feeds the closure rollup and the refinement."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -78,13 +89,14 @@ def refine_star_assignments(pairs: DataFrame) -> DataFrame:
             )
         ).select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
     )
-    # CC output is already localCheckpoint-materialized by the loop's
-    # convergence action — no extra persist (the default-heap vanilla
-    # session is the budget here; q183 OOM'd a 1g driver when every
-    # intermediate was persisted on top of 180 queries' session state)
-    comp = connected_components(edges).select(
-        "node", F.col("component").alias("orig_cluster_id")
-    )
+    # CC output is already materialized (localCheckpoint by the loop's
+    # convergence action, or the caller's persisted hot frame) — no
+    # extra persist (the default-heap vanilla session is the budget
+    # here; q183 OOM'd a 1g driver when every intermediate was
+    # persisted on top of 180 queries' session state)
+    if comp is None:
+        comp = connected_components(edges)
+    comp = comp.select("node", F.col("component").alias("orig_cluster_id"))
     # stage 1: member stays iff it IS the min or is directly adjacent
     # to it (left-semi on the adjacency — edge-scale, never quadratic)
     is_min = F.col("node") == F.col("orig_cluster_id")
@@ -151,12 +163,13 @@ def refine_star_assignments(pairs: DataFrame) -> DataFrame:
     return out
 
 
-def refined_survivor_frame(pairs: DataFrame) -> DataFrame:
+def refined_survivor_frame(pairs: DataFrame,
+                           comp: DataFrame | None = None) -> DataFrame:
     """Per-final-cluster governance rollup of refine_star_assignments:
     (cluster_id, survivor_doc, n_members, n_removed, orig_cluster_id,
     orig_n_members, stage). stage is constant within a final cluster
     by construction (stars are formed whole at one stage)."""
-    asg = refine_star_assignments(pairs)  # persisted by the builder
+    asg = refine_star_assignments(pairs, comp)  # persisted by builder
     orig = asg.groupBy("orig_cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("orig_n_members")
     )
@@ -294,7 +307,10 @@ def q183_simhash_refined_survivors(
 ) -> DataFrame:
     """q182's routing with giant-component governance: every drop is
     certified by a direct within-threshold edge to its survivor."""
-    return refined_survivor_frame(hot_simhash_pairs(spark, sf_dir))
+    return refined_survivor_frame(
+        hot_simhash_pairs(spark, sf_dir),
+        hot_simhash_components(spark, sf_dir),
+    )
 
 
 @query("q184_image_refined_survivors", oracle=_q184_oracle())
@@ -304,7 +320,10 @@ def q184_image_refined_survivors(
     """q176's image routing under the same star-verify governance —
     the q175 projection-hash pair graph has the identical closure
     hazard (hamming-threshold transitive chains)."""
-    return refined_survivor_frame(hot_image_pairs(spark, sf_dir))
+    return refined_survivor_frame(
+        hot_image_pairs(spark, sf_dir),
+        hot_image_components(spark, sf_dir),
+    )
 
 
 def _q185_oracle() -> str:
@@ -362,7 +381,10 @@ def q185_governed_token_savings(
     are actually small."""
     from kinesyslog_spark.tables import hot_table, hot_tokens
 
-    asg = refine_star_assignments(hot_simhash_pairs(spark, sf_dir))
+    asg = refine_star_assignments(
+        hot_simhash_pairs(spark, sf_dir),
+        hot_simhash_components(spark, sf_dir),
+    )
     cdrop = asg.filter(F.col("doc_id") != F.col("orig_cluster_id")).select(
         "doc_id", F.lit(1).alias("_c")
     )

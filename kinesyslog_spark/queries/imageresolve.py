@@ -79,6 +79,26 @@ def _q176_oracle() -> str:
 
 
 _IMG_PAIR_CACHE: dict[tuple, DataFrame] = {}
+_IMG_COMP_CACHE: dict[tuple, DataFrame] = {}
+
+
+def hot_image_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized CC labels over the image pair graph:
+    (node, component) — one pointer-jumping run shared by q176 and
+    q184 (the hot_simhash_components pattern). Released by
+    tables.release_hot."""
+    from kinesyslog_spark.tables import persist_now as _pn
+
+    key = (id(spark), sf_dir.rstrip("/"))
+    got = _IMG_COMP_CACHE.get(key)
+    if got is None:
+        pairs = hot_image_pairs(spark, sf_dir)
+        got = _pn(connected_components(
+            pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+        ))
+        _IMG_COMP_CACHE[key] = got
+    return got
 
 
 def hot_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,8 +118,7 @@ def hot_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q176_image_dedup_survivors", oracle=_q176_oracle())
 def q176_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = hot_image_pairs(spark, sf_dir)
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    comp = connected_components(edges).select(
+    comp = hot_image_components(spark, sf_dir).select(
         F.col("node").alias("img_id"), F.col("component").alias("cluster_id")
     )
     cl = comp.groupBy("cluster_id").agg(

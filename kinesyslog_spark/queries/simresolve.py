@@ -81,6 +81,7 @@ def _q182_oracle() -> str:
 
 
 _SIM_PAIR_CACHE: dict[tuple, DataFrame] = {}
+_SIM_COMP_CACHE: dict[tuple, DataFrame] = {}
 
 
 def hot_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,15 +96,31 @@ def hot_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got
 
 
+def hot_simhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized CC labels over the SimHash pair graph:
+    (node, component). One pointer-jumping run feeds q182's closure
+    rollup AND q183/q185's refinement stage (which used to re-run the
+    loop per query — a full CC pass saved per sweep, and fewer
+    checkpoint blocks alive in a default-heap session). Released by
+    tables.release_hot."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    got = _SIM_COMP_CACHE.get(key)
+    if got is None:
+        pairs = hot_simhash_pairs(spark, sf_dir)
+        got = persist_now(connected_components(
+            pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+        ))
+        _SIM_COMP_CACHE[key] = got
+    return got
+
+
 @query("q182_simhash_dedup_survivors", oracle=_q182_oracle())
 def q182_simhash_dedup_survivors(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     pairs = hot_simhash_pairs(spark, sf_dir)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comp = connected_components(edges).select(
+    comp = hot_simhash_components(spark, sf_dir).select(
         "node", F.col("component").alias("cluster_id")
     )
     cl = comp.groupBy("cluster_id").agg(

@@ -211,8 +211,14 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     from kinesyslog_spark.queries.cluster import _CLUSTER_CACHE
     from kinesyslog_spark.queries.dedup import _SIG_CACHE, _SIMHASH_CACHE
     from kinesyslog_spark.queries.imagehash import _PHASH_CACHE
-    from kinesyslog_spark.queries.imageresolve import _IMG_PAIR_CACHE
-    from kinesyslog_spark.queries.simresolve import _SIM_PAIR_CACHE
+    from kinesyslog_spark.queries.imageresolve import (
+        _IMG_COMP_CACHE,
+        _IMG_PAIR_CACHE,
+    )
+    from kinesyslog_spark.queries.simresolve import (
+        _SIM_COMP_CACHE,
+        _SIM_PAIR_CACHE,
+    )
     from kinesyslog_spark.queries.semantic import _CENTROID_CACHE, _KMEANS_CACHE
 
     for key in list(_CENTROID_CACHE):  # plain lists, no unpersist needed
@@ -239,7 +245,8 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     n = 0
     for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE,
                   _SIMHASH_CACHE, _CLUSTER_CACHE, _PHASH_CACHE,
-                  _IMG_PAIR_CACHE, _SIM_PAIR_CACHE):
+                  _IMG_PAIR_CACHE, _SIM_PAIR_CACHE,
+                  _IMG_COMP_CACHE, _SIM_COMP_CACHE):
         for key in list(cache):
             if key[0] != id(spark):
                 continue
