@@ -53,7 +53,11 @@ def probe(spark, sf_dir: str) -> dict:
     closure_drop = int(sizes.n_nodes) - int(sizes.n_clusters)
 
     t0 = time.time()
-    asg = refine_star_assignments(pairs)
+    # pass the closure labels like the registered q183/q185 do (one CC
+    # run feeds both stages via hot_simhash_components)
+    asg = refine_star_assignments(
+        pairs, comp.select("node", "component")
+    )
     ref = (
         asg.groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n"),
