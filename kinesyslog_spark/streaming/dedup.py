@@ -339,15 +339,25 @@ def streaming_neardup_event_ttl(docs: DataFrame, ts_col: str,
 
 COARSE_GROUPS = 1024
 _COARSE_STATE_SCHEMA = (
-    "bks array<string>, ids array<long>, sigs array<string>"
+    "bks array<string>, ids array<long>, sigs array<string>, "
+    "tss array<long>"
 )
 
 
 def make_coarse_bucket_fn(sim_thr: float = SIM_THR,
                           max_bucket_state: int = MAX_BUCKET_STATE,
-                          ttl_ms: int | None = None):
+                          ttl_ms: int | None = None,
+                          event_time: bool = False):
     """applyInPandasWithState body keyed by the coarse group id; state
-    holds every bucket of the group as aligned member arrays."""
+    holds every bucket of the group as aligned member arrays.
+
+    With `event_time=True` (rows carry ts_ms) the TTL horizon is
+    per-MEMBER and watermark-driven: a member expires once its own
+    event time + ttl falls behind the watermark — pruned on access, so
+    the horizon is exact per member even though any arrival refreshes
+    the coarse GROUP (a group timeout alone can never fire under
+    traffic — the W34 lesson); the group timeout is just idle-group GC.
+    The processing-time form keeps its documented coarse granularity."""
 
     def coarse_fn(
         key: tuple[Any, ...],
@@ -361,11 +371,18 @@ def make_coarse_bucket_fn(sim_thr: float = SIM_THR,
 
         from collections import defaultdict
 
+        wm = (int(state.getCurrentWatermarkMs())
+              if ttl_ms is not None and event_time else 0)
         buckets: dict[str, list] = defaultdict(list)
         if state.exists:
-            bks, ids, sigs = state.get
-            for b, i, s in zip(bks, ids, sigs):
-                buckets[b].append((int(i), str(s)))
+            st = state.get
+            bks, ids, sigs = st[0], st[1], st[2]
+            tss = st[3] if len(st) > 3 else [0] * len(bks)
+            for b, i, s, t in zip(bks, ids, sigs, tss):
+                if event_time and ttl_ms is not None and \
+                        int(t) + ttl_ms < wm:
+                    continue
+                buckets[b].append((int(i), str(s), int(t)))
         out = []
         frames = [pdf for pdf in pdfs if len(pdf)]
         if frames:
@@ -373,18 +390,20 @@ def make_coarse_bucket_fn(sim_thr: float = SIM_THR,
             # Same per-bucket doc_id order as the per-key layout:
             # deterministic dup_of for same-batch collisions.
             allr = allr.sort_values(["band_idx", "band_key", "doc_id"])
+            with_ts = "ts_ms" in allr.columns
             for row in allr.itertuples(index=False):
                 bk = f"{int(row.band_idx)}|{row.band_key}"
                 did, sig = int(row.doc_id), str(row.sig)
+                ts = int(row.ts_ms) if with_ts else 0
                 mem = buckets[bk]
-                for prev_id, prev_sig in mem:
+                for prev_id, prev_sig, _pts in mem:
                     if prev_id == did:
                         continue
                     est = _agreement(sig, prev_sig)
                     if est >= sim_thr:
                         out.append({"doc_id": did, "dup_of": prev_id,
                                     "est_sim": round(est, 4)})
-                mem.append((did, sig))
+                mem.append((did, sig, ts))
         # FIFO cap per LOGICAL bucket, applied in the state-serialization
         # pass — NOT inside the row loop: the per-key layout compares
         # every same-batch arrival against ALL members appended so far
@@ -392,14 +411,20 @@ def make_coarse_bucket_fn(sim_thr: float = SIM_THR,
         # evict members mid-batch and miss pairs the per-key layout
         # emits (the documented contract is an identical output
         # multiset; ttl_ms granularity is the only difference).
-        n_bks, n_ids, n_sigs = [], [], []
+        n_bks, n_ids, n_sigs, n_tss = [], [], [], []
         for bk, mem in buckets.items():
-            for i, s in mem[-max_bucket_state:]:
+            for i, s, t in mem[-max_bucket_state:]:
                 n_bks.append(bk)
                 n_ids.append(i)
                 n_sigs.append(s)
-        state.update((n_bks, n_ids, n_sigs))
-        if ttl_ms is not None:
+                n_tss.append(t)
+        state.update((n_bks, n_ids, n_sigs, n_tss))
+        if ttl_ms is not None and event_time:
+            # idle-group GC: fires only once every member is expired
+            state.setTimeoutTimestamp(
+                max(max(n_tss, default=0) + ttl_ms, wm + 1)
+            )
+        elif ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         yield (pd.DataFrame(out, columns=["doc_id", "dup_of", "est_sim"])
                if out else
@@ -433,4 +458,35 @@ def streaming_neardup_coarse(docs: DataFrame, text_col: str = "text",
         stateStructType=_COARSE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+def streaming_neardup_coarse_event_ttl(docs: DataFrame, ts_col: str,
+                                       ttl_ms: int,
+                                       text_col: str = "text",
+                                       id_col: str = "doc_id",
+                                       sim_thr: float = SIM_THR,
+                                       max_bucket_state: int = MAX_BUCKET_STATE,
+                                       groups: int = COARSE_GROUPS,
+                                       watermark_delay: str = "0 seconds",
+                                       ) -> DataFrame:
+    """The coarse-group layout with a watermark-driven PER-MEMBER
+    horizon: unlike the processing-time coarse TTL (group-granular —
+    any activity in the group refreshes its neighbors-in-group), a
+    member here expires exactly when the watermark passes its own
+    event time + ttl, regardless of group traffic. Replay evicts
+    deterministically (the W9/W34 event-TTL contract) at the coarse
+    layout's dispatch cost."""
+    banded = banded_signatures(docs, text_col, id_col, ts_col=ts_col)
+    banded = banded.withColumn(
+        "gid",
+        F.pmod(F.hash("band_idx", "band_key"), F.lit(groups)).cast("int"),
+    ).withWatermark("ts_event", watermark_delay)
+    return banded.groupBy("gid").applyInPandasWithState(
+        make_coarse_bucket_fn(sim_thr, max_bucket_state, ttl_ms,
+                              event_time=True),
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=_COARSE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

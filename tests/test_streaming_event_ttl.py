@@ -324,3 +324,63 @@ def test_w33_proj_event_ttl(spark, sf_dir, tmp_path):
             src, art, ts_col="ts", ttl_ms=10 * hour),
     )
     assert got == {(2, 1)}
+
+
+def test_w9_coarse_event_ttl(spark, tmp_path):
+    """Coarse-layout event TTL is PER-MEMBER: doc1's member expires on
+    its own event time even though the watermark-pushing docs keep the
+    coarse groups active (the group-granular processing-time horizon
+    could never evict here)."""
+    from kinesyslog_spark.streaming.dedup import (
+        streaming_neardup_coarse_event_ttl,
+    )
+
+    hour = 3_600_000
+
+    def run(ttl_ms, tag):
+        in_dir = str(tmp_path / f"docs_{tag}")
+        out_dir = str(tmp_path / f"out_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        os.makedirs(in_dir)
+        waves = [
+            [{"doc_id": 1, "text": TEXT_A, "ts": _iso(T0)}],
+            [{"doc_id": 50, "text": TEXT_OTHER,
+              "ts": _iso(T0 + 2 * hour)}],
+            [{"doc_id": 51,
+              "text": "totally different words describing shuffle "
+                      "partitions and broadcast joins in a sentence",
+              "ts": _iso(T0 + 2 * hour + 1000)}],
+            [{"doc_id": 2, "text": TEXT_B,
+              "ts": _iso(T0 + 2 * hour + 2000)}],
+        ]
+        for i, w in enumerate(waves):
+            _write_json(os.path.join(in_dir, f"w{i}.json"), w,
+                        1_700_000_000 + i)
+        docs = (
+            spark.readStream.schema("doc_id long, text string, ts string")
+            .option("maxFilesPerTrigger", 1)
+            .json(in_dir)
+        )
+        # groups=1 forces EVERY doc into one coarse group, so the
+        # watermark pushers keep the group hot — only per-member
+        # pruning can expire doc 1
+        out = streaming_neardup_coarse_event_ttl(
+            docs, ts_col="ts", ttl_ms=ttl_ms, groups=1
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        try:
+            return {(r.doc_id, r.dup_of)
+                    for r in spark.read.parquet(out_dir).collect()}
+        except Exception:
+            return set()
+
+    assert run(hour, "c_short") == set()
+    assert run(10 * hour, "c_long") == {(2, 1)}
