@@ -322,19 +322,31 @@ def hot_shingle_sigs(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     persisted; released by `tables.release_hot`."""
     key = (id(spark), sf_dir.rstrip("/"))
     got = _SIG_CACHE.get(key)
-    if got is None:
-        from kinesyslog_spark.tables import HOT_LEVEL
+    if got is not None:
+        return got
+    apath = family_artifact_path(
+        sf_dir, "minhash",
+        f"v{MINHASH_ARTIFACT_V}|k={MINHASH_K}|shingle=3",
+    )
+    if apath is not None:
+        loaded = family_artifact_load(spark, apath, ["sh", "sigs"])
+        if loaded is not None:
+            _SIG_CACHE[key] = loaded
+            return loaded
+    from kinesyslog_spark.tables import HOT_LEVEL
 
-        sh = (
-            hot_tokens(spark, sf_dir)
-            .filter(F.size("toks") >= 3)
-            .select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
-            .persist(HOT_LEVEL)
-        )
-        sigs = minhash_df(sh, ["doc_id"], "sh", MINHASH_K).persist(HOT_LEVEL)
-        sigs.count()
-        got = (sh, sigs)
-        _SIG_CACHE[key] = got
+    sh = (
+        hot_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
+        .persist(HOT_LEVEL)
+    )
+    sigs = minhash_df(sh, ["doc_id"], "sh", MINHASH_K).persist(HOT_LEVEL)
+    sigs.count()
+    if apath is not None:
+        family_artifact_write({"sh": sh, "sigs": sigs}, apath)
+    got = (sh, sigs)
+    _SIG_CACHE[key] = got
     return got
 
 
@@ -733,21 +745,24 @@ def _simhash_oracle() -> str:
 
 
 SIMHASH_ARTIFACT_V = 1  # bump when fingerprint/snake/tokenize changes
+MINHASH_ARTIFACT_V = 1  # bump when shingle/signature/tokenize changes
 
 
-def _simhash_artifact_path(sf_dir: str) -> str | None:
-    """Disk location of this corpus's (grp, blk) artifact, or None when
-    artifact persistence is disabled (SPARK_GRAFT_ARTIFACT_DIR=0).
+def family_artifact_path(sf_dir: str, family: str,
+                         scheme: str) -> str | None:
+    """Disk location of a corpus-keyed hot-family artifact, or None
+    when artifact persistence is disabled (SPARK_GRAFT_ARTIFACT_DIR=0).
 
-    The SimHash family artifacts are pure functions of the corpus and
-    the scheme constants, and building them is the dominant cost of a
-    FRESH session's first q27-family query (sf10: ~100 s of the 160 s
-    fresh run). Like a production IVF index, they belong on disk keyed
-    by corpus — a fresh session pays parquet IO, not recompute. The key
+    The hot family frames (SimHash (grp, blk), MinHash (sh, sigs)) are
+    pure functions of the corpus and the scheme constants, and building
+    them is the dominant cost of a FRESH session's first family query
+    (q27 sf10: ~100 s of the 160 s fresh run; q26 sf1: ~15 s of
+    17.7 s). Like a production IVF index, they belong on disk keyed by
+    corpus — a fresh session pays parquet IO, not recompute. The key
     folds in the documents.parquet file stat (size + mtime), so a
-    regenerated dataset at the same path misses cleanly, and the scheme
-    version + dial constants, so a code change never reads a stale
-    layout."""
+    regenerated dataset at the same path misses cleanly, and the
+    family's scheme version + dial constants, so a code change never
+    reads a stale layout."""
     import hashlib
     import os
 
@@ -764,34 +779,34 @@ def _simhash_artifact_path(sf_dir: str) -> str | None:
         st = os.stat(doc)
     except OSError:
         return None
-    scheme = (
-        f"v{SIMHASH_ARTIFACT_V}|bits={SIMHASH_BITS}"
-        f"|blocks={SIMHASH_SNAKE_BLOCKS}|clean={SIMHASH_COMBO_CLEAN}"
-    )
     key = hashlib.sha1(
         f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|{scheme}"
         .encode()
     ).hexdigest()[:16]
-    return os.path.join(base, "simhash", key)
+    return os.path.join(base, family, key)
 
 
-def _simhash_artifact_load(
-    spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame] | None:
+def family_artifact_load(
+    spark: SparkSession, path: str, names: list[str]
+) -> tuple[DataFrame, ...] | None:
+    """Load the named frames from a PUBLISHED artifact dir, persisted
+    at the hot level (last frame materialized); None if absent."""
     import os
 
     from kinesyslog_spark.tables import HOT_LEVEL
 
     if not os.path.exists(os.path.join(path, "_PUBLISHED")):
         return None
-    grp = spark.read.parquet(os.path.join(path, "grp")).persist(HOT_LEVEL)
-    blk = spark.read.parquet(os.path.join(path, "blk")).persist(HOT_LEVEL)
-    blk.count()
-    return grp, blk
+    frames = tuple(
+        spark.read.parquet(os.path.join(path, n)).persist(HOT_LEVEL)
+        for n in names
+    )
+    frames[-1].count()
+    return frames
 
 
-def _simhash_artifact_write(
-    grp: DataFrame, blk: DataFrame, path: str
+def family_artifact_write(
+    frames: dict[str, DataFrame], path: str
 ) -> None:
     """Best-effort atomic publish: write into a tmp dir, rename into
     place, marker last. A concurrent writer losing the rename race just
@@ -801,14 +816,34 @@ def _simhash_artifact_write(
 
     tmp = f"{path}.tmp-{os.getpid()}"
     try:
-        grp.write.mode("overwrite").parquet(os.path.join(tmp, "grp"))
-        blk.write.mode("overwrite").parquet(os.path.join(tmp, "blk"))
+        for n, df in frames.items():
+            df.write.mode("overwrite").parquet(os.path.join(tmp, n))
         os.makedirs(os.path.dirname(path), exist_ok=True)
         os.rename(tmp, path)
         with open(os.path.join(path, "_PUBLISHED"), "w") as f:
             f.write("1\n")
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _simhash_artifact_path(sf_dir: str) -> str | None:
+    return family_artifact_path(
+        sf_dir, "simhash",
+        f"v{SIMHASH_ARTIFACT_V}|bits={SIMHASH_BITS}"
+        f"|blocks={SIMHASH_SNAKE_BLOCKS}|clean={SIMHASH_COMBO_CLEAN}",
+    )
+
+
+def _simhash_artifact_load(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame] | None:
+    return family_artifact_load(spark, path, ["grp", "blk"])
+
+
+def _simhash_artifact_write(
+    grp: DataFrame, blk: DataFrame, path: str
+) -> None:
+    family_artifact_write({"grp": grp, "blk": blk}, path)
 
 
 def hot_simhash_groups(

@@ -78,3 +78,35 @@ def test_simhash_artifact_unpublished_dir_is_ignored(spark, sf_dir,
     apath = dedup._simhash_artifact_path(sf_dir)
     os.makedirs(os.path.join(apath, "grp"))
     assert dedup._simhash_artifact_load(spark, apath) is None
+
+
+def test_minhash_artifact_roundtrip_parity(spark, sf_dir, tmp_path,
+                                           monkeypatch):
+    """The MinHash family rides the same generalized artifact store:
+    (sh, sigs) disk roundtrip is exact, and q26's pair output is
+    bit-identical from the disk-loaded frames."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))
+    release_hot(spark, sf_dir)
+    try:
+        sh0, sigs0 = dedup.hot_shingle_sigs(spark, sf_dir)
+        pairs0 = sorted(
+            map(tuple, dedup.q26_minhash_lsh(spark, sf_dir).collect())
+        )
+        apath = dedup.family_artifact_path(
+            sf_dir, "minhash",
+            f"v{dedup.MINHASH_ARTIFACT_V}|k={dedup.MINHASH_K}|shingle=3",
+        )
+        assert os.path.exists(os.path.join(apath, "_PUBLISHED"))
+        release_hot(spark, sf_dir)
+        sh1, sigs1 = dedup.hot_shingle_sigs(spark, sf_dir)
+        _frames_equal(sigs0, sigs1, "sigs")
+        # shingle arrays: compare as (doc_id, tuple(sh))
+        a = sorted((r.doc_id, tuple(r.sh)) for r in sh0.collect())
+        b = sorted((r.doc_id, tuple(r.sh)) for r in sh1.collect())
+        assert a == b
+        pairs1 = sorted(
+            map(tuple, dedup.q26_minhash_lsh(spark, sf_dir).collect())
+        )
+        assert pairs0 == pairs1
+    finally:
+        release_hot(spark, sf_dir)
