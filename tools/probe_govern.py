@@ -27,13 +27,15 @@ from pyspark.sql import functions as F  # noqa: E402
 from kinesyslog_spark.session import get_spark  # noqa: E402
 
 
-def probe(spark, sf_dir: str) -> dict:
+def probe(spark, sf_dir: str, family: str = "simhash") -> dict:
     from kinesyslog_spark.queries.cluster import connected_components
     from kinesyslog_spark.queries.govern import refine_star_assignments
+    from kinesyslog_spark.queries.imageresolve import hot_image_pairs
     from kinesyslog_spark.queries.simresolve import hot_simhash_pairs
     from kinesyslog_spark.tables import release_hot
 
-    pairs = hot_simhash_pairs(spark, sf_dir)
+    hot = hot_image_pairs if family == "image" else hot_simhash_pairs
+    pairs = hot(spark, sf_dir)
     n_edges = pairs.count()
 
     t0 = time.time()
@@ -81,6 +83,7 @@ def probe(spark, sf_dir: str) -> dict:
 
     out = {
         "sf_dir": sf_dir,
+        "family": family,
         "edges": int(n_edges),
         "cc_wall_sec": round(cc_wall, 1),
         "cc_rounds": rounds,
@@ -100,10 +103,13 @@ def probe(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
+    import os
+
+    family = os.environ.get("GOVERN_FAMILY", "simhash")
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "artifacts/sf1"]
     spark = get_spark("probe-govern")
     for sf in sf_dirs:
-        print(json.dumps(probe(spark, sf)), flush=True)
+        print(json.dumps(probe(spark, sf, family)), flush=True)
 
 
 if __name__ == "__main__":
