@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from kinesyslog_spark.env import env_int
 from kinesyslog_spark.queries.dedup import (
     HAMMING_THR,
     SIMHASH_BITS,
@@ -73,7 +74,10 @@ __all__ = [
 ]
 
 MAX_BUCKET_STATE = 64
-COARSE_GROUPS = 1024
+# Coarse-group count: dispatch cost ~ groups x 3 ms/epoch, state-write
+# amplification ~ total-state/groups per touched group — raise it on
+# wide clusters (more executors want more concurrent groups anyway).
+COARSE_GROUPS = env_int("SPARK_GRAFT_W34_GROUPS", 1024)
 
 BANDED_SCHEMA = "doc_id long, hi long, lo long, cid int, ckey long"
 MATCH_SCHEMA = "doc_id long, dup_of long, hamming int"
