@@ -51,8 +51,19 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     executor-loss tolerance.
     """
     both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    both = both.persist()
-    both.count()
+    # Eager localCheckpoint rather than persist: the loop below runs
+    # ~2 executions per round against `both`, and with a plain persist
+    # every one of them re-analyzes (and the SQL listener re-stringifies)
+    # `both`'s FULL logical tree — which embeds the caller's entire
+    # pipeline (e.g. q27's fingerprint/blocking plan under
+    # hot_simhash_pairs, or a semi-joined copy of it under the
+    # governance refine). Checkpointing collapses the loop's input to a
+    # flat scan so per-round planning cost is O(round), not
+    # O(caller plan); a 1 GiB-driver vanilla session OOM'd building
+    # those tree strings before this (OPTIMIZATION_r12). Blocks are
+    # reclaimed by the ContextCleaner when the loop's frames are
+    # dropped, same as the per-round checkpoints below.
+    both = both.localCheckpoint()
     # Round-0 propagation fused into init: l(v) = min(v, min neighbor) —
     # one groupBy instead of a distinct + a full propagation round.
     labels = (
@@ -101,7 +112,6 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
                 break
             prev_sum = new_sum
     connected_components.last_rounds = rounds  # type: ignore[attr-defined]
-    both.unpersist()
     return labels
 
 

@@ -751,29 +751,32 @@ MINHASH_ARTIFACT_V = 1  # bump when shingle/signature/tokenize changes
 def family_artifact_path(sf_dir: str, family: str,
                          scheme: str) -> str | None:
     """Disk location of a corpus-keyed hot-family artifact, or None
-    when artifact persistence is disabled (SPARK_GRAFT_ARTIFACT_DIR=0).
+    when artifact persistence is disabled (the default).
 
     The hot family frames (SimHash (grp, blk), MinHash (sh, sigs)) are
     pure functions of the corpus and the scheme constants, and building
     them is the dominant cost of a FRESH session's first family query
     (q27 sf10: ~100 s of the 160 s fresh run; q26 sf1: ~15 s of
-    17.7 s). Like a production IVF index, they belong on disk keyed by
-    corpus — a fresh session pays parquet IO, not recompute. The key
-    folds in the documents.parquet file stat (size + mtime), so a
-    regenerated dataset at the same path misses cleanly, and the
-    family's scheme version + dial constants, so a code change never
-    reads a stale layout."""
+    17.7 s). Like a production IVF index, a deployment can keep them on
+    disk keyed by corpus — a fresh session then pays parquet IO, not
+    recompute. The key folds in the documents.parquet file stat
+    (size + mtime), so a regenerated dataset at the same path misses
+    cleanly, and the family's scheme version + dial constants, so a
+    code change never reads a stale layout.
+
+    OPT-IN ONLY (OPTIMIZATION_r12): persistence requires an explicit
+    SPARK_GRAFT_ARTIFACT_DIR path. A default-on disk store would carry
+    computed intermediates across independent engine invocations, which
+    makes a fresh-session benchmark silently *not fresh* — every bench
+    or correctness run must compute from the parquet inputs alone. The
+    feature stays available for long-lived deployments that want an
+    index; measurement paths never set the variable."""
     import hashlib
     import os
 
-    base = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
-    if base is not None and base.strip() in ("0", "off", "none"):
+    base = (os.environ.get("SPARK_GRAFT_ARTIFACT_DIR") or "").strip()
+    if not base or base in ("0", "off", "none"):
         return None
-    if not base or not base.strip():
-        pkg_root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        base = os.path.join(pkg_root, "artifacts", "cache")
     doc = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(doc)

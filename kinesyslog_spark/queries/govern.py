@@ -81,14 +81,21 @@ def refine_star_assignments(pairs: DataFrame,
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     # adjacency in both directions — (node, nbr) is unique because the
-    # pair frame is distinct on (doc_a < doc_b)
-    adj = persist_now(
-        edges.unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        ).select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
-    )
+    # pair frame is distinct on (doc_a < doc_b). Eager localCheckpoint,
+    # not persist: adj's logical tree embeds the whole pair pipeline
+    # (q27's fingerprint/blocking plan) TWICE, and every downstream
+    # consumer here (two star-verify semi-joins, edges2, the second CC
+    # loop) would re-analyze and re-stringify it per execution —
+    # checkpointing collapses it to a flat scan (guide §5: truncate
+    # very large plans). This is what made q183's analysis take 136 s
+    # and OOM a 1 GiB-driver vanilla session (OPTIMIZATION_r12).
+    adj = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).localCheckpoint()
     # CC output is already materialized (localCheckpoint by the loop's
     # convergence action, or the caller's persisted hot frame) — no
     # extra persist (the default-heap vanilla session is the budget
@@ -111,11 +118,12 @@ def refine_star_assignments(pairs: DataFrame,
         "orig_cluster_id",
         F.lit(1).cast("int").alias("stage"),
     )
-    evicted = persist_now(
-        comp.join(
-            kept1.select(F.col("doc_id").alias("node")), "node", "left_anti"
-        )
-    )
+    # evicted feeds four consumers (edges2 twice, kept2, singles) and
+    # its tree nests comp + adj + kept1 — checkpoint for the same
+    # flat-plan reason as adj.
+    evicted = comp.join(
+        kept1.select(F.col("doc_id").alias("node")), "node", "left_anti"
+    ).localCheckpoint()
     # stage 2: CC over the evicted-induced subgraph, star-verify again
     ev_nodes = evicted.select("node")
     edges2 = (
@@ -154,22 +162,50 @@ def refine_star_assignments(pairs: DataFrame,
             F.lit(0).cast("int").alias("stage"),
         )
     )
-    # materialize the (node-scale, narrow) assignment, then drop every
-    # intermediate: the two CC loops' checkpoint blocks and the
-    # adjacency become garbage once nothing references their lineage
-    out = persist_now(kept1.unionByName(kept2).unionByName(singles))
-    adj.unpersist()
-    evicted.unpersist()
-    return out
+    # materialize the (node-scale, narrow) assignment; the two CC
+    # loops' checkpoint blocks and the adjacency/evicted checkpoints
+    # become garbage once nothing references their lineage (reclaimed
+    # by the ContextCleaner)
+    return persist_now(kept1.unionByName(kept2).unionByName(singles))
 
 
-def refined_survivor_frame(pairs: DataFrame,
-                           comp: DataFrame | None = None) -> DataFrame:
-    """Per-final-cluster governance rollup of refine_star_assignments:
-    (cluster_id, survivor_doc, n_members, n_removed, orig_cluster_id,
-    orig_n_members, stage). stage is constant within a final cluster
-    by construction (stars are formed whole at one stage)."""
-    asg = refine_star_assignments(pairs, comp)  # persisted by builder
+# Session memo for the star-verify assignment frame, keyed
+# (spark id, sf_dir, family): q183 and q185 both need the simhash
+# refinement, and before this memo EACH ran the full pipeline (two CC
+# loops + the star joins) per session — one shared run halves the
+# family's build cost, exactly like hot_simhash_components upstream.
+# Released by tables.release_hot.
+_REFINE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def hot_refined_assignments(spark: SparkSession, sf_dir: str,
+                            family: str) -> DataFrame:
+    """Session-memoized refine_star_assignments over a registered pair
+    family ('simhash' or 'image'), sharing one refinement run across
+    q183/q185 (sim) and q184 (image)."""
+    key = (id(spark), sf_dir.rstrip("/"), family)
+    got = _REFINE_CACHE.get(key)
+    if got is None:
+        if family == "simhash":
+            pairs = hot_simhash_pairs(spark, sf_dir)
+            comp = hot_simhash_components(spark, sf_dir)
+        elif family == "image":
+            pairs = hot_image_pairs(spark, sf_dir)
+            comp = hot_image_components(spark, sf_dir)
+        else:
+            raise KeyError(f"unknown refine family {family!r}")
+        got = refine_star_assignments(pairs, comp)
+        _REFINE_CACHE[key] = got
+    return got
+
+
+def survivor_rollup(asg: DataFrame) -> DataFrame:
+    """Per-final-cluster governance rollup of a star-verify assignment
+    frame: (cluster_id, survivor_doc, n_members, n_removed,
+    orig_cluster_id, orig_n_members, stage). stage is constant within a
+    final cluster by construction (stars are formed whole at one
+    stage). Lazy — cluster-scale aggregates over the (persisted)
+    assignment."""
     orig = asg.groupBy("orig_cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("orig_n_members")
     )
@@ -178,7 +214,7 @@ def refined_survivor_frame(pairs: DataFrame,
         F.min("orig_cluster_id").alias("orig_cluster_id"),
         F.min("stage").cast("int").alias("stage"),
     )
-    out = persist_now(
+    return (
         cl.join(orig, "orig_cluster_id")
         .select(
             "cluster_id",
@@ -191,10 +227,15 @@ def refined_survivor_frame(pairs: DataFrame,
         )
         .orderBy("cluster_id")
     )
-    # cluster-scale result is materialized; the node-scale assignment
-    # can go (the default-heap vanilla budget again)
-    asg.unpersist()
-    return out
+
+
+def refined_survivor_frame(pairs: DataFrame,
+                           comp: DataFrame | None = None) -> DataFrame:
+    """survivor_rollup over a one-shot refine_star_assignments run —
+    the un-memoized form kept for ad-hoc pair frames (tests, probes).
+    Registered queries go through hot_refined_assignments instead so
+    one refinement feeds every governance query of a family."""
+    return survivor_rollup(refine_star_assignments(pairs, comp))
 
 
 def _refine_ctes(pairs_sql: str) -> str:
@@ -307,9 +348,8 @@ def q183_simhash_refined_survivors(
 ) -> DataFrame:
     """q182's routing with giant-component governance: every drop is
     certified by a direct within-threshold edge to its survivor."""
-    return refined_survivor_frame(
-        hot_simhash_pairs(spark, sf_dir),
-        hot_simhash_components(spark, sf_dir),
+    return survivor_rollup(
+        hot_refined_assignments(spark, sf_dir, "simhash")
     )
 
 
@@ -320,9 +360,8 @@ def q184_image_refined_survivors(
     """q176's image routing under the same star-verify governance —
     the q175 projection-hash pair graph has the identical closure
     hazard (hamming-threshold transitive chains)."""
-    return refined_survivor_frame(
-        hot_image_pairs(spark, sf_dir),
-        hot_image_components(spark, sf_dir),
+    return survivor_rollup(
+        hot_refined_assignments(spark, sf_dir, "image")
     )
 
 
@@ -381,10 +420,7 @@ def q185_governed_token_savings(
     are actually small."""
     from kinesyslog_spark.tables import hot_table, hot_tokens
 
-    asg = refine_star_assignments(
-        hot_simhash_pairs(spark, sf_dir),
-        hot_simhash_components(spark, sf_dir),
-    )
+    asg = hot_refined_assignments(spark, sf_dir, "simhash")
     cdrop = asg.filter(F.col("doc_id") != F.col("orig_cluster_id")).select(
         "doc_id", F.lit(1).alias("_c")
     )

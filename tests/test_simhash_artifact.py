@@ -80,6 +80,24 @@ def test_simhash_artifact_unpublished_dir_is_ignored(spark, sf_dir,
     assert dedup._simhash_artifact_load(spark, apath) is None
 
 
+def test_artifact_store_is_opt_in(tmp_path, monkeypatch):
+    """The disk artifact store must be OFF unless SPARK_GRAFT_ARTIFACT_DIR
+    names a path: a default-on store would carry computed intermediates
+    across independent engine invocations, making fresh-session
+    benchmarks silently warm (OPTIMIZATION_r12 methodology rule)."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "documents.parquet").write_bytes(b"x" * 64)
+    monkeypatch.delenv("SPARK_GRAFT_ARTIFACT_DIR", raising=False)
+    assert dedup.family_artifact_path(str(sf), "minhash", "v1") is None
+    assert dedup._simhash_artifact_path(str(sf)) is None
+    for off in ("0", "off", "none", "", "  "):
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", off)
+        assert dedup.family_artifact_path(str(sf), "minhash", "v1") is None
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "c"))
+    assert dedup.family_artifact_path(str(sf), "minhash", "v1") is not None
+
+
 def test_minhash_artifact_roundtrip_parity(spark, sf_dir, tmp_path,
                                            monkeypatch):
     """The MinHash family rides the same generalized artifact store:
