@@ -27,20 +27,19 @@ gaps-and-islands window — all Catalyst-native.
 
 Spark shape (scale posture at 100 TB):
 - tokenize + k-gram emit are map-only (`transform`/`slice`/`md5`
-  JVM expressions, zero Python);
-- duplicated-gram detection is ONE aggregate on 32-hex-char md5 keys —
-  partial (map-side) aggregation collapses each partition's repeats
-  before the exchange, so the shuffle carries near-distinct grams;
-- positions join the duplicated-gram set on the same md5 key (in clean
-  corpora dup grams are a small fraction — AQE turns this into a
-  broadcast join when the filtered side fits; at dirtier scales it is
-  a plain hash join on uniform 16-byte content hashes, no skew);
+  JVM expressions, zero Python) and run ONCE — the former
+  aggregate + join-back shape evaluated this subtree twice;
+- duplicated-gram detection is a count-over-partition window on the
+  16-byte binary gram digest: one hash exchange of (doc_id, s, g),
+  no broadcast of the duplicated-gram set (corpus-scale on
+  boilerplate-heavy corpora, i.e. unbounded at 100 TB);
 - span merge is one doc_id window (equal-width intervals sorted by
   start make `lag(end)` the running max, so one LAG + one running SUM
   suffice), bounded per-doc state.
 No all-pairs, no materialized suffix array, no driver-side data.
 md5 keying makes shuffle width constant regardless of k; both engines
-hash the identical UTF-8 gram string, so the oracle is bit-exact.
+hash the identical UTF-8 gram string (Spark groups on unhex(md5),
+injective on the oracle's md5 hex), so the oracle is bit-exact.
 
 Reference parity: none (no corpus surface in kinesyslog); this is the
 LLM-pipeline north-star operator (VERDICT r3 next-round #1).
@@ -74,18 +73,35 @@ def duplicated_spans(docs: DataFrame, k: int = SUBSTR_K,
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
     ).filter(F.size("ts") >= k)
+    # unhex(md5(...)): the gram key is the 16-byte binary digest, not the
+    # 32-char hex string — same equality classes (unhex is injective on
+    # md5 output, so dup detection and the oracle's md5-hex grouping
+    # agree bit-for-bit), half the shuffle bytes per gram (guide §2.3).
     gpos = toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(ts) - {k}),"
-                f" i -> md5(array_join(slice(ts, i + 1, {k}), ' ')))"
+                f" i -> unhex(md5(array_join(slice(ts, i + 1, {k}), ' '))))"
             )
         ).alias("s", "g"),
     )
-    dup = gpos.groupBy("g").count().filter(F.col("count") >= 2).select("g")
-    hit = gpos.join(dup, "g").select(
-        "doc_id", "s", (F.col("s") + k).alias("e")
+    # Duplicated-gram detection as a count-over-partition window rather
+    # than groupBy + join-back: the former aggregate/join shape evaluated
+    # the tokenize+md5 Generate subtree TWICE (once under the aggregate,
+    # once on the join's stream side — plans/r12/q123_*_before.txt nodes
+    # 12 and 18) and broadcast the full duplicated-gram set, which is
+    # corpus-scale on a boilerplate-heavy corpus and dies at the 8 GiB
+    # broadcast cap long before 100 TB. The window form computes the
+    # grams ONCE and replaces the broadcast with one hash exchange on
+    # the 16-byte gram key (guide §2.4: remove shuffles/recompute
+    # outright; §3.3: no unbounded broadcast).
+    hit = (
+        gpos.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "s", (F.col("s") + k).alias("e"))
     )
     w = Window.partitionBy("doc_id").orderBy("s")
     brk = hit.withColumn(
