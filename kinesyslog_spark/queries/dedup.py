@@ -536,26 +536,34 @@ def _pair_candidates(keyed: DataFrame, key_cols: list[str],
             ),
         )
     )
+    # Pair dedup rides the SAME exchange that spreads the verify: a
+    # user-specified hash repartition on (doc_a, doc_b) both satisfies
+    # dropDuplicates' clustering requirement (no second exchange) and is
+    # exempt from AQE coalescing, so the downstream per-pair verify
+    # stays wide without _verify_jaccard's former extra round-robin
+    # repartition. The old tail (.distinct() then repartition in the
+    # verify) paid two full exchanges of the pair frame (guide §2.4).
     return (
         members.repartition(_par(keyed))
         .select(F.explode(pairs).alias("_p"))
         .select("_p.doc_a", "_p.doc_b")
-        .distinct()
+        .repartition(_par(keyed), "doc_a", "doc_b")
+        .dropDuplicates()
     )
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, thr: float) -> DataFrame:
     """Join shingle arrays back by doc_id and keep exact Jaccard >= thr.
 
-    cand is explicitly repartitioned for the same reason as above: a few
-    MB of candidate pairs coalesce to one AQE partition, but each row
-    costs an array_intersect over the two shingle sets — the verify must
-    run wide. The shingle sides broadcast (runtime-sized by AQE)."""
+    cand (_pair_candidates output) arrives already hash-repartitioned
+    wide on (doc_a, doc_b) — a user repartition AQE will not coalesce —
+    so the per-pair array_intersect verify runs wide with no extra
+    exchange here. The shingle sides broadcast (runtime-sized by
+    AQE)."""
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.repartition(_par(cand))
-        .join(a, "doc_a").join(b, "doc_b")
+        cand.join(a, "doc_a").join(b, "doc_b")
         .select("doc_a", "doc_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
         .filter(F.col("jaccard") >= thr)
         .orderBy("doc_a", "doc_b")
