@@ -227,6 +227,7 @@ def exact_rank_values(
     buckets: int = _HIST_BUCKETS,
     final_cap: int = _FINAL_CAP,
     bounds: tuple[float, float] | None = None,
+    total: int | None = None,
 ) -> list[float]:
     """EXACT values at the given 1-based ascending global ranks of a
     numeric ``col`` — with NO full-column shuffle and NO sort of the
@@ -255,7 +256,17 @@ def exact_rank_values(
     over the non-null ascending order). Far-apart ranks are resolved as
     independent per-bucket subproblems, so each refinement is
     guaranteed to shrink its region (a shared span covering all buckets
-    would never narrow — the first cut looped on ranks {1, n})."""
+    would never narrow — the first cut looped on ranks {1, n}).
+
+    Job batching (OPTIMIZATION_r12, guide §1.2/§2.6): all live regions
+    of a depth level run as ONE Spark job per kind — one combined
+    (region, bucket) aggregate for the regions still being narrowed and
+    one combined bounded collect for the regions small enough to sort
+    driver-side — instead of one job per region. A parent bucket's
+    count IS its subregion's row count, so subregions skip the "how big
+    am I" re-aggregate entirely. With k target ranks the driver holds
+    at most k·final_cap candidate values at once (k is a handful:
+    quantile probes, median pairs)."""
     targets = sorted(int(r) for r in ranks)
     x = F.col(col)
     base = df.filter(x.isNotNull())
@@ -265,24 +276,71 @@ def exact_rank_values(
             raise ValueError("exact_rank_values on an empty/all-null column")
         bounds = (float(row["lo"]), float(row["hi"]))
     out: dict[int, float] = {}
-    # work regions: (pred, rows_ranked_below_region, vlo, vhi, targets)
-    work = [(F.lit(True), 0, bounds[0], bounds[1], targets)]
+    # work regions: (pred, rows_ranked_below_region, vlo, vhi, targets,
+    # row_count_or_None). The root's count is unknown (None) unless the
+    # first histogram pass discovers it; every subregion inherits its
+    # parent bucket's exact count.
+    work: list[tuple] = [
+        (F.lit(True), 0, bounds[0], bounds[1], targets, total)
+    ]
     while work:
-        pred, below, vlo, vhi, tg = work.pop()
-        width = (vhi - vlo) / buckets
-        # vlo == vhi: every row in the region is that value. width not
-        # > 0: denormal underflow — the region spans < buckets distinct
-        # representable doubles; vlo is exact-or-adjacent (pathological,
-        # documented).
-        if vlo == vhi or not (width > 0.0):
-            out.update({t: vlo for t in tg})
+        narrow: list[tuple] = []   # regions that need a histogram pass
+        small: list[tuple] = []    # regions ready for the bounded collect
+        for reg in work:
+            pred, below, vlo, vhi, tg, cnt = reg
+            width = (vhi - vlo) / buckets
+            # vlo == vhi: every row in the region is that value. width
+            # not > 0: denormal underflow — the region spans < buckets
+            # distinct representable doubles; vlo is exact-or-adjacent
+            # (pathological, documented).
+            if vlo == vhi or not (width > 0.0):
+                out.update({t: vlo for t in tg})
+            elif cnt is not None and cnt <= final_cap:
+                small.append(reg)
+            else:
+                narrow.append(reg)
+        work = []
+        if small:
+            # ONE collect for every small region: tag rows with their
+            # region index, sort per region driver-side.
+            pred_any = small[0][0]
+            rid = F.when(small[0][0], 0)
+            for i, reg in enumerate(small[1:], start=1):
+                pred_any = pred_any | reg[0]
+                rid = rid.when(reg[0], i)
+            rows = (
+                base.filter(pred_any)
+                .select(rid.alias("_r"), x.alias("_x"))
+                .collect()
+            )
+            byreg: dict[int, list[float]] = {i: [] for i in range(len(small))}
+            for r in rows:
+                byreg[r["_r"]].append(r["_x"])
+            for i, (pred, below, vlo, vhi, tg, cnt) in enumerate(small):
+                vs = sorted(byreg[i])
+                out.update({t: float(vs[t - below - 1]) for t in tg})
+        if not narrow:
             continue
-        bexpr = F.least(
-            F.lit(buckets - 1), F.floor((x - F.lit(vlo)) / F.lit(width))
-        ).cast("int")
+        # ONE (region, bucket) aggregate for every region being narrowed.
+        bexprs = []
+        for pred, below, vlo, vhi, tg, cnt in narrow:
+            width = (vhi - vlo) / buckets
+            bexprs.append(
+                F.least(
+                    F.lit(buckets - 1),
+                    F.floor((x - F.lit(vlo)) / F.lit(width)),
+                ).cast("int")
+            )
+        pred_any = narrow[0][0]
+        rid = F.when(narrow[0][0], 0)
+        bsel = F.when(narrow[0][0], bexprs[0])
+        for i, reg in enumerate(narrow[1:], start=1):
+            pred_any = pred_any | reg[0]
+            rid = rid.when(reg[0], i)
+            bsel = bsel.when(reg[0], bexprs[i])
         hist = (
-            base.filter(pred)
-            .groupBy(bexpr.alias("_b"))
+            base.filter(pred_any)
+            .groupBy(rid.alias("_r"), bsel.alias("_b"))
             .agg(
                 F.count(F.lit(1)).alias("_c"),
                 F.min(x).alias("_lo"),
@@ -290,24 +348,37 @@ def exact_rank_values(
             )
             .collect()
         )
-        stats = {r["_b"]: (r["_c"], float(r["_lo"]), float(r["_hi"])) for r in hist}
-        total = sum(c for c, _, _ in stats.values())
-        if total <= final_cap:
-            vs = sorted(r[0] for r in base.filter(pred).select(x).collect())
-            out.update({t: float(vs[t - below - 1]) for t in tg})
-            continue
-        # route each target to its bucket; one subproblem per hit bucket
-        run = below
-        unrouted = list(tg)
-        for bi in sorted(stats):
-            c, blo, bhi = stats[bi]
-            hit = [t for t in unrouted if run < t <= run + c]
-            if hit:
-                unrouted = [t for t in unrouted if t not in hit]
-                work.append((pred & (bexpr == bi), run, blo, bhi, hit))
-            run += c
-        if unrouted:
-            raise IndexError(f"ranks {unrouted} outside 1..{run}")
+        per_region: dict[int, dict[int, tuple]] = {
+            i: {} for i in range(len(narrow))
+        }
+        for r in hist:
+            per_region[r["_r"]][r["_b"]] = (
+                r["_c"], float(r["_lo"]), float(r["_hi"])
+            )
+        for i, (pred, below, vlo, vhi, tg, cnt) in enumerate(narrow):
+            stats = per_region[i]
+            total = sum(c for c, _, _ in stats.values())
+            if total <= final_cap:
+                # The region turned out small (count was unknown);
+                # queue its bounded collect for the next round.
+                work.append((pred, below, vlo, vhi, tg, total))
+                continue
+            # route each target to its bucket; one subproblem per hit
+            # bucket, carrying the bucket's exact count.
+            run = below
+            unrouted = list(tg)
+            bexpr = bexprs[i]
+            for bi in sorted(stats):
+                c, blo, bhi = stats[bi]
+                hit = [t for t in unrouted if run < t <= run + c]
+                if hit:
+                    unrouted = [t for t in unrouted if t not in hit]
+                    work.append(
+                        (pred & (bexpr == bi), run, blo, bhi, hit, c)
+                    )
+                run += c
+            if unrouted:
+                raise IndexError(f"ranks {unrouted} outside 1..{run}")
     return [out[t] for t in targets]
 
 
@@ -331,7 +402,8 @@ def exact_median(df: DataFrame, col: str) -> tuple[float, int]:
         raise ValueError("exact_median on an empty/all-null column")
     lo, hi = (n + 1) // 2, (n + 2) // 2
     a, b = exact_rank_values(
-        df, col, [lo, hi], bounds=(float(row["lo"]), float(row["hi"]))
+        df, col, [lo, hi],
+        bounds=(float(row["lo"]), float(row["hi"])), total=n,
     )
     return (a + b) / 2.0, n
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.env import env_budget, env_int
 from kinesyslog_spark.operators.text import (
     HEX_HIGH,
@@ -197,7 +198,8 @@ def combo_keyed(blk: DataFrame) -> DataFrame:
     nodes and one BroadcastNestedLoopJoin."""
     spark = blk.sparkSession
     k = SIMHASH_COMBO_CLEAN
-    cdf = spark.createDataFrame(
+    cdf = local_frame(
+        spark,
         [(cid, *combo) for cid, combo in enumerate(_simhash_combos())],
         "cid int, " + ", ".join(f"i{t} int" for t in range(k)),
     )

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.operators.ranking import exact_rank_values
 from kinesyslog_spark.operators.text import md5_int60
 from kinesyslog_spark.queries import query
@@ -178,54 +179,66 @@ ORDER BY e.p
 
 @query("q135_histogram_quantiles", oracle=_Q135_ORACLE)
 def q135_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketch + exact arms over ONE persisted pass of the pruned column
+    # (OPTIMIZATION_r12, guide §1.2/§5): the first cut left `v`
+    # unpersisted and composed mm/hist/cum as lazy subtrees referenced
+    # from several branches — the executed plan held 20 parquet scans
+    # and 28 exchanges (plans/r12/q135_..._before.txt) for 3 output
+    # rows. Now: one cached scan, mm collected ONCE (it was already
+    # collected for the exact arm), the <=128-row histogram collected
+    # driver-side, and the cum/pick/est composition done on literals /
+    # tiny local frames with the IDENTICAL expression arithmetic
+    # (double throughout; cum/pick comparisons are exact — counts are
+    # far below 2^53), so est_q is bit-identical to the broadcast-join
+    # form and the oracle twin still hash-matches.
+    from pyspark import StorageLevel
+
     v = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("x")
-    )
-    mm = v.agg(
+    ).persist(StorageLevel.MEMORY_ONLY)
+    mrow = v.agg(
         F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
-    )
-    b = v.crossJoin(F.broadcast(mm)).select(
-        F.least(
-            F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * N_BUCKETS),
-            F.lit(N_BUCKETS - 1).cast("long"),
-        ).alias("bkt")
-    )
-    hist = b.groupBy("bkt").agg(F.count("*").alias("c"))
-    # Cumulative counts over the (<= N_BUCKETS)-row histogram via a
-    # broadcast non-equi self-join instead of an unpartitioned window —
-    # the input is bounded by the constant anyway, but this keeps the
-    # whole plan free of single-partition WindowExec nodes (pinned).
-    h2 = hist.select(F.col("bkt").alias("bkt2"), F.col("c").alias("c2"))
-    cum = (
-        hist.join(F.broadcast(h2), F.col("bkt2") <= F.col("bkt"))
-        .groupBy("bkt", "c")
-        .agg(F.sum("c2").alias("cum"))
-        .withColumn("cum_prev", F.col("cum") - F.col("c"))
-    )
-    probs = spark.createDataFrame([(p,) for p in Q_PROBS], "p double")
-    pick = (
-        probs.crossJoin(F.broadcast(mm.select("n")))
-        .join(F.broadcast(cum), F.col("cum") >= F.col("p") * F.col("n"))
-        .groupBy("p", "n")
-        .agg(F.min("bkt").alias("bkt"))
-    )
-    est = (
-        pick.join(
-            F.broadcast(cum.select("bkt", "c", "cum_prev")), "bkt"
+    ).collect()[0]
+    lo_v, hi_v, n = float(mrow["lo"]), float(mrow["hi"]), int(mrow["n"])
+    lo, hi = F.lit(lo_v), F.lit(hi_v)
+    hist_rows = (
+        v.groupBy(
+            F.least(
+                F.floor((F.col("x") - lo) / (hi - lo) * N_BUCKETS),
+                F.lit(N_BUCKETS - 1).cast("long"),
+            ).alias("bkt")
         )
-        .crossJoin(F.broadcast(mm.select("lo", "hi")))
-        .select(
-            "p",
-            (
-                F.col("lo")
-                + (F.col("hi") - F.col("lo"))
-                * (
-                    F.col("bkt")
-                    + (F.col("p") * F.col("n") - F.col("cum_prev")) / F.col("c")
-                )
-                / N_BUCKETS
-            ).alias("est_q"),
-        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    # cum / cum_prev / pick on the driver: integer running sums over the
+    # <=N_BUCKETS-row histogram; `cum >= p * n` in Python is the same
+    # IEEE double product and exact integer comparison as the former
+    # broadcast-join predicate.
+    by_bkt = sorted((int(r["bkt"]), int(r["c"])) for r in hist_rows)
+    cum_of: dict[int, tuple[int, int]] = {}
+    run = 0
+    for bkt, c in by_bkt:
+        run += c
+        cum_of[bkt] = (c, run - c)  # (c, cum_prev)
+    pick_rows = []
+    for p in Q_PROBS:
+        bkt = min(b for b, c in by_bkt if cum_of[b][0] + cum_of[b][1] >= p * n)
+        c, cum_prev = cum_of[bkt]
+        pick_rows.append((p, bkt, c, cum_prev))
+    est = local_frame(
+        spark, pick_rows, "p double, bkt long, c long, cum_prev long"
+    ).select(
+        "p",
+        (
+            lo
+            + (hi - lo)
+            * (
+                F.col("bkt")
+                + (F.col("p") * F.lit(n) - F.col("cum_prev")) / F.col("c")
+            )
+            / N_BUCKETS
+        ).alias("est_q"),
     )
     # Exact-verify arm: histogram-selection rank lookup
     # (operators/ranking.py exact_rank_values) — the first cut ranked
@@ -237,8 +250,6 @@ def q135_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the oracle twin still hash-matches.
     import math
 
-    mrow = mm.collect()[0]
-    n = int(mrow["n"])
     rank_of: dict[int, float] = {}
     pk_rows = []
     for p in Q_PROBS:
@@ -248,10 +259,12 @@ def q135_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_of[rlo] = rank_of[rhi] = 0.0
     ranks = sorted(rank_of)
     got = exact_rank_values(
-        v, "x", ranks, bounds=(float(mrow["lo"]), float(mrow["hi"]))
+        v, "x", ranks, bounds=(lo_v, hi_v), total=n
     )
     rank_of = dict(zip(ranks, got))
-    exact = spark.createDataFrame(
+    v.unpersist()
+    exact = local_frame(
+        spark,
         [
             (p, rank_of[rlo] + g * (rank_of[rhi] - rank_of[rlo]))
             for p, rlo, rhi, g in pk_rows

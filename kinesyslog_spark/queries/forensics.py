@@ -32,6 +32,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.relational import _t
 
@@ -104,7 +105,8 @@ def q168_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_obs")
     )
     tot = counts.groupBy("src").agg(F.sum("n_obs").cast("long").alias("n"))
-    bf = spark.createDataFrame(
+    bf = local_frame(
+        spark,
         [(d, _BENFORD[d]) for d in range(1, 10)], "digit int, p double"
     )
     full = (

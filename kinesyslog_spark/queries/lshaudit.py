@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.operators.text import jaccard, md5_int60
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.dedup import (
@@ -152,7 +153,8 @@ def q172_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         1.0 if n_true == 0
         else _fl6(n_found / n_true)
     )
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(n_samp, n_true, n_found, recall, _fl6(_EXPECT))],
         "n_sample_docs long, n_true_pairs long, n_found_pairs long, "
         "recall double, band_model_at_threshold double",

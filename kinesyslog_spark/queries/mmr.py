@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.llm import EMB_DIM
 from kinesyslog_spark.tables import hot_vectors
@@ -170,7 +171,8 @@ def q147_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [
             (i + 1, vid, sc) for i, (vid, sc) in enumerate(selected)
         ]
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             rows, "rank long, vec_id long, mmr_score double"
         ).orderBy("rank")
     finally:

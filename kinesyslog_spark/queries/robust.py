@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.operators.ranking import exact_median
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.relational import _t
@@ -128,7 +129,8 @@ def q171_robust_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         vals.unpersist()
         dev.unpersist()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         outs,
         "src string, n long, median double, mad double, "
         "n_outliers long, outlier_frac double",

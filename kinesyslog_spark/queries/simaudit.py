@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.operators.text import hamming_from_halves, md5_int60
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.dedup import (
@@ -185,7 +186,8 @@ def q181_simhash_recall_audit(
     n_missed = missed.count()
     n_shared = shared.count()
     recall = 1.0 if n_true == 0 else _fl6(n_found / n_true)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(
             n_samp, n_true, n_found, recall,
             n_shared, n_missed - n_shared,

@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.ann import EMB_DIM
 from kinesyslog_spark.queries.mlops import _floor_q
@@ -260,7 +261,8 @@ def q166_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(1, EMB_DIM):
         tvd = tvd + (s2[j] / n - mu[j] * mu[j])
     total_var = _floor_q(tvd, 6)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(
             int(n), eigval, total_var,
             _floor_q(eigval / total_var, 6),

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.operators.text import md5_int60
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.dedup import (
@@ -147,9 +148,10 @@ def q163_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_leak_pairs"))
     )
-    shape = spark.createDataFrame(
+    shape = local_frame(
+        spark,
         [("test", "train"), ("train", "val"), ("test", "val")],
-        ["split_a", "split_b"],
+        "split_a string, split_b string",
     )
     na = sizes.select(F.col("split").alias("split_a"), F.col("n").alias("_na"))
     nb = sizes.select(F.col("split").alias("split_b"), F.col("n").alias("_nb"))

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.operators.text import TOKEN_RE
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.tables import hot_tokens, persist_now
@@ -108,8 +109,9 @@ def q83_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir.rstrip("/"))
     cached = _MERGES_CACHE.get(key)
     if cached is not None:
-        return spark.createDataFrame(
-            cached, "rnd int, s1 string, s2 string, merged string, cnt bigint"
+        return local_frame(
+            spark, cached,
+            "rnd int, s1 string, s2 string, merged string, cnt bigint",
         ).orderBy("rnd")
     # the single corpus-scale pass: word frequencies
     words = persist_now(
@@ -165,8 +167,9 @@ def q83_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_df.unpersist()
     words.unpersist()
     _MERGES_CACHE[key] = merges
-    return spark.createDataFrame(
-        merges, "rnd int, s1 string, s2 string, merged string, cnt bigint"
+    return local_frame(
+        spark, merges,
+        "rnd int, s1 string, s2 string, merged string, cnt bigint",
     ).orderBy("rnd")
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.queries import query
 
 
@@ -114,9 +115,10 @@ def q170_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("diff_class"),
         F.coalesce("u1", "u2").alias("user_id"),
     )
-    shape = spark.createDataFrame(
+    shape = local_frame(
+        spark,
         [("added",), ("changed",), ("removed",), ("unchanged",)],
-        ["diff_class"],
+        "diff_class string",
     )
     agg = d.groupBy("diff_class").agg(
         F.count("user_id").alias("n_users"),
