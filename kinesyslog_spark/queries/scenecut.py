@@ -131,7 +131,15 @@ ORDER BY doc_id, cut_idx
 
 @query("q141_scene_cuts", oracle=_Q141_ORACLE)
 def q141_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # the test parquet is one split; spread the CPU-bound Python
+        # synth/decode stages across the executor cores (the
+        # hot_phash_vectors pattern). At corpus scale the input
+        # already has thousands of splits and this is a near-no-op.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     videos = docs.mapInPandas(_synth_batches, schema="doc_id long, payload binary")
     trans = videos.mapInPandas(
         _detect_batches, schema="doc_id long, frame_idx int, l1 long"

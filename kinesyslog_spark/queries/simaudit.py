@@ -46,7 +46,7 @@ from kinesyslog_spark.queries.dedup import (
     HAMMING_THR,
     combo_keyed,
     hot_simhash_groups,
-    q27_simhash_pairs,
+
     simhash_ham_sql,
     simhash_pairs_ctes,
 )
@@ -155,8 +155,15 @@ def q181_simhash_recall_audit(
         .select("doc_a", "doc_b", "rep_a", "rep_b")
     )
     ids = samp.select("doc_id")
+    # the PERSISTED family pair artifact (hot_simhash_pairs), not the
+    # raw q27 plan: the audit reads `found` from three actions
+    # (hit/missed/shared), and an unpersisted q27 re-executed its
+    # whole combo-join tail per action — 5.3 s for the first count
+    # alone at sf0.1 (OPTIMIZATION_r12)
+    from kinesyslog_spark.queries.simresolve import hot_simhash_pairs
+
     found = (
-        q27_simhash_pairs(spark, sf_dir)
+        hot_simhash_pairs(spark, sf_dir)
         .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
         .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
         .select("doc_a", "doc_b")
@@ -184,7 +191,10 @@ def q181_simhash_recall_audit(
     n_true = truth.count()
     n_found = hit.count()
     n_missed = missed.count()
-    n_shared = shared.count()
+    # the attribution join drives the combo-key explode over the whole
+    # block frame — skip it when there is nothing to attribute (the
+    # recall-1.0 common case at every measured SF)
+    n_shared = shared.count() if n_missed else 0
     recall = 1.0 if n_true == 0 else _fl6(n_found / n_true)
     return local_frame(
         spark,
