@@ -130,55 +130,93 @@ def render_png_batches(
 
 
 PHASH_SCHEMA = "doc_id long, j int, bv long"
+RASTER_SCHEMA = "doc_id long, raster binary"
+
+
+def _decode_batch_rasters(pdf: pd.DataFrame):
+    """(doc_id, payload) batch -> (ids, list of 1024-byte gray rasters)
+    via the REAL decode path. Non-PNG / unsupported payloads are
+    skipped (a malformed blob must never kill a partition)."""
+    ids, rasters = [], []
+    for d, p in zip(pdf["doc_id"], pdf["payload"]):
+        try:
+            w, h, ch, px = decode_png(bytes(p))
+        except DECODE_ERRORS:
+            continue
+        gray = to_gray(px, ch)
+        if (w, h) != (32, 32):
+            gray = box_downscale(gray, w, h, 32, 32)
+        ids.append(d)
+        rasters.append(gray)
+    return ids, rasters
+
+
+def raster_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas 1->1: (doc_id, payload) -> (doc_id, raster) decoded
+    32x32 gray rasters — the decode stage factored out ONCE so the
+    three hash builders (pHash64 / pHash256 / DCT coefficients) share
+    one render+decode pass of the corpus instead of running it each
+    (OPTIMIZATION_r12; at corpus scale that is two fewer full decode
+    passes)."""
+    for pdf in batches:
+        ids, rasters = _decode_batch_rasters(pdf)
+        yield pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "raster": rasters,
+        })
+
+
+def _phash_rows_from_rasters(ids, rasters):
+    """Shared 8x8 pHash tensor core over decoded rasters (bit-identical
+    to the pure-Python `phash_blocks`, which tests pin it against) —
+    the per-doc Python loop was ~20x slower at sf0.1."""
+    import numpy as np
+
+    from kinesyslog_spark.operators.png import PHASH_DCT_T
+
+    if not len(ids):
+        return pd.DataFrame(columns=["doc_id", "j", "bv"])
+    T = np.array(PHASH_DCT_T, dtype=np.int64)  # (8, 32)
+    G = np.stack(
+        [np.frombuffer(r, dtype=np.uint8) for r in rasters]
+    ).astype(np.int64).reshape(-1, 32, 32)
+    R = G @ T.T                                  # (n, 32 y, 8 u)
+    C = np.einsum("vy,nyu->nuv", T, R)           # (n, 8 u, 8 v)
+    flat = C.reshape(-1, 64)
+    nondc = flat[:, 1:]                          # DC is index (0,0)
+    med = np.sort(nondc, axis=1)[:, 31]          # 32nd smallest of 63
+    bits = flat > med[:, None]
+    bits[:, 0] = False                           # DC bit forced 0
+    weights = np.array([1 << (7 - v) for v in range(8)], dtype=np.int64)
+    bv = (bits.reshape(-1, 8, 8) * weights).sum(axis=2)  # (n, 8)
+    return pd.DataFrame({
+        "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), 8),
+        "j": np.tile(np.arange(8, dtype=np.int32), len(ids)),
+        "bv": bv.reshape(-1),
+    })
 
 
 def phash_block_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas 1->8: (doc_id, payload) -> (doc_id, j, bv) pHash
-    blocks via the REAL decode path. Non-PNG / unsupported payloads are
-    skipped (a malformed blob must never kill a partition).
-
-    The DCT runs as one int64 numpy tensor contraction over the whole
-    Arrow batch (bit-identical to the pure-Python `phash_blocks`, which
-    tests pin it against) — the per-doc Python loop was ~20x slower at
-    sf0.1."""
-    import numpy as np
-
-    from kinesyslog_spark.operators.png import PHASH_DCT_T
-
-    T = np.array(PHASH_DCT_T, dtype=np.int64)  # (8, 32)
+    blocks via the REAL decode path."""
     for pdf in batches:
-        ids, rasters = [], []
-        for d, p in zip(pdf["doc_id"], pdf["payload"]):
-            try:
-                w, h, ch, px = decode_png(bytes(p))
-            except DECODE_ERRORS:
-                continue
-            gray = to_gray(px, ch)
-            if (w, h) != (32, 32):
-                gray = box_downscale(gray, w, h, 32, 32)
-            ids.append(d)
-            rasters.append(np.frombuffer(gray, dtype=np.uint8))
-        if not ids:
-            yield pd.DataFrame(columns=["doc_id", "j", "bv"])
-            continue
-        G = np.stack(rasters).astype(np.int64).reshape(-1, 32, 32)
-        R = G @ T.T                                  # (n, 32 y, 8 u)
-        C = np.einsum("vy,nyu->nuv", T, R)           # (n, 8 u, 8 v)
-        flat = C.reshape(-1, 64)
-        nondc = flat[:, 1:]                          # DC is index (0,0)
-        med = np.sort(nondc, axis=1)[:, 31]          # 32nd smallest of 63
-        bits = flat > med[:, None]
-        bits[:, 0] = False                           # DC bit forced 0
-        weights = np.array([1 << (7 - v) for v in range(8)], dtype=np.int64)
-        bv = (bits.reshape(-1, 8, 8) * weights).sum(axis=2)  # (n, 8)
-        out = pd.DataFrame({
-            "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), 8),
-            "j": np.tile(np.arange(8, dtype=np.int32), len(ids)),
-            "bv": bv.reshape(-1),
-        })
-        yield out
+        ids, rasters = _decode_batch_rasters(pdf)
+        yield _phash_rows_from_rasters(ids, rasters)
+
+
+def phash_raster_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas 1->8 over PRE-DECODED (doc_id, raster) rows (the
+    hot_image_rasters artifact)."""
+    for pdf in batches:
+        yield _phash_rows_from_rasters(
+            list(pdf["doc_id"]), [bytes(r) for r in pdf["raster"]]
+        )
 
 
 def _q124_oracle() -> str:
@@ -430,8 +468,12 @@ _POP_LUT = _make_pop_lut()
 _PHASH_CACHE: dict[tuple, DataFrame] = {}
 
 
-def hot_phash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir.rstrip("/"))
+def hot_image_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_id, raster) decoded 32x32 gray rasters —
+    ONE render + REAL-decode pass of the corpus shared by the three
+    hash builders (each previously re-rendered and re-decoded the whole
+    corpus). Released by tables.release_hot via _PHASH_CACHE."""
+    key = (id(spark), sf_dir.rstrip("/"), "raster")
     got = _PHASH_CACHE.get(key)
     if got is None:
         from kinesyslog_spark.tables import HOT_LEVEL
@@ -448,7 +490,23 @@ def hot_phash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         payloads = docs.mapInPandas(
             render_png_batches, schema="doc_id long, payload binary"
         )
-        blocks = payloads.mapInPandas(phash_block_batches, schema=PHASH_SCHEMA)
+        got = payloads.mapInPandas(
+            raster_batches, schema=RASTER_SCHEMA
+        ).persist(HOT_LEVEL)
+        got.count()
+        _PHASH_CACHE[key] = got
+    return got
+
+
+def hot_phash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir.rstrip("/"))
+    got = _PHASH_CACHE.get(key)
+    if got is None:
+        from kinesyslog_spark.tables import HOT_LEVEL
+
+        blocks = hot_image_rasters(spark, sf_dir).mapInPandas(
+            phash_raster_batches, schema=PHASH_SCHEMA
+        )
         got = (
             blocks.groupBy("doc_id")
             .agg(F.array_sort(F.collect_list(F.struct("j", "bv"))).alias("s"))
@@ -572,43 +630,49 @@ def phash256_block_batches(
     pHash blocks via the REAL decode path (the phash_block_batches
     tensor contraction with the 16-row DCT table; bit-identical to the
     pure-Python phash256_blocks, pinned in tests)."""
+    for pdf in batches:
+        ids, rasters = _decode_batch_rasters(pdf)
+        yield _phash256_rows_from_rasters(ids, rasters)
+
+
+def _phash256_rows_from_rasters(ids, rasters):
     import numpy as np
 
     from kinesyslog_spark.operators.png import PHASH_DCT_T16
 
+    if not len(ids):
+        return pd.DataFrame(columns=["doc_id", "j", "bv"])
     T = np.array(PHASH_DCT_T16, dtype=np.int64)  # (16, 32)
+    G = np.stack(
+        [np.frombuffer(r, dtype=np.uint8) for r in rasters]
+    ).astype(np.int64).reshape(-1, 32, 32)
+    R = G @ T.T                                  # (n, 32 y, 16 u)
+    C = np.einsum("vy,nyu->nuv", T, R)           # (n, 16 u, 16 v)
+    flat = C.reshape(-1, 256)
+    nondc = flat[:, 1:]                          # DC is index (0,0)
+    med = np.sort(nondc, axis=1)[:, 127]         # 128th smallest of 255
+    bits = flat > med[:, None]
+    bits[:, 0] = False                           # DC bit forced 0
+    weights = np.array(
+        [1 << (15 - v) for v in range(16)], dtype=np.int64
+    )
+    bv = (bits.reshape(-1, 16, 16) * weights).sum(axis=2)  # (n, 16)
+    return pd.DataFrame({
+        "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), 16),
+        "j": np.tile(np.arange(16, dtype=np.int32), len(ids)),
+        "bv": bv.reshape(-1),
+    })
+
+
+def phash256_raster_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas 1->16 over PRE-DECODED (doc_id, raster) rows (the
+    hot_image_rasters artifact)."""
     for pdf in batches:
-        ids, rasters = [], []
-        for d, p in zip(pdf["doc_id"], pdf["payload"]):
-            try:
-                w, h, ch, px = decode_png(bytes(p))
-            except DECODE_ERRORS:
-                continue
-            gray = to_gray(px, ch)
-            if (w, h) != (32, 32):
-                gray = box_downscale(gray, w, h, 32, 32)
-            ids.append(d)
-            rasters.append(np.frombuffer(gray, dtype=np.uint8))
-        if not ids:
-            yield pd.DataFrame(columns=["doc_id", "j", "bv"])
-            continue
-        G = np.stack(rasters).astype(np.int64).reshape(-1, 32, 32)
-        R = G @ T.T                                  # (n, 32 y, 16 u)
-        C = np.einsum("vy,nyu->nuv", T, R)           # (n, 16 u, 16 v)
-        flat = C.reshape(-1, 256)
-        nondc = flat[:, 1:]                          # DC is index (0,0)
-        med = np.sort(nondc, axis=1)[:, 127]         # 128th smallest of 255
-        bits = flat > med[:, None]
-        bits[:, 0] = False                           # DC bit forced 0
-        weights = np.array(
-            [1 << (15 - v) for v in range(16)], dtype=np.int64
+        yield _phash256_rows_from_rasters(
+            list(pdf["doc_id"]), [bytes(r) for r in pdf["raster"]]
         )
-        bv = (bits.reshape(-1, 16, 16) * weights).sum(axis=2)  # (n, 16)
-        yield pd.DataFrame({
-            "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), 16),
-            "j": np.tile(np.arange(16, dtype=np.int32), len(ids)),
-            "bv": bv.reshape(-1),
-        })
 
 
 def hot_phash256_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,16 +684,8 @@ def hot_phash256_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     if got is None:
         from kinesyslog_spark.tables import HOT_LEVEL
 
-        docs = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text")
-            .repartition(spark.sparkContext.defaultParallelism)
-        )
-        payloads = docs.mapInPandas(
-            render_png_batches, schema="doc_id long, payload binary"
-        )
-        blocks = payloads.mapInPandas(
-            phash256_block_batches, schema=PHASH256_SCHEMA
+        blocks = hot_image_rasters(spark, sf_dir).mapInPandas(
+            phash256_raster_batches, schema=PHASH256_SCHEMA
         )
         got = (
             blocks.groupBy("doc_id")
@@ -862,34 +918,40 @@ def dct_coeff_batches(
     integer 16x16 DCT coefficients via the REAL PNG decode path (the
     phash256_block_batches tensor contraction, stopped before
     binarization)."""
+    for pdf in batches:
+        ids, rasters = _decode_batch_rasters(pdf)
+        yield _dct_rows_from_rasters(ids, rasters)
+
+
+def _dct_rows_from_rasters(ids, rasters):
     import numpy as np
 
     from kinesyslog_spark.operators.png import PHASH_DCT_T16
 
+    if not len(ids):
+        return pd.DataFrame({"doc_id": [], "cv": []})
     T = np.array(PHASH_DCT_T16, dtype=np.int64)  # (16, 32)
+    G = np.stack(
+        [np.frombuffer(r, dtype=np.uint8) for r in rasters]
+    ).astype(np.int64).reshape(-1, 32, 32)
+    R = G @ T.T                                  # (n, 32 y, 16 u)
+    C = np.einsum("vy,nyu->nuv", T, R)           # (n, 16 u, 16 v)
+    flat = C.reshape(-1, 256)
+    return pd.DataFrame({
+        "doc_id": np.asarray(ids, dtype=np.int64),
+        "cv": list(flat),
+    })
+
+
+def dct_raster_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas 1->1 over PRE-DECODED (doc_id, raster) rows (the
+    hot_image_rasters artifact)."""
     for pdf in batches:
-        ids, rasters = [], []
-        for d, p in zip(pdf["doc_id"], pdf["payload"]):
-            try:
-                w, h, ch, px = decode_png(bytes(p))
-            except DECODE_ERRORS:
-                continue
-            gray = to_gray(px, ch)
-            if (w, h) != (32, 32):
-                gray = box_downscale(gray, w, h, 32, 32)
-            ids.append(d)
-            rasters.append(np.frombuffer(gray, dtype=np.uint8))
-        if not ids:
-            yield pd.DataFrame({"doc_id": [], "cv": []})
-            continue
-        G = np.stack(rasters).astype(np.int64).reshape(-1, 32, 32)
-        R = G @ T.T                                  # (n, 32 y, 16 u)
-        C = np.einsum("vy,nyu->nuv", T, R)           # (n, 16 u, 16 v)
-        flat = C.reshape(-1, 256)
-        yield pd.DataFrame({
-            "doc_id": np.asarray(ids, dtype=np.int64),
-            "cv": list(flat),
-        })
+        yield _dct_rows_from_rasters(
+            list(pdf["doc_id"]), [bytes(r) for r in pdf["raster"]]
+        )
 
 
 def hot_dct_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,16 +962,8 @@ def hot_dct_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if got is None:
         from kinesyslog_spark.tables import HOT_LEVEL
 
-        docs = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text")
-            .repartition(spark.sparkContext.defaultParallelism)
-        )
-        payloads = docs.mapInPandas(
-            render_png_batches, schema="doc_id long, payload binary"
-        )
-        got = payloads.mapInPandas(
-            dct_coeff_batches, schema=COEFF_SCHEMA
+        got = hot_image_rasters(spark, sf_dir).mapInPandas(
+            dct_raster_batches, schema=COEFF_SCHEMA
         ).persist(HOT_LEVEL)
         got.count()
         _PHASH_CACHE[key] = got
