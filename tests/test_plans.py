@@ -669,13 +669,23 @@ def test_q134_hll_plan(spark, sf_dir):
 
 
 def test_q135_histogram_plan(spark, sf_dir):
-    # the SKETCH path is one hash-agg over the scan with the 1-row
-    # min/max broadcast; the probs x cum inequality join is over the
-    # 128-row histogram (nested-loop there is fine); no python.
+    # OPTIMIZATION_r12 shape: the two data passes (min/max/count + the
+    # 128-bucket histogram) run ONCE inside the build over a persisted
+    # column; the RETURNED frame is a composition of driver-literal
+    # LocalTableScan frames — no parquet scan, no RDD-backed local
+    # frame, no python. (The before-plan held 20 parquet scans /
+    # 28 exchanges for 3 output rows.)
     f = facts(QUERIES["q135_histogram_quantiles"](spark, sf_dir))
     assert f.python_eval_count == 0
-    assert "HashAggregate" in f.text
-    assert f.broadcast_any_count >= 2
+    assert "LocalTableScan" in f.text
+    assert "Scan parquet" not in f.text, (
+        "q135's returned plan re-scans the corpus; the build must "
+        "collect the histogram once"
+    )
+    assert "ExistingRDD" not in f.text, (
+        "driver-literal frames must plan as LocalTableScan "
+        "(operators/localframe.py), not parallelized RDDs"
+    )
 
 
 def test_q136_centroid_sim_plan(spark, sf_dir):
