@@ -20,8 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.queries.dedup import _minhash_oracle, q26_minhash_lsh
-from kinesyslog_spark.tables import persist_now
+from kinesyslog_spark.queries.dedup import _minhash_oracle, hot_minhash_pairs
 
 MAX_ROUNDS = 20
 
@@ -151,10 +150,12 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _CLUSTER_CACHE.get(key)
     if got is not None:
         return got
-    # Materialize the pair graph once: `edges` is read in both union
+    # The pair graph is the persisted MinHash-family artifact (shared
+    # with q26/q163/q172/q173/q177): `edges` is read in both union
     # directions, which would otherwise run q26's candidate + verify
-    # joins twice.
-    pairs = persist_now(q26_minhash_lsh(spark, sf_dir))
+    # joins twice — and a private copy here would rebuild a frame the
+    # session already holds.
+    pairs = hot_minhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     labels = connected_components(edges)
     out = (
@@ -166,7 +167,9 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out.count()
-    pairs.unpersist()
+    # pairs is the shared session artifact — tables.release_hot owns its
+    # lifetime; unpersisting it here would evict it under its other
+    # consumers.
     _CLUSTER_CACHE[key] = out
     return out
 

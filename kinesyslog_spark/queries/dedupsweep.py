@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.queries.dedup import minhash_vpairs_cte, q26_minhash_lsh
+from kinesyslog_spark.queries.dedup import hot_minhash_pairs, minhash_vpairs_cte
 from kinesyslog_spark.tables import hot_tokens
 
 SWEEP = (0.5, 0.6, 0.7, 0.8, 0.9)
@@ -86,7 +86,7 @@ ORDER BY t.tau
 
 @query("q173_dedup_threshold_sweep", oracle=_Q173_ORACLE)
 def q173_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q26_minhash_lsh(spark, sf_dir)
+    pairs = hot_minhash_pairs(spark, sf_dir)
     taus = local_frame(spark, [(t,) for t in SWEEP], "tau double")
     tl = hot_tokens(spark, sf_dir).select(
         "doc_id", F.size("toks").cast("long").alias("n_toks")

@@ -44,7 +44,7 @@ from kinesyslog_spark.queries.dedup import (
     LSH_ROWS,
     hot_shingle_sigs,
     minhash_vpairs_cte,
-    q26_minhash_lsh,
+    hot_minhash_pairs,
 )
 
 # Expected ground-truth sample size cap.  mod = ceil(n_docs / TARGET)
@@ -140,7 +140,7 @@ def q172_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ids = samp.select("doc_id")
     found = (
-        q26_minhash_lsh(spark, sf_dir)
+        hot_minhash_pairs(spark, sf_dir)
         .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
         .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
         .select("doc_a", "doc_b")

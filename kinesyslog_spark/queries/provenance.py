@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesyslog_spark.queries import ORACLE, query
-from kinesyslog_spark.queries.dedup import minhash_vpairs_cte, q26_minhash_lsh
+from kinesyslog_spark.queries.dedup import hot_minhash_pairs, minhash_vpairs_cte
 from kinesyslog_spark.tables import hot_table, hot_tokens
 
 
@@ -62,7 +62,7 @@ def _q177_oracle() -> str:
 
 @query("q177_cross_source_neardup", oracle=_q177_oracle())
 def q177_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q26_minhash_lsh(spark, sf_dir)
+    pairs = hot_minhash_pairs(spark, sf_dir)
     src = hot_table(spark, sf_dir, "documents").select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))

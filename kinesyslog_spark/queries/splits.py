@@ -220,7 +220,7 @@ ORDER BY split
 )
 def q165_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesyslog_spark.queries.cluster import cluster_labels
-    from kinesyslog_spark.queries.dedup import q26_minhash_lsh
+    from kinesyslog_spark.queries.dedup import hot_minhash_pairs
 
     clu = cluster_labels(spark, sf_dir).select("doc_id", "cluster_id")
     docs = hot_table(spark, sf_dir, "documents").select("doc_id")
@@ -231,7 +231,7 @@ def q165_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = unit.select(
         "doc_id", "unit", split_assignment(F.col("unit")).alias("split")
     )
-    pairs = q26_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = hot_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
     sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
     leaks = (

@@ -209,7 +209,11 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     when a dataset's query family is done. Next access rebuilds."""
     from kinesyslog_spark.queries.ann import _IVF_CACHE
     from kinesyslog_spark.queries.cluster import _CLUSTER_CACHE
-    from kinesyslog_spark.queries.dedup import _SIG_CACHE, _SIMHASH_CACHE
+    from kinesyslog_spark.queries.dedup import (
+        _MH_PAIR_CACHE,
+        _SIG_CACHE,
+        _SIMHASH_CACHE,
+    )
     from kinesyslog_spark.queries.imagehash import _PHASH_CACHE
     from kinesyslog_spark.queries.imageresolve import (
         _IMG_COMP_CACHE,
@@ -246,7 +250,7 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     n = 0
     for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE,
                   _SIMHASH_CACHE, _CLUSTER_CACHE, _PHASH_CACHE,
-                  _IMG_PAIR_CACHE, _SIM_PAIR_CACHE,
+                  _IMG_PAIR_CACHE, _SIM_PAIR_CACHE, _MH_PAIR_CACHE,
                   _IMG_COMP_CACHE, _SIM_COMP_CACHE, _REFINE_CACHE):
         for key in list(cache):
             if key[0] != id(spark):
