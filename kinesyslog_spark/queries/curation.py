@@ -44,7 +44,7 @@ from pyspark.sql.window import Window
 
 from kinesyslog_spark.operators.ranking import small_frame_rank
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import hot_table, hot_tokens
+from kinesyslog_spark.tables import hot_table, hot_tokens, hot_vocab
 
 # DuckDB-side canonical tokenizer (identical stream to operators.text.tokens).
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -246,11 +246,10 @@ def q129_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Good-Turing r* = (r+1)·N_{r+1}/N_r (null at spectrum gaps /
     the top frequency). Two cascaded map-side-combinable aggs; the
     spectrum self-join and the total are over the tiny N_r table."""
-    toks = hot_tokens(spark, sf_dir)
-    tf = (
-        toks.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
+    # Global unigram counts come from the shared vocabulary artifact
+    # (hot_vocab): instance COUNT == SUM(tf), no per-query token pass.
+    tf = hot_vocab(spark, sf_dir).select(
+        F.col("token").alias("w"), F.col("cnt").alias("c")
     )
     spec = tf.groupBy(F.col("c").alias("freq")).agg(
         F.count("*").alias("n_types")
@@ -434,11 +433,9 @@ FROM m
 
 @query("q131_zipf_fit", oracle=_Q131_ORACLE)
 def q131_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = hot_tokens(spark, sf_dir)
-    tf = (
-        toks.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
+    # Shared vocabulary artifact (see q129).
+    tf = hot_vocab(spark, sf_dir).select(
+        F.col("token").alias("w"), F.col("cnt").alias("c")
     )
     # Top-K FIRST via TakeOrderedAndProject (the old form ranked the
     # entire vocabulary through a single-partition window — the same
@@ -523,11 +520,11 @@ ORDER BY cf DESC, token ASC
 
 @query("q132_token_dispersion", oracle=_Q132_ORACLE)
 def q132_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = hot_tokens(spark, sf_dir)
-    dc = (
-        toks.select("doc_id", F.explode("toks").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("x"))
+    # per-(doc, token) counts ARE the postings artifact (see q129).
+    from kinesyslog_spark.tables import hot_postings
+
+    dc = hot_postings(spark, sf_dir).select(
+        "doc_id", F.col("token").alias("w"), F.col("tf").alias("x")
     )
     tm = dc.groupBy("w").agg(
         F.count("*").alias("df"),

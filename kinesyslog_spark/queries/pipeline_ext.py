@@ -51,7 +51,13 @@ from pyspark.sql.window import Window as W
 
 from kinesyslog_spark.operators.text import TOKEN_RE, tokens, word_shingles
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import hot_table, hot_tokens, persist_now
+from kinesyslog_spark.tables import (
+    hot_postings,
+    hot_table,
+    hot_tokens,
+    hot_vocab,
+    persist_now,
+)
 
 BOILER_N = 5        # word n-gram passage unit
 BOILER_DOCS = 2     # gram in >= this many distinct docs -> boilerplate
@@ -152,10 +158,13 @@ def _q55_oracle() -> str:
 
 @query("q55_unigram_logprob", oracle=_q55_oracle())
 def q55_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = hot_tokens(spark, sf_dir).select(
-        "doc_id", F.explode("toks").alias("token")
-    )
-    vocab = persist_now(tok.groupBy("token").agg(F.count("*").alias("cnt")))
+    # Postings/vocab artifacts replace the two per-query token-stream
+    # passes. The per-doc sum over token INSTANCES of logp equals the
+    # exact decimal sum over (doc, token) rows of tf * logp, and
+    # n_tokens == SUM(tf) — same values, one aggregate over postings
+    # instead of a full explode.
+    post = hot_postings(spark, sf_dir)
+    vocab = hot_vocab(spark, sf_dir)
     total = vocab.agg(F.sum("cnt").cast("double").alias("t"))
     lp = (
         vocab.crossJoin(F.broadcast(total))
@@ -167,11 +176,15 @@ def q55_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tok.join(F.broadcast(lp), "token")
+        post.join(F.broadcast(lp), "token")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.sum("logp").cast("double") / F.count("*"), 4).alias("mean_logp"),
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.col("logp")).cast("double")
+                / F.sum("tf"),
+                4,
+            ).alias("mean_logp"),
         )
         .orderBy("doc_id")
     )

@@ -116,11 +116,16 @@ def q79_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = misra_gries_candidates(toks).distinct()
     # Exact verify pass: broadcast the bounded candidate set into the
-    # token scan; only candidate tokens reach the aggregate.
+    # POSTINGS artifact (instance count == SUM(tf)) — the sketch pass
+    # above still streams tokens, but the verify no longer re-explodes
+    # the corpus.
+    from kinesyslog_spark.tables import hot_postings
+
     exact = (
-        toks.join(F.broadcast(cand), "token")
+        hot_postings(spark, sf_dir)
+        .join(F.broadcast(cand), "token")
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("tf").alias("cnt"))
     )
     return exact.orderBy(F.desc("cnt"), "token").limit(TOPK_TOKENS)
 

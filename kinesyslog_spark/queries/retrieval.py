@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from kinesyslog_spark.operators.text import TOKEN_RE
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.tables import hot_tokens, persist_now
+from kinesyslog_spark.tables import hot_postings, persist_now
 
 # BM25 parameters (the standard Robertson defaults).
 BM25_K1 = 1.2
@@ -93,18 +93,19 @@ def _q68_oracle() -> str:
 
 @query("q68_bm25_topk", oracle=_q68_oracle())
 def q68_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = hot_tokens(spark, sf_dir).select(
-        "doc_id", F.explode("toks").alias("token")
-    )
-    dl = persist_now(tok.groupBy("doc_id").agg(F.count("*").alias("dl")))
+    # The (doc_id, token, tf) postings artifact replaces the per-query
+    # token-stream explode: doc length == SUM(tf), term frequency is a
+    # filter on the already-aggregated rows, and document frequency is
+    # COUNT(*) per token (postings hold one row per (doc, token)).
+    post = hot_postings(spark, sf_dir)
+    dl = persist_now(post.groupBy("doc_id").agg(F.sum("tf").alias("dl")))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qtok = tok.filter(F.col("token").isin(*BM25_QUERY))
-    tf = qtok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = post.filter(F.col("token").isin(*BM25_QUERY))
     idf = (
-        qtok.groupBy("token")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(stats.select("n_docs")))
         .select(
             "token",
@@ -177,10 +178,11 @@ def _q69_oracle() -> str:
 
 @query("q69_entropy_filter", oracle=_q69_oracle())
 def q69_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = hot_tokens(spark, sf_dir).select(
-        "doc_id", F.explode("toks").alias("token")
+    # per-(doc, token) counts ARE the postings artifact — no per-query
+    # token-stream pass.
+    cnt = hot_postings(spark, sf_dir).select(
+        "doc_id", "token", F.col("tf").alias("c")
     )
-    cnt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
     dl = cnt.groupBy("doc_id").agg(
         F.sum("c").alias("dl"), F.count("*").alias("n_distinct")
     )

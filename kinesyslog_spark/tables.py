@@ -162,6 +162,58 @@ def hot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def hot_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized `(doc_id, token, tf)` unigram postings over the
+    canonical token stream — the inverted-index projection every
+    retrieval/statistics pipeline materializes once.
+
+    Seven-plus consumers (BM25 q68, entropy q69, unigram-LM q55, the
+    heavy-hitter verify q79, the frequency-spectrum/Zipf family
+    q129/q131, DSIR's per-doc-term counts) each re-ran the SAME
+    explode + first-level count aggregate over hot_tokens per query;
+    at 100 TB that is a full token-stream shuffle per query where one
+    suffices. The per-(doc, token) count is the finest grain they all
+    start from, so every downstream aggregate (global counts, document
+    frequency, doc length) derives exactly: COUNT over instances ==
+    SUM(tf), COUNT(DISTINCT doc_id) per token == COUNT(*) per token."""
+    key = (id(spark), sf_dir.rstrip("/"), "__postings__")
+    df = _HOT_CACHE.get(key)
+    if df is None:
+        from pyspark.sql import functions as F
+
+        df = (
+            hot_tokens(spark, sf_dir)
+            .select("doc_id", F.explode("toks").alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist(HOT_LEVEL)
+        )
+        df.count()
+        _HOT_CACHE[key] = df
+    return df
+
+
+def hot_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized `(token, cnt)` corpus-wide unigram counts —
+    the vocabulary table (Heaps' law: orders of magnitude below the
+    corpus), derived from hot_postings by one map-side-combinable
+    aggregate instead of a fresh token-stream pass per consumer."""
+    key = (id(spark), sf_dir.rstrip("/"), "__vocab__")
+    df = _HOT_CACHE.get(key)
+    if df is None:
+        from pyspark.sql import functions as F
+
+        df = (
+            hot_postings(spark, sf_dir)
+            .groupBy("token")
+            .agg(F.sum("tf").alias("cnt"))
+            .persist(HOT_LEVEL)
+        )
+        df.count()
+        _HOT_CACHE[key] = df
+    return df
+
+
 def hot_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-memoized `(vec_id, label, emb double[], nrm)` over
     `embeddings` — the float→double cast (an interpreted higher-order

@@ -69,3 +69,55 @@ def test_hot_table_refuses_oversized_tables(spark, sf_dir, monkeypatch):
     assert (id(spark), sf_dir.rstrip("/"), "embeddings") not in T._HOT_CACHE
     # still a correct load
     assert df.select(F.count("*")).collect()[0][0] > 0
+
+
+def test_hot_postings_matches_exploded_counts(spark, sf_dir):
+    """The postings artifact must equal the per-(doc, token) counts of a
+    fresh token-stream explode — every consumer (q55/q68/q69/q79/q129/
+    q131/q132) derives its aggregates from exactly these rows."""
+    from kinesyslog_spark.tables import hot_postings, hot_tokens
+
+    post = hot_postings(spark, sf_dir)
+    assert post.is_cached
+    assert hot_postings(spark, sf_dir) is post  # memoized
+    truth = (
+        hot_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    assert dict(post.dtypes) == dict(truth.dtypes)
+    assert post.exceptAll(truth).count() == 0
+    assert truth.exceptAll(post).count() == 0
+
+
+def test_hot_vocab_matches_global_counts(spark, sf_dir):
+    """Vocabulary counts == SUM(tf) over postings == instance counts of
+    the raw token stream."""
+    from kinesyslog_spark.tables import hot_tokens, hot_vocab
+
+    vocab = hot_vocab(spark, sf_dir)
+    assert vocab.is_cached
+    truth = (
+        hot_tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert dict(vocab.dtypes) == dict(truth.dtypes)
+    assert vocab.exceptAll(truth).count() == 0
+    assert truth.exceptAll(vocab).count() == 0
+
+
+def test_release_hot_drops_postings(spark, sf_dir):
+    """release_hot must evict the postings/vocab artifacts with the rest
+    of the hot layer (they live in _HOT_CACHE under the sf_dir key)."""
+    import kinesyslog_spark.tables as T
+
+    T.hot_vocab(spark, sf_dir)  # builds postings too
+    keys = [k for k in T._HOT_CACHE
+            if k[0] == id(spark) and k[2] in ("__postings__", "__vocab__")]
+    assert len(keys) == 2
+    T.release_hot(spark, sf_dir)
+    assert not [k for k in T._HOT_CACHE
+                if k[0] == id(spark) and k[2] in ("__postings__", "__vocab__")]
