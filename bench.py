@@ -101,12 +101,30 @@ def main() -> None:
         "BENCH_RUNS", "3" if bench_heavy else "5"
     )))
     bench_all = bool(os.environ.get("BENCH_ALL"))
+    # Family-aware release: the registry tail (lshaudit .. govern) is
+    # one near-dup superfamily whose modules consume the SAME session
+    # artifacts (q26/q27 pair graphs, CC labels, image rasters+hashes).
+    # Releasing at every module boundary forced q181/q182/q183 to each
+    # rebuild the q27 pair graph and q184 to re-render the image corpus
+    # — ~20 s of rebuilt artifacts per sweep. Modules mapped to the
+    # same group share one release; everything else keeps the
+    # per-module release (the block-pressure guard that fixed q40's 4x
+    # slowdown in long sweeps).
+    _NEARDUP_TAIL = ("lshaudit", "dedupsweep", "imageresolve",
+                     "provenance", "embsweep", "simaudit", "simresolve",
+                     "govern")
+
+    def _family(module: str) -> str:
+        base = module.rsplit(".", 1)[-1]
+        return "neardup_tail" if base in _NEARDUP_TAIL else base
+
     times: dict[str, float] = {}
     fresh_times: dict[str, float] = {}
-    prev_module: str | None = None
+    prev_family: str | None = None
     for name in names:
         fn = QUERIES[name]
-        if (bench_all or bench_heavy) and prev_module not in (None, fn.__module__):
+        if (bench_all or bench_heavy) and prev_family not in (
+                None, _family(fn.__module__)):
             # Full-registry sweeps accumulate persisted blocks (hot
             # tables/tokens/vectors/centroids) across query families;
             # the block-manager pressure measured a 4x slowdown on q40.
@@ -114,7 +132,7 @@ def main() -> None:
             from kinesyslog_spark.tables import release_hot
 
             release_hot(spark)
-        prev_module = fn.__module__
+        prev_family = _family(fn.__module__)
         samples = []
         n = 0
         for _ in range(runs):
