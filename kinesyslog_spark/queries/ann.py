@@ -288,6 +288,14 @@ _Q38_BLOCK = 2048       # target vectors per GEMM block
 # float64 GEMM error on 64-term 1e12-scale sums is ~1e-13 relative; the
 # margin also covers round-half-up at the 4th decimal (5e-5).
 _Q38_MARGIN = 1e-4
+# float32 prefilter margin (the precision ladder): quantized components
+# |q| <= CQ < 2^24 convert to float32 EXACTLY, so the only f32 error is
+# the sgemm accumulation, bounded by gamma_d = d*u/(1-d*u) (u = 2^-24)
+# times sum|a_i||b_i| <= ||a||*||b|| (Cauchy-Schwarz) — i.e. <= 3.9e-6
+# on the normalized sim at d=64 (3.1e-5 even at d=512). Required slack
+# is 5e-5 (round-half-up) + gamma_d; 2e-4 keeps >3x headroom, and extra
+# survivors only cost exact int64 dots, never change the result.
+_Q38_MARGIN32 = 2e-4
 # Pair-budget guardrail (the q121/q124 fail-fast pattern): the blocked
 # GEMM computes EXACTLY N*(N-1)/2 candidate dots, known from the one
 # count that already materializes the persisted base — no extra job.
@@ -328,10 +336,12 @@ _Q38_PAIR_SCHEMA = "vec_a long, vec_b long, dot long, n2a long, n2b long"
 
 
 def _q38_block_pairs(pdf):
-    """One (block_a, block_b) task: float64 GEMM pre-filter + exact
-    int64 verify. Returns (vec_a, vec_b, dot, n2a, n2b) with EXACT
-    integer dot/norms; the caller does the float division + rounding
-    engine-side."""
+    """One (block_a, block_b) task: float32 GEMM pre-filter (see
+    _Q38_MARGIN32 for the recall proof — conversion is exact below
+    2^24, sgemm error is bounded well under the margin, and false
+    positives are re-checked exactly) + exact int64 verify. Returns
+    (vec_a, vec_b, dot, n2a, n2b) with EXACT integer dot/norms; the
+    caller does the float division + rounding engine-side."""
     import numpy as np
     import pandas as pd
 
@@ -347,10 +357,14 @@ def _q38_block_pairs(pdf):
     idb = b["vec_id"].to_numpy()
     n2a = a["n2"].to_numpy()
     n2b = b["n2"].to_numpy()
-    sims = (qa.astype(np.float64) @ qb.astype(np.float64).T) / np.outer(
+    # f32 GEMM halves the prefilter's memory traffic and doubles SIMD
+    # width; the int->f32 conversion is exact (components < 2^24) and
+    # the accumulated error is covered by _Q38_MARGIN32. Norms stay
+    # f64 (exact ints < 2^53), so the division adds ~1 ulp.
+    sims = (qa.astype(np.float32) @ qb.astype(np.float32).T) / np.outer(
         np.sqrt(n2a.astype(np.float64)), np.sqrt(n2b.astype(np.float64))
     )
-    mask = sims >= NEARDUP_COS - _Q38_MARGIN
+    mask = sims >= NEARDUP_COS - _Q38_MARGIN32
     if int(a["bi"].iat[0]) == int(a["bj"].iat[0]):
         # same-block task: the two sides are the same vectors — keep the
         # upper triangle only

@@ -70,3 +70,77 @@ def test_q38_cross_block_pairs_survive_id_reversal(spark, sf_dir, monkeypatch):
     multi = _q38_rows(spark, sf_dir)
     assert multi == single
     assert all(a < b for a, b, _ in multi)
+
+
+def test_q38_f32_prefilter_keeps_threshold_pairs():
+    """The float32 GEMM prefilter must never drop a pair whose EXACT
+    rounded sim reaches the threshold (false positives are re-verified
+    exactly; false negatives would silently lose rows). Adversarial
+    construction: pairs engineered so the exact cosine lands exactly at
+    and just beyond NEARDUP_COS, plus max-magnitude components that
+    stress the f32 accumulation bound (_Q38_MARGIN32 proof)."""
+    import numpy as np
+    import pandas as pd
+
+    from kinesyslog_spark.queries.ann import (
+        _Q38_CQ,
+        _q38_block_pairs,
+        NEARDUP_COS,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    rows = []
+    vid = 0
+
+    def add(qvec):
+        nonlocal vid
+        rows.append({
+            "bi": 0, "bj": 0, "role": "a", "vec_id": vid,
+            "q": np.asarray(qvec, dtype=np.int64),
+            "n2": int((np.asarray(qvec, dtype=np.int64) ** 2).sum()),
+        })
+        rows.append({**rows[-1], "role": "b"})
+        vid += 1
+
+    # max-magnitude stress: components at the quantization ceiling
+    base = np.full(dim, int(0.57 * _Q38_CQ), dtype=np.int64)
+    add(base)
+    # a partner built to land the exact cosine within ~1e-6 of the
+    # threshold: first k components aligned, the rest orthogonal-ish
+    # alternating signs (exact integer arithmetic keeps this stable)
+    for k in (26, 27, 28):  # brackets cos ~= 0.40 for alternating tails
+        partner = base.copy()
+        partner[k:] *= np.where(np.arange(dim - k) % 2 == 0, -1, 1)
+        add(partner)
+    # random near-threshold cloud
+    for _ in range(40):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        rows_q = np.floor(v * 0.5 * _Q38_CQ).astype(np.int64)
+        add(rows_q)
+    pdf = pd.DataFrame(rows)
+    out = _q38_block_pairs(pdf)
+    got = set(zip(out["vec_a"], out["vec_b"]))
+
+    # exact ground truth over all pairs (integer dots, float64 division,
+    # round-half-up at 4 decimals like the engine)
+    import decimal
+
+    qm = np.stack([r["q"] for r in rows[::2]])
+    n2 = np.array([r["n2"] for r in rows[::2]], dtype=np.int64)
+    n = len(qm)
+    missed = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            dot = int((qm[i] * qm[j]).sum())
+            sim = dot / (np.sqrt(float(n2[i])) * np.sqrt(float(n2[j])))
+            simr = float(
+                decimal.Decimal(repr(sim)).quantize(
+                    decimal.Decimal("0.0001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+            if simr >= NEARDUP_COS and (i, j) not in got:
+                missed.append((i, j, sim))
+    assert not missed, f"f32 prefilter dropped true pairs: {missed[:5]}"
