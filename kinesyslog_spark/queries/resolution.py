@@ -388,7 +388,7 @@ def _q117_oracle() -> str:
 
 @query("q117_edit_distance_pairs", oracle=_q117_oracle())
 def q117_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesyslog_spark.queries.dedup import LEN_BAND, _par, ngram_candidates
+    from kinesyslog_spark.queries.dedup import LEN_BAND, ngram_candidates
     from kinesyslog_spark.tables import hot_table
 
     cand, _base = ngram_candidates(spark, sf_dir)
@@ -418,8 +418,10 @@ def q117_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " as int))"
     )
     mx = F.greatest("na", "nb")
+    # cand arrives persisted and already hash-partitioned wide by the
+    # ngram_candidates memo — no per-run repartition (see q28).
     return (
-        cand.repartition(_par(cand))
+        cand
         .join(a, "doc_a").join(b, "doc_b")
         # Length-band refinement: bucket adjacency in the blocking admits
         # |na-nb| up to 2*LEN_BAND-1, but the oracle (and q28) keep only

@@ -263,6 +263,7 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     from kinesyslog_spark.queries.cluster import _CLUSTER_CACHE
     from kinesyslog_spark.queries.dedup import (
         _MH_PAIR_CACHE,
+        _NGRAM_CACHE,
         _SIG_CACHE,
         _SIMHASH_CACHE,
     )
@@ -303,7 +304,8 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE,
                   _SIMHASH_CACHE, _CLUSTER_CACHE, _PHASH_CACHE,
                   _IMG_PAIR_CACHE, _SIM_PAIR_CACHE, _MH_PAIR_CACHE,
-                  _IMG_COMP_CACHE, _SIM_COMP_CACHE, _REFINE_CACHE):
+                  _NGRAM_CACHE, _IMG_COMP_CACHE, _SIM_COMP_CACHE,
+                  _REFINE_CACHE):
         for key in list(cache):
             if key[0] != id(spark):
                 continue
