@@ -545,27 +545,49 @@ def _q121_oracle() -> str:
     """
 
 
+_RANK_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def hot_shingle_rank(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Session artifact shared by the prefix-filter joins (q121/q122):
+    (tk, ranked) where tk = (doc_id, ts) word-3-gram shingle SETS —
+    the hot_shingle_sigs `sh` frame reused, so the corpus is shingled
+    once per session for the whole MinHash + prefix-join family — and
+    ranked = the exploded (doc_id, tok, dfreq, r, l) stream with r =
+    rarity rank within the doc and l = set size. Both queries
+    previously rebuilt this identical pipeline (document-frequency
+    aggregate + two windows over the full shingle stream) per call and
+    left the superseded persisted copies behind. Released by
+    tables.release_hot."""
+    from kinesyslog_spark.queries.dedup import hot_shingle_sigs
+    from kinesyslog_spark.tables import HOT_LEVEL
+
+    key = (id(spark), sf_dir.rstrip("/"))
+    got = _RANK_CACHE.get(key)
+    if got is None:
+        sh, _sigs = hot_shingle_sigs(spark, sf_dir)
+        tk = sh.select("doc_id", F.col("sh").alias("ts"))
+        toks = tk.select("doc_id", F.explode("ts").alias("tok"))
+        df = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
+        wr = W.partitionBy("doc_id").orderBy("dfreq", "tok")
+        ranked = (
+            toks.join(df, "tok")
+            .withColumn("r", F.row_number().over(wr))
+            .withColumn("l", F.count("*").over(W.partitionBy("doc_id")))
+            .persist(HOT_LEVEL)
+        )
+        ranked.count()
+        got = (tk, ranked)
+        _RANK_CACHE[key] = got
+    return got
+
+
 @query("q121_prefix_filter_join", oracle=_q121_oracle())
 def q121_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesyslog_spark.operators.text import jaccard
     from kinesyslog_spark.queries.dedup import _par
-    from kinesyslog_spark.tables import hot_tokens, persist_now
 
-    from kinesyslog_spark.operators.text import word_shingles
-
-    tk = persist_now(
-        hot_tokens(spark, sf_dir)
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", word_shingles(F.col("toks"), 3).alias("ts"))
-    )
-    toks = tk.select("doc_id", F.explode("ts").alias("tok"))
-    df = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
-    wr = W.partitionBy("doc_id").orderBy("dfreq", "tok")
-    ranked = (
-        toks.join(df, "tok")
-        .withColumn("r", F.row_number().over(wr))
-        .withColumn("l", F.count("*").over(W.partitionBy("doc_id")))
-    )
+    tk, ranked = hot_shingle_rank(spark, sf_dir)
     # Integer FLOOR division on both engines (DuckDB `//`): a bare
     # int/int is real division there, and CAST(double AS BIGINT) ROUNDS
     # in DuckDB while .cast("long") truncates in Spark — the one-ulp
@@ -575,9 +597,9 @@ def q121_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.floor((PFJ_NUM * F.col("l") + PFJ_DEN - 1) / PFJ_DEN).cast("long")
         + 1
     )
-    pref = persist_now(
-        ranked.filter(F.col("r") <= plen).select("doc_id", "tok", "r", "l")
-    )
+    # A filter over the cached rank stream — no per-call persist (the
+    # expensive windows live in the session artifact).
+    pref = ranked.filter(F.col("r") <= plen).select("doc_id", "tok", "r", "l")
     if PFJ_MAX_CANDIDATES:
         est = (
             pref.groupBy("tok")
@@ -586,12 +608,9 @@ def q121_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]["est"]
         )
         if est is not None and est > PFJ_MAX_CANDIDATES:
-            # The guard aborts the query, so the frames persist_now just
-            # materialized would otherwise linger as stale cached blocks
-            # for the rest of the session (they are per-query, not in
-            # the release_hot registries). Drop them before raising.
-            tk.unpersist()
-            pref.unpersist()
+            # Abort leaves nothing behind: tk/ranked are session
+            # artifacts owned by tables.release_hot, and pref is a
+            # plain filter over them.
             raise CandidateBudgetExceeded(
                 f"q121 prefix join would generate ~{int(est):,} candidate "
                 f"pairs (budget {PFJ_MAX_CANDIDATES:,}). An EXACT "
@@ -733,50 +752,31 @@ def _q122_oracle() -> str:
 
 @query("q122_containment_join", oracle=_q122_oracle())
 def q122_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesyslog_spark.operators.text import word_shingles
     from kinesyslog_spark.queries.dedup import _par
-    from kinesyslog_spark.tables import hot_tokens, persist_now
 
-    tk = persist_now(
-        hot_tokens(spark, sf_dir)
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", word_shingles(F.col("toks"), 3).alias("ts"))
-    )
-    toks = tk.select("doc_id", F.explode("ts").alias("tok"))
-    df = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
-    wr = W.partitionBy("doc_id").orderBy("dfreq", "tok")
-    ranked = (
-        toks.join(df, "tok")
-        .withColumn("r", F.row_number().over(wr))
-        .withColumn("l", F.count("*").over(W.partitionBy("doc_id")))
-    )
+    tk, ranked = hot_shingle_rank(spark, sf_dir)
     plen = (
         F.col("l")
         - F.floor((CNT_NUM * F.col("l") + CNT_DEN - 1) / CNT_DEN).cast("long")
         + 1
     )
-    pref = persist_now(
-        ranked.filter(F.col("r") <= plen).select(
-            F.col("doc_id").alias("doc_a"), "tok"
-        )
+    # Filter over the cached rank stream (see q121); dfreq rides each
+    # prefix row, so the budget estimate below needs no re-join.
+    pref = ranked.filter(F.col("r") <= plen).select(
+        F.col("doc_id").alias("doc_a"), "tok", "dfreq"
     )
     # The q121 candidate-budget guardrail, adapted to the asymmetric
     # join: candidates = sum over prefix tokens of pf(tok) * df(tok)
-    # (prefix occurrences x full posting list) — one cheap aggregate,
-    # computed exactly, before the unbounded join can launch.
+    # (prefix occurrences x full posting list) == the plain SUM of
+    # dfreq over prefix ROWS — one cheap aggregate, computed exactly,
+    # before the unbounded join can launch.
     if PFJ_MAX_CANDIDATES:
         est = (
-            pref.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("pc"))
-            .join(df, "tok")
-            .agg(F.sum(F.col("pc") * F.col("dfreq")).alias("est"))
-            .collect()[0]["est"]
+            pref.agg(F.sum("dfreq").alias("est")).collect()[0]["est"]
         )
         if est is not None and est > PFJ_MAX_CANDIDATES:
-            # Same stale-block hygiene as q121: unpersist what this
-            # aborted query materialized before raising.
-            tk.unpersist()
-            pref.unpersist()
+            # Abort leaves nothing behind: the frames are session
+            # artifacts owned by tables.release_hot.
             raise CandidateBudgetExceeded(
                 f"q122 containment join would generate ~{int(est):,} "
                 f"candidate pairs (budget {PFJ_MAX_CANDIDATES:,}). An "
@@ -785,9 +785,10 @@ def q122_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "twins (q26_minhash_lsh / q28_ngram_jaccard) at this "
                 "scale, or raise SPARK_GRAFT_PFJ_MAX_CANDIDATES."
             )
-    post = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    post = ranked.select(F.col("doc_id").alias("doc_b"), "tok")
     cand = (
-        pref.repartition(_par(pref), "tok")
+        pref.select("doc_a", "tok")
+        .repartition(_par(pref), "tok")
         .join(post, "tok")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")

@@ -273,6 +273,7 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
         _IMG_PAIR_CACHE,
     )
     from kinesyslog_spark.queries.govern import _REFINE_CACHE
+    from kinesyslog_spark.queries.resolution import _RANK_CACHE
     from kinesyslog_spark.queries.simresolve import (
         _SIM_COMP_CACHE,
         _SIM_PAIR_CACHE,
@@ -304,8 +305,8 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE,
                   _SIMHASH_CACHE, _CLUSTER_CACHE, _PHASH_CACHE,
                   _IMG_PAIR_CACHE, _SIM_PAIR_CACHE, _MH_PAIR_CACHE,
-                  _NGRAM_CACHE, _IMG_COMP_CACHE, _SIM_COMP_CACHE,
-                  _REFINE_CACHE):
+                  _NGRAM_CACHE, _RANK_CACHE, _IMG_COMP_CACHE,
+                  _SIM_COMP_CACHE, _REFINE_CACHE):
         for key in list(cache):
             if key[0] != id(spark):
                 continue

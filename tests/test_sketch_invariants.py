@@ -277,6 +277,10 @@ def test_q121_candidate_budget_guardrail(spark, sf_dir, monkeypatch):
     from kinesyslog_spark.tables import hot_tokens
 
     hot_tokens(spark, sf_dir)  # session-memoized — cache it OUTSIDE the probe
+    # the shingle-rank frames are session ARTIFACTS (hot_shingle_rank,
+    # owned by release_hot, shared with q26/q122) — cache them outside
+    # the probe too; the abort must add nothing NEW.
+    res.hot_shingle_rank(spark, sf_dir)
     before = _persistent_rdd_ids(spark)
     monkeypatch.setattr(res, "PFJ_MAX_CANDIDATES", 1)
     with pytest.raises(res.CandidateBudgetExceeded, match="q26_minhash_lsh"):
@@ -297,6 +301,7 @@ def test_q122_candidate_budget_guardrail(spark, sf_dir, monkeypatch):
     from kinesyslog_spark.tables import hot_tokens
 
     hot_tokens(spark, sf_dir)
+    res.hot_shingle_rank(spark, sf_dir)  # session artifact (see q121 test)
     before = _persistent_rdd_ids(spark)
     monkeypatch.setattr(res, "PFJ_MAX_CANDIDATES", 1)
     with pytest.raises(res.CandidateBudgetExceeded, match="q28_ngram_jaccard"):
