@@ -550,23 +550,41 @@ _RANK_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 def hot_shingle_rank(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Session artifact shared by the prefix-filter joins (q121/q122):
-    (tk, ranked) where tk = (doc_id, ts) word-3-gram shingle SETS —
-    the hot_shingle_sigs `sh` frame reused, so the corpus is shingled
-    once per session for the whole MinHash + prefix-join family — and
+    (tk, ranked) where tk = (doc_id, ts) word-3-gram shingle SETS and
     ranked = the exploded (doc_id, tok, dfreq, r, l) stream with r =
     rarity rank within the doc and l = set size. Both queries
     previously rebuilt this identical pipeline (document-frequency
     aggregate + two windows over the full shingle stream) per call and
-    left the superseded persisted copies behind. Released by
-    tables.release_hot."""
-    from kinesyslog_spark.queries.dedup import hot_shingle_sigs
+    left the superseded persisted copies behind. When the MinHash
+    family has already shingled the corpus this session, its persisted
+    sh frame is reused (one corpus shingle pass for the whole MinHash +
+    prefix-join family); an isolated prefix-join session builds the
+    value-identical shingle-only frame instead of paying the K MinHash
+    aggregates. Released by tables.release_hot."""
+    import kinesyslog_spark.queries.dedup as dd
     from kinesyslog_spark.tables import HOT_LEVEL
 
     key = (id(spark), sf_dir.rstrip("/"))
     got = _RANK_CACHE.get(key)
     if got is None:
-        sh, _sigs = hot_shingle_sigs(spark, sf_dir)
-        tk = sh.select("doc_id", F.col("sh").alias("ts"))
+        if key in dd._SIG_CACHE:
+            # the MinHash family already shingled the corpus this
+            # session — reuse its persisted sh frame
+            sh, _sigs = dd._SIG_CACHE[key]
+            tk = sh.select("doc_id", F.col("sh").alias("ts"))
+        else:
+            # shingle-only build (values identical to sh): an isolated
+            # prefix-join session must not pay the K MinHash aggregates
+            # just to borrow the shingle column
+            from kinesyslog_spark.operators.text import word_shingles
+            from kinesyslog_spark.tables import hot_tokens
+
+            tk = (
+                hot_tokens(spark, sf_dir)
+                .filter(F.size("toks") >= 3)
+                .select("doc_id", word_shingles(F.col("toks"), 3).alias("ts"))
+                .persist(HOT_LEVEL)
+            )
         toks = tk.select("doc_id", F.explode("ts").alias("tok"))
         df = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
         wr = W.partitionBy("doc_id").orderBy("dfreq", "tok")
