@@ -127,24 +127,22 @@ ORDER BY c.split
 def q169_split_disciplined_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
+    # Train/score passes derive from the postings artifact (the q157
+    # pattern): instance sums == SUM(tf * ...) over (doc, token) rows.
+    from kinesyslog_spark.tables import hot_postings
+
     docs = hot_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    lab = (
-        hot_tokens(spark, sf_dir)
-        .filter(F.size("toks") > 0)
-        .join(docs, "doc_id")
-        .select(
-            "doc_id", "toks", (F.col("lang") == "en").cast("int").alias("y")
-        )
+    ydocs = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
     )
     sp = hot_table(spark, sf_dir, "documents").select(
         "doc_id", split_assignment(F.col("doc_id")).alias("split")
     )
-    tok = lab.select("doc_id", "y", F.explode("toks").alias("w"))
-    trn = tok.join(sp.filter(F.col("split") == "train"), "doc_id").select(
-        "doc_id", "y", "w"
-    )
-    cc = trn.groupBy("w").agg(
-        F.sum("y").alias("c_en"), F.sum(1 - F.col("y")).alias("c_ot")
+    tok = hot_postings(spark, sf_dir).join(ydocs, "doc_id")
+    trn = tok.join(sp.filter(F.col("split") == "train"), "doc_id")
+    cc = trn.groupBy(F.col("token").alias("w")).agg(
+        F.sum(F.col("tf") * F.col("y")).alias("c_en"),
+        F.sum(F.col("tf") * (1 - F.col("y"))).alias("c_ot"),
     )
     tot = cc.agg(
         F.sum("c_en").alias("t_en"),
@@ -158,19 +156,26 @@ def q169_split_disciplined_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log10((F.col("c_ot") + 1.0) / (F.col("t_ot") + F.col("v")))
         .cast("decimal(12,6)").alias("lo"),
     )
+    # class prior over train-split DOCS with >= 1 token (the old lab
+    # frame's row set)
     pri = (
-        lab.join(sp.filter(F.col("split") == "train"), "doc_id")
+        hot_tokens(spark, sf_dir)
+        .filter(F.size("toks") > 0)
+        .select("doc_id")
+        .join(ydocs, "doc_id")
+        .join(sp.filter(F.col("split") == "train"), "doc_id")
         .agg(
             F.log10(F.sum("y").cast("double") / F.sum(1 - F.col("y")))
             .cast("decimal(12,6)").alias("p")
         )
     )
     scores = (
-        tok.join(F.broadcast(model), "w")
+        tok.join(F.broadcast(model), tok.token == model.w)
         .groupBy("doc_id")
         .agg(
             F.min("y").alias("y"),
-            F.sum(F.col("le") - F.col("lo")).cast("decimal(20,6)")
+            F.sum(F.col("tf") * (F.col("le") - F.col("lo")))
+            .cast("decimal(20,6)")
             .alias("s0"),
         )
         .crossJoin(F.broadcast(pri))

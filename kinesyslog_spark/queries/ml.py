@@ -121,20 +121,21 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _HOT_CACHE.get(key)
     if cached is not None:
         return cached
+    # Label-weighted counts derive exactly from the postings artifact
+    # (tables.hot_postings): per-token instance sums over the exploded
+    # stream equal SUM(tf * y) / SUM(tf * (1-y)) over (doc, token)
+    # rows, and the per-doc score sum equals SUM(tf * (le - lo)) in
+    # exact decimal — no per-query token-stream pass (the q55 pattern).
+    from kinesyslog_spark.tables import hot_postings
+
     docs = hot_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    lab = (
-        hot_tokens(spark, sf_dir)
-        .filter(F.size("toks") > 0)
-        .join(docs, "doc_id")
-        .select(
-            "doc_id", "toks",
-            (F.col("lang") == "en").cast("int").alias("y"),
-        )
+    ydocs = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
     )
-    tok = lab.select("doc_id", "y", F.explode("toks").alias("w"))
-    cc = tok.groupBy("w").agg(
-        F.sum("y").alias("c_en"),
-        F.sum(1 - F.col("y")).alias("c_ot"),
+    tok = hot_postings(spark, sf_dir).join(ydocs, "doc_id")
+    cc = tok.groupBy(F.col("token").alias("w")).agg(
+        F.sum(F.col("tf") * F.col("y")).alias("c_en"),
+        F.sum(F.col("tf") * (1 - F.col("y"))).alias("c_ot"),
     )
     tot = cc.agg(
         F.sum("c_en").alias("t_en"),
@@ -150,17 +151,26 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_ot") + 1.0) / (F.col("t_ot") + F.col("v"))
         ).cast("decimal(12,6)").alias("lo"),
     )
-    pri = lab.agg(
-        F.log10(
-            F.sum("y").cast("double") / F.sum(1 - F.col("y"))
-        ).cast("decimal(12,6)").alias("p")
+    # class prior over DOCS with >= 1 token (the old lab frame's row
+    # set), one cheap pass over the cached token arrays
+    pri = (
+        hot_tokens(spark, sf_dir)
+        .filter(F.size("toks") > 0)
+        .select("doc_id")
+        .join(ydocs, "doc_id")
+        .agg(
+            F.log10(
+                F.sum("y").cast("double") / F.sum(1 - F.col("y"))
+            ).cast("decimal(12,6)").alias("p")
+        )
     )
     scores = (
-        tok.join(F.broadcast(model), "w")
+        tok.join(F.broadcast(model), tok.token == model.w)
         .groupBy("doc_id")
         .agg(
             F.min("y").alias("y"),
-            F.sum(F.col("le") - F.col("lo")).cast("decimal(20,6)")
+            F.sum(F.col("tf") * (F.col("le") - F.col("lo")))
+            .cast("decimal(20,6)")
             .alias("s0"),
         )
         .crossJoin(F.broadcast(pri))
