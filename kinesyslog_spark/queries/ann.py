@@ -335,28 +335,16 @@ def _q38_oracle() -> str:
 _Q38_PAIR_SCHEMA = "vec_a long, vec_b long, dot long, n2a long, n2b long"
 
 
-def _q38_block_pairs(pdf):
-    """One (block_a, block_b) task: float32 GEMM pre-filter (see
-    _Q38_MARGIN32 for the recall proof — conversion is exact below
+def _q38_pairs_np(qa, qb, ida, idb, n2a, n2b, same_block):
+    """Shared per-block math of the q38 kernel: float32 GEMM pre-filter
+    (see _Q38_MARGIN32 for the recall proof — conversion is exact below
     2^24, sgemm error is bounded well under the margin, and false
     positives are re-checked exactly) + exact int64 verify. Returns
-    (vec_a, vec_b, dot, n2a, n2b) with EXACT integer dot/norms; the
-    caller does the float division + rounding engine-side."""
+    (vec_a, vec_b, dot, n2a, n2b) int64 arrays (or None if empty) with
+    EXACT integer dot/norms; the caller does the float division +
+    rounding engine-side."""
     import numpy as np
-    import pandas as pd
 
-    a = pdf[pdf["role"] == "a"]
-    b = pdf[pdf["role"] == "b"]
-    if a.empty or b.empty:
-        return pd.DataFrame(
-            columns=["vec_a", "vec_b", "dot", "n2a", "n2b"]
-        ).astype("int64")
-    qa = np.stack(a["q"].to_numpy()).astype(np.int64)
-    qb = np.stack(b["q"].to_numpy()).astype(np.int64)
-    ida = a["vec_id"].to_numpy()
-    idb = b["vec_id"].to_numpy()
-    n2a = a["n2"].to_numpy()
-    n2b = b["n2"].to_numpy()
     # f32 GEMM halves the prefilter's memory traffic and doubles SIMD
     # width; the int->f32 conversion is exact (components < 2^24) and
     # the accumulated error is covered by _Q38_MARGIN32. Norms stay
@@ -365,15 +353,13 @@ def _q38_block_pairs(pdf):
         np.sqrt(n2a.astype(np.float64)), np.sqrt(n2b.astype(np.float64))
     )
     mask = sims >= NEARDUP_COS - _Q38_MARGIN32
-    if int(a["bi"].iat[0]) == int(a["bj"].iat[0]):
+    if same_block:
         # same-block task: the two sides are the same vectors — keep the
         # upper triangle only
         mask &= ida[:, None] < idb[None, :]
     ii, jj = np.nonzero(mask)
     if not len(ii):
-        return pd.DataFrame(
-            columns=["vec_a", "vec_b", "dot", "n2a", "n2b"]
-        ).astype("int64")
+        return None
     # exact integer dots for the survivors only (order-free, no float)
     dots = np.einsum("ij,ij->i", qa[ii], qb[jj])
     # canonicalize: blocks are hash-assigned, so a cross-block pair can
@@ -384,10 +370,95 @@ def _q38_block_pairs(pdf):
     vb = np.where(swap, la, lb)
     n2va = np.where(swap, n2b[jj], n2a[ii])
     n2vb = np.where(swap, n2a[ii], n2b[jj])
+    return va, vb, dots, n2va, n2vb
+
+
+def _q38_block_pairs(pdf):
+    """pandas form of the block kernel (one (bi, bj) group): kept as the
+    direct-call surface for the adversarial threshold tests; the query
+    itself runs the mapInArrow twin below (same math via _q38_pairs_np)."""
+    import numpy as np
+    import pandas as pd
+
+    a = pdf[pdf["role"] == "a"]
+    b = pdf[pdf["role"] == "b"]
+    if a.empty or b.empty:
+        return pd.DataFrame(
+            columns=["vec_a", "vec_b", "dot", "n2a", "n2b"]
+        ).astype("int64")
+    got = _q38_pairs_np(
+        np.stack(a["q"].to_numpy()).astype(np.int64),
+        np.stack(b["q"].to_numpy()).astype(np.int64),
+        a["vec_id"].to_numpy(), b["vec_id"].to_numpy(),
+        a["n2"].to_numpy(), b["n2"].to_numpy(),
+        int(a["bi"].iat[0]) == int(a["bj"].iat[0]),
+    )
+    if got is None:
+        return pd.DataFrame(
+            columns=["vec_a", "vec_b", "dot", "n2a", "n2b"]
+        ).astype("int64")
+    va, vb, dots, n2va, n2vb = got
     return pd.DataFrame({
         "vec_a": va, "vec_b": vb,
         "dot": dots, "n2a": n2va, "n2b": n2vb,
     })
+
+
+def _q38_block_pairs_arrow(it):
+    """mapInArrow form of the block kernel (guide §4.3): one partition
+    may hold several (bi, bj) blocks — batches are concatenated (the
+    applyInPandas form materialized each group the same way) and blocks
+    are found via one lexsort, the _mih_bucket_pairs run pattern. The
+    win over FlatMapGroupsInPandas is the boundary: `q` arrives as ONE
+    flat Arrow list buffer and reshapes to the GEMM matrix zero-copy,
+    where pandas delivered an object Series of per-row arrays that
+    np.stack re-copied (measured 28% off the kernel stage at sf0.1);
+    `role` rides as a tinyint instead of a string."""
+    import numpy as np
+    import pyarrow as pa
+
+    batches = list(it)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches).combine_chunks()
+    n = tbl.num_rows
+    if n == 0:
+        return
+    bi = tbl.column("bi").to_numpy()
+    bj = tbl.column("bj").to_numpy()
+    role = tbl.column("role").to_numpy()
+    vid = tbl.column("vec_id").to_numpy()
+    n2 = tbl.column("n2").to_numpy()
+    qcol = tbl.column("q")
+    qc = qcol.chunk(0) if isinstance(qcol, pa.ChunkedArray) else qcol
+    d = len(qc[0])
+    q = np.asarray(qc.values).reshape(n, d)
+    order = np.lexsort((role, bj, bi))
+    bi, bj, role, vid, n2 = (
+        bi[order], bj[order], role[order], vid[order], n2[order]
+    )
+    q = q[order]
+    change = (np.diff(bi) != 0) | (np.diff(bj) != 0)
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
+    for r in range(len(starts) - 1):
+        s, e = int(starts[r]), int(starts[r + 1])
+        k = s + int(np.searchsorted(role[s:e], 1))
+        if k == s or k == e:
+            continue
+        got = _q38_pairs_np(
+            q[s:k], q[k:e], vid[s:k], vid[k:e], n2[s:k], n2[k:e],
+            bool(bi[s] == bj[s]),
+        )
+        if got is None:
+            continue
+        va, vb, dots, n2va, n2vb = got
+        yield pa.RecordBatch.from_pydict({
+            "vec_a": pa.array(va, pa.int64()),
+            "vec_b": pa.array(vb, pa.int64()),
+            "dot": pa.array(dots, pa.int64()),
+            "n2a": pa.array(n2va, pa.int64()),
+            "n2b": pa.array(n2vb, pa.int64()),
+        })
 
 
 @query("q38_embedding_neardup", oracle=_q38_oracle())
@@ -434,14 +505,24 @@ def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_list = bi.join(bj, F.col("bi") <= F.col("bj"))
     a_side = tagged.join(
         F.broadcast(pair_list), tagged.blk == pair_list.bi
-    ).select("bi", "bj", F.lit("a").alias("role"), "vec_id", "q", "n2")
+    ).select("bi", "bj", F.lit(0).alias("role"), "vec_id", "q", "n2")
     b_side = tagged.join(
         F.broadcast(pair_list), tagged.blk == pair_list.bj
-    ).select("bi", "bj", F.lit("b").alias("role"), "vec_id", "q", "n2")
+    ).select("bi", "bj", F.lit(1).alias("role"), "vec_id", "q", "n2")
+    # mapInArrow over the (bi, bj)-partitioned rows instead of
+    # groupBy().applyInPandas (guide §4.3): same exchange (explicit hash
+    # repartition on the block keys replaces FlatMapGroupsInPandas'
+    # required clustering), same math (_q38_pairs_np), but the Arrow
+    # boundary hands the kernel flat buffers — measured 28% off the
+    # kernel stage at sf0.1 (probe_mapinarrow.py; pandas' object-array
+    # q column and per-group frame construction gone).
+    n_tasks = max(
+        spark.sparkContext.defaultParallelism, nb * (nb + 1) // 2
+    )
     pairs = (
         a_side.unionAll(b_side)
-        .groupBy("bi", "bj")
-        .applyInPandas(_q38_block_pairs, _Q38_PAIR_SCHEMA)
+        .repartition(n_tasks, "bi", "bj")
+        .mapInArrow(_q38_block_pairs_arrow, _Q38_PAIR_SCHEMA)
     )
     sim = F.round(
         F.col("dot").cast("double")

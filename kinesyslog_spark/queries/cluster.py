@@ -146,7 +146,14 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact of the dedup-clustering family (q40's report, q107's
     survivor resolution, the pipeline's drop-set). A dedup service keeps
     exactly this materialized; released by tables.release_hot."""
-    key = (id(spark), sf_dir.rstrip("/"))
+    # Keyed on the same budget knobs as hot_minhash_pairs: the labels
+    # are a pure function of the pair graph, and the pair memo rebuilds
+    # when a cap is re-tuned mid-session — without the knobs here,
+    # q40/q107/q165 would keep returning labels computed from pairs
+    # built under the OLD budget (round-12 ADVICE).
+    from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET, LSH_MAX_SLOTS
+
+    key = (id(spark), sf_dir.rstrip("/"), LSH_MAX_BUCKET, LSH_MAX_SLOTS)
     got = _CLUSTER_CACHE.get(key)
     if got is not None:
         return got

@@ -314,6 +314,38 @@ LSH_MAX_SLOTS: int | None = env_budget(
 
 
 _SIG_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def hot_shingles(spark, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_id, sh) word-3-gram shingle sets — the
+    corpus shingle pass shared by the MinHash family (hot_shingle_sigs)
+    AND the prefix-filter joins (resolution.hot_shingle_rank). One
+    accessor instead of hot_shingle_rank peeking at _SIG_CACHE: either
+    family may run first and the other reuses the same persisted frame
+    (round-12 ADVICE — the peek only checked at build time, so a
+    prefix-join-first session persisted a duplicate corpus shingle
+    pass). Released by tables.release_hot."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    got = _SHINGLE_CACHE.get(key)
+    if got is not None:
+        return got
+    sig = _SIG_CACHE.get(key)
+    if sig is not None:
+        # the full (sh, sigs) artifact is already resident (e.g. loaded
+        # from the opt-in disk store): alias its sh, don't rebuild
+        _SHINGLE_CACHE[key] = sig[0]
+        return sig[0]
+    from kinesyslog_spark.tables import HOT_LEVEL
+
+    sh = (
+        hot_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
+        .persist(HOT_LEVEL)
+    )
+    _SHINGLE_CACHE[key] = sh
+    return sh
 
 
 def hot_shingle_sigs(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -334,15 +366,12 @@ def hot_shingle_sigs(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         loaded = family_artifact_load(spark, apath, ["sh", "sigs"])
         if loaded is not None:
             _SIG_CACHE[key] = loaded
+            _SHINGLE_CACHE.setdefault(key, loaded[0])
             return loaded
     from kinesyslog_spark.tables import HOT_LEVEL
 
-    sh = (
-        hot_tokens(spark, sf_dir)
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
-        .persist(HOT_LEVEL)
-    )
+    # shared corpus shingle pass (also serves hot_shingle_rank)
+    sh = hot_shingles(spark, sf_dir)
     sigs = minhash_df(sh, ["doc_id"], "sh", MINHASH_K).persist(HOT_LEVEL)
     sigs.count()
     if apath is not None:
@@ -1171,15 +1200,22 @@ def ngram_candidates_frame(
             (budget_cache_key, rows)
             if budget_cache_key is not None else None
         )
-        cand = _pair_candidates(blocked, ["t", "bk", "bucket"],
-                                name=name,
-                                budget_cache_key=memo_key,
-                                budget_family="ngram_bands")
+        cand = persist_now(
+            _pair_candidates(blocked, ["t", "bk", "bucket"],
+                             name=name,
+                             budget_cache_key=memo_key,
+                             budget_family="ngram_bands")
+        )
     except Exception:
         # abort path must not leak the persisted frames
         base.unpersist()
         keyed.unpersist()
         raise
+    # keyed feeds ONLY the candidate expansion; with cand materialized
+    # its blocks are dead weight — and it was in no memo/release
+    # registry, so each rebuild after release_hot leaked another
+    # persisted copy (round-12 ADVICE).
+    keyed.unpersist()
     return cand, base, rows
 
 
@@ -1203,13 +1239,16 @@ def ngram_candidates(
            LSH_MAX_BUCKET, LSH_MAX_SLOTS)
     got = _NGRAM_CACHE.get(key)
     if got is None:
+        # cand arrives persisted+materialized by the frame builder
+        # (which drops its internal `keyed` signature frame once cand
+        # is live — the round-12 ADVICE leak).
         cand, base, _rows = ngram_candidates_frame(
             hot_table(spark, sf_dir, "documents"),
             rows=NGRAM_ROWS,
             name="q28_ngram_jaccard",
             budget_cache_key=sf_dir.rstrip("/"),
         )
-        got = (persist_now(cand), base)
+        got = (cand, base)
         _NGRAM_CACHE[key] = got
     return got
 

@@ -153,8 +153,29 @@ def _q72_oracle() -> str:
     """
 
 
-@query("q72_pagerank", oracle=_q72_oracle())
-def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Session memo for the PageRank graph build (nodes, n, en): the
+# normalized edge table is iteration- AND call-invariant (pure function
+# of the corpus), yet every q72 call re-ran the lineitem ⋈ orders
+# aggregate and leaked a fresh persisted copy of edges/nodes/en (the
+# heavy battery's 3 runs held 9 superseded frames). One build per
+# session; keyed on the EFFECTIVE broadcast cap so a re-tuned cap (the
+# plan-shape tests pin 0) rebuilds under the right shape instead of
+# returning frames persisted for the other one (the _MH_PAIR_CACHE
+# budget-knob pattern). Released by tables.release_hot.
+_PR_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_PR_CACHE_N: dict[tuple, int] = {}
+
+
+def _pr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, DataFrame]:
+    """(nodes, n, en): distinct node frame, node count, and the
+    normalized (src, dst, nw) edge table — persisted in the shape the
+    session's broadcast cap selects (see q72_pagerank's shape note)."""
+    cap = _pr_broadcast_cap(spark)
+    key = (id(spark), sf_dir.rstrip("/"), cap)
+    got = _PR_CACHE.get(key)
+    if got is not None:
+        nodes, en = got
+        return nodes, _PR_CACHE_N[key], en
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     e0 = (
@@ -212,14 +233,28 @@ def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank/contribution frames — the edge table's persisted partitioning
     # is reused and it is never reshuffled (the local analogue of
     # bucketing both join sides by node id on a cluster).
-    small = n <= _pr_broadcast_cap(spark)
-    if small:
+    if n <= cap:
         en = persist_now(en)
-        hint = F.broadcast
     else:
         en = persist_now(en.repartition("src"))
+        plain_nodes = nodes
         nodes = persist_now(nodes.repartition("node"))
+        plain_nodes.unpersist()  # superseded by the co-partitioned copy
+    # edges was only needed to build nodes/outw/en — holding it would
+    # double the family's resident blocks for no consumer (the ADVICE
+    # `keyed` lesson).
+    edges.unpersist()
+    _PR_CACHE[key] = (nodes, en)
+    _PR_CACHE_N[key] = n
+    return nodes, n, en
 
+
+@query("q72_pagerank", oracle=_q72_oracle())
+def q72_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, n, en = _pr_graph(spark, sf_dir)
+    if n <= _pr_broadcast_cap(spark):
+        hint = F.broadcast
+    else:
         def hint(df: DataFrame) -> DataFrame:
             return df
 

@@ -567,24 +567,14 @@ def hot_shingle_rank(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     key = (id(spark), sf_dir.rstrip("/"))
     got = _RANK_CACHE.get(key)
     if got is None:
-        if key in dd._SIG_CACHE:
-            # the MinHash family already shingled the corpus this
-            # session — reuse its persisted sh frame
-            sh, _sigs = dd._SIG_CACHE[key]
-            tk = sh.select("doc_id", F.col("sh").alias("ts"))
-        else:
-            # shingle-only build (values identical to sh): an isolated
-            # prefix-join session must not pay the K MinHash aggregates
-            # just to borrow the shingle column
-            from kinesyslog_spark.operators.text import word_shingles
-            from kinesyslog_spark.tables import hot_tokens
-
-            tk = (
-                hot_tokens(spark, sf_dir)
-                .filter(F.size("toks") >= 3)
-                .select("doc_id", word_shingles(F.col("toks"), 3).alias("ts"))
-                .persist(HOT_LEVEL)
-            )
+        # One corpus shingle pass for the whole MinHash + prefix-join
+        # family: dedup.hot_shingles returns the session's persisted
+        # shingle frame whichever family built it first (round-12
+        # ADVICE — this used to peek at dd._SIG_CACHE, so a
+        # prefix-join-first session persisted a duplicate pass).
+        tk = dd.hot_shingles(spark, sf_dir).select(
+            "doc_id", F.col("sh").alias("ts")
+        )
         toks = tk.select("doc_id", F.explode("ts").alias("tok"))
         df = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
         wr = W.partitionBy("doc_id").orderBy("dfreq", "tok")

@@ -53,8 +53,6 @@ from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.queries import query
 from kinesyslog_spark.queries.ann import EMB_DIM
 from kinesyslog_spark.queries.mlops import _floor_q
-from kinesyslog_spark.tables import hot_table
-
 PI_ITERS = 4
 _V0 = 0.125  # 1/8: unit norm at D=64, exactly representable
 
@@ -156,9 +154,15 @@ FROM fin f CROSS JOIN v{PI_ITERS} v
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hot_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("emb")
-    )
+    """(emb double[]) — read from the session-wide hot_vectors artifact
+    (its `emb` is the same float→double element cast, so values are
+    identical), instead of a private cast+persist per call: the old
+    per-call `data.persist()` leaked one corpus-sized block set per
+    q166 invocation and re-paid the interpreted cast pass the vector
+    family had already done."""
+    from kinesyslog_spark.tables import hot_vectors
+
+    return hot_vectors(spark, sf_dir).select("emb")
 
 
 def _dot_lit(vec: list[float], mu: list[float]) -> Column:
@@ -207,9 +211,7 @@ def q166_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's wide form produces the identical values.
     import math
 
-    from pyspark import StorageLevel
-
-    data = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_ONLY)
+    data = _emb(spark, sf_dir)  # cache-backed via hot_vectors
     n = data.count()
     ms = (
         data.select(F.posexplode("emb").alias("j", "x"))

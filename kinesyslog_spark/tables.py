@@ -264,6 +264,7 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
     from kinesyslog_spark.queries.dedup import (
         _MH_PAIR_CACHE,
         _NGRAM_CACHE,
+        _SHINGLE_CACHE,
         _SIG_CACHE,
         _SIMHASH_CACHE,
     )
@@ -273,6 +274,8 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
         _IMG_PAIR_CACHE,
     )
     from kinesyslog_spark.queries.govern import _REFINE_CACHE
+    from kinesyslog_spark.queries.graph import _PR_CACHE, _PR_CACHE_N
+    from kinesyslog_spark.queries.graph_ext import _TRI_CACHE, _TRI_CACHE_N
     from kinesyslog_spark.queries.resolution import _RANK_CACHE
     from kinesyslog_spark.queries.simresolve import (
         _SIM_COMP_CACHE,
@@ -301,12 +304,21 @@ def release_hot(spark: SparkSession, sf_dir: str | None = None) -> int:
             sf_dir is None or _corpus_match(key[2], sf_dir.rstrip("/"))
         ):
             _SLOT_EST_CACHE.pop(key)
+    # Scalar side-tables of the graph memos (node/edge counts) go with
+    # their DataFrame entries — same key shape (spark_id, sf_dir, ...).
+    for meta in (_PR_CACHE_N, _TRI_CACHE_N):
+        for key in list(meta):
+            if key[0] == id(spark) and (
+                sf_dir is None or key[1] == sf_dir.rstrip("/")
+            ):
+                meta.pop(key)
     n = 0
     for cache in (_HOT_CACHE, _IVF_CACHE, _KMEANS_CACHE, _SIG_CACHE,
                   _SIMHASH_CACHE, _CLUSTER_CACHE, _PHASH_CACHE,
                   _IMG_PAIR_CACHE, _SIM_PAIR_CACHE, _MH_PAIR_CACHE,
                   _NGRAM_CACHE, _RANK_CACHE, _IMG_COMP_CACHE,
-                  _SIM_COMP_CACHE, _REFINE_CACHE):
+                  _SIM_COMP_CACHE, _REFINE_CACHE, _PR_CACHE, _TRI_CACHE,
+                  _SHINGLE_CACHE):
         for key in list(cache):
             if key[0] != id(spark):
                 continue

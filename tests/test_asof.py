@@ -13,6 +13,8 @@ strong coverage of the ordering corner cases.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -29,6 +31,7 @@ _EVENT = st.tuples(
 
 @given(st.lists(_EVENT, min_size=1, max_size=12))
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_asof_strategies_agree(spark, tmp_path_factory, events):
     rows = [
         (

@@ -13,6 +13,8 @@ Model semantics (the canonical BPE the module docstring claims):
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hypothesis import given, settings
@@ -76,6 +78,7 @@ def _model(docs: list[list[str]]):
 
 @settings(max_examples=10, deadline=None)
 @given(docs=_corpus)
+@pytest.mark.slow
 def test_bpe_matches_python_model(spark, tmp_path_factory, docs):
     import os
 

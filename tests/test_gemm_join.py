@@ -35,6 +35,65 @@ def test_q38_block_partitioning_invariance(spark, sf_dir, monkeypatch):
     assert len(single) > 0  # the corpus plants near-dup vectors
 
 
+def test_q38_mapinarrow_plan_and_pandas_parity(spark, sf_dir):
+    """r13: q38's kernel stage runs as mapInArrow (guide §4.3). Pin the
+    plan node (MapInArrow, not FlatMapGroupsInPandas) and pin the arrow
+    kernel's output equal to the pandas form over the same rows — the
+    two wrappers must stay bit-identical around the shared math."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from kinesyslog_spark.queries import QUERIES
+    from kinesyslog_spark.queries.ann import (
+        _q38_block_pairs,
+        _q38_block_pairs_arrow,
+    )
+
+    df = QUERIES["q38_embedding_neardup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    rows = []
+    vid = 0
+    for blk in ((0, 0), (0, 1)):  # one same-block and one cross-block task
+        for role in (0, 1):
+            for _ in range(12):
+                qv = rng.integers(-1000, 1000, size=dim, dtype=np.int64)
+                rows.append({
+                    "bi": blk[0], "bj": blk[1], "role": role, "vec_id": vid,
+                    "q": qv, "n2": int((qv * qv).sum()),
+                })
+                vid += 1
+    # pandas form runs per (bi, bj) group with string roles
+    pdf = pd.DataFrame(rows)
+    pdf_str = pdf.assign(role=np.where(pdf["role"] == 0, "a", "b"))
+    want = []
+    for _, grp in pdf_str.groupby(["bi", "bj"]):
+        out = _q38_block_pairs(grp)
+        want += list(zip(out["vec_a"], out["vec_b"], out["dot"],
+                         out["n2a"], out["n2b"]))
+    # arrow form gets the whole partition as one batch
+    batch = pa.RecordBatch.from_pydict({
+        "bi": pa.array(pdf["bi"], pa.int32()),
+        "bj": pa.array(pdf["bj"], pa.int32()),
+        "role": pa.array(pdf["role"], pa.int32()),
+        "vec_id": pa.array(pdf["vec_id"], pa.int64()),
+        "q": pa.array([list(q) for q in pdf["q"]], pa.list_(pa.int64())),
+        "n2": pa.array(pdf["n2"], pa.int64()),
+    })
+    got = []
+    for out in _q38_block_pairs_arrow(iter([batch])):
+        t = out.to_pydict()
+        got += list(zip(t["vec_a"], t["vec_b"], t["dot"],
+                        t["n2a"], t["n2b"]))
+    assert sorted(got) == sorted(want)
+    assert got, "planted rows must produce at least one candidate pair"
+
+
 def _q78_rows(spark, sf_dir):
     from kinesyslog_spark.queries import QUERIES
 
@@ -44,6 +103,7 @@ def _q78_rows(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_q78_block_partitioning_invariance(spark, sf_dir, monkeypatch):
     # q78 tiles each k-means cluster with the same hash-block machinery
     # (block count sized off the largest cluster); forcing tiny blocks
@@ -59,6 +119,7 @@ def test_q78_block_partitioning_invariance(spark, sf_dir, monkeypatch):
     assert all(a < b for a, b, _, _ in multi)
 
 
+@pytest.mark.slow
 def test_q38_cross_block_pairs_survive_id_reversal(spark, sf_dir, monkeypatch):
     # With 2-row blocks nearly every matching pair is cross-block, and
     # hash assignment puts the larger id on the a-side for ~half of

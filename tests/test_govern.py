@@ -96,6 +96,7 @@ def test_survivor_frame_governance_rollup(spark):
     assert sum(r.n_removed for r in out) == 2
 
 
+@pytest.mark.slow
 def test_refined_drop_set_is_certified(spark, sf_dir):
     """On the real corpus: every removed doc has a DIRECT pair-graph
     edge to its survivor (the star property), and the refined drop-set

@@ -11,6 +11,8 @@ corpus change fails loudly instead of silently losing pairs."""
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_corpus_meets_blocking_min_length(duck):
     """No doc may be shorter than the blocking gram width — such docs
@@ -27,6 +29,7 @@ def test_corpus_meets_blocking_min_length(duck):
     )
 
 
+@pytest.mark.slow
 def test_blocking_recall_floor_vs_bruteforce(spark, duck, sf_dir):
     """q28's banded blocking vs the all-pairs 5-gram brute force:
     every pair at jaccard >= 0.8 must be found (the documented recall

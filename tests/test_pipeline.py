@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kinesyslog_spark.pipeline import run_pipeline
@@ -9,6 +11,7 @@ from kinesyslog_spark.queries import QUERIES
 from kinesyslog_spark.sinks.partitioned import read_partitioned
 
 
+@pytest.mark.slow
 def test_pipeline_materializes_consistent_artifact(spark, sf_dir, tmp_path):
     out = str(tmp_path / "corpus")
     stats = run_pipeline(spark, sf_dir, out, n_shards=4)
@@ -62,6 +65,7 @@ def test_pipeline_materializes_consistent_artifact(spark, sf_dir, tmp_path):
     assert shards == {f"shard={r.shard}" for r in rows}
 
 
+@pytest.mark.slow
 def test_pipeline_cli(spark, sf_dir, tmp_path, capsys):
     import json
 
@@ -87,6 +91,7 @@ def test_explain_cli(spark, sf_dir, capsys):
     assert main(["explain", "nope", "--sf-dir", sf_dir]) == 2
 
 
+@pytest.mark.slow
 def test_pipeline_exactsubstr_cut_stage(spark, sf_dir, tmp_path):
     """The artifact carries clean_text with ExactSubstr spans computed on
     the SURVIVING set (Lee et al.'s 'within what remains' — spans shared

@@ -4,6 +4,8 @@ that works at sf0.01 but not at scale."""
 
 from __future__ import annotations
 
+import pytest
+
 from kinesyslog_spark.plans.checks import facts, unpartitioned_window_count
 from kinesyslog_spark.queries import QUERIES
 
@@ -832,6 +834,7 @@ def test_q148_anchor_broadcast_topk(spark, sf_dir):
     assert "WindowGroupLimit" in t, "top-1 must map-side limit"
 
 
+@pytest.mark.slow
 def test_registry_has_no_unpartitioned_windows(spark, sf_dir):
     # ENGINE-WIDE invariant (round-5): no query in the registry may
     # execute a window-family node with an empty partition spec —

@@ -21,6 +21,7 @@ def _frames_equal(a, b, key):
     assert a.dtypes == b.dtypes
 
 
+@pytest.mark.slow
 def test_simhash_artifact_roundtrip_parity(spark, sf_dir, tmp_path,
                                            monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))

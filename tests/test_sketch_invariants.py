@@ -6,6 +6,8 @@ type would break them before it broke the oracle)."""
 
 from __future__ import annotations
 
+import pytest
+
 from kinesyslog_spark.queries import QUERIES
 
 
@@ -507,6 +509,7 @@ def test_auto_ngram_rows_schedule():
     assert auto_ngram_rows(100_000_000) == 6
 
 
+@pytest.mark.slow
 def test_ngram_candidates_frame_derives_rows(spark, sf_dir):
     """Round-10 verdict #5: the engine-API blocking must WIRE the
     rows ~ log N schedule, not just define it. A 500k-doc frame gets

@@ -10,6 +10,8 @@ registry must account for every line."""
 
 from __future__ import annotations
 
+import pytest
+
 import asyncio
 import gzip
 import json
@@ -41,6 +43,7 @@ class FakeFirehose:
         return {"RequestResponses": responses}
 
 
+@pytest.mark.slow
 def test_relay_soak_bridge_to_uploader(spark, tmp_path):
     from kinesyslog_spark.observability import (
         MESSAGE_BYTES,

@@ -125,6 +125,7 @@ def test_interval_join_stream_stream(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_interval_join_stream_left_outer(spark, tmp_path):
     """Left-outer stream-stream join: the matched row emits promptly; the
     unmatched left row emits with nulls only after the watermark passes
@@ -185,6 +186,7 @@ def test_chunk_assembler_semantics():
     assert poisoned.poisoned
 
 
+@pytest.mark.slow
 def test_chunk_reassembly_stream(spark, tmp_path):
     in_dir = str(tmp_path / "chunks")
     os.makedirs(in_dir)
@@ -617,6 +619,7 @@ def test_session_window_out_of_range_seq_drops_group(spark):
     assert got == {2: b"xxyy"}
 
 
+@pytest.mark.slow
 def test_interval_join_stream_full_outer(spark, tmp_path):
     """Full-outer stream-stream join: matched rows emit promptly;
     unmatched rows from BOTH sides emit with nulls once the watermark

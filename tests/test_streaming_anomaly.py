@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -17,6 +19,7 @@ from kinesyslog_spark.streaming.anomaly import (
 from kinesyslog_spark.tables import load_table
 
 
+@pytest.mark.slow
 def test_stream_scores_match_batch(spark, sf_dir, tmp_path):
     """Every watermark-finalized hour emits exactly the batch score."""
     events = load_table(spark, sf_dir, "events").select("ts", "event_type")

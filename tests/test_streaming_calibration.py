@@ -4,6 +4,8 @@ retry contract, and a live readStream drive."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import time
@@ -53,6 +55,7 @@ def test_fold_matches_batch_twin(spark, tmp_path):
     assert _report(spark, out, 1) == _batch_twin(spark, _B1 + _B2)
 
 
+@pytest.mark.slow
 def test_fold_retry_reads_predecessor(spark, tmp_path):
     """SUM-merged state is NOT retry-idempotent — a retried epoch must
     merge into the snapshot strictly before its id, leaving state and

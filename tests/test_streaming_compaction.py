@@ -6,6 +6,8 @@ compaction preserving the store across the consolidation boundary."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -114,6 +116,7 @@ def test_w28_bucketed_parity_changelog_and_retry(spark, tmp_path):
     assert rec == view
 
 
+@pytest.mark.slow
 def test_w30_bucketed_compaction_preserves_store(spark, tmp_path):
     from kinesyslog_spark.streaming.chunkstore import (
         batch_chunk_occurrences,
@@ -181,6 +184,7 @@ def test_bucketstore_vacuum_keeps_referenced_snapshots(spark, tmp_path):
     # (same single key bucket rewritten every 3rd epoch)
     assert f"snap-{0:020d}" not in os.listdir(table)
 
+@pytest.mark.slow
 def test_w30_compaction_crash_replay_converges(spark, tmp_path):
     """ADVICE r11 (chunkstore.py): a crash AFTER the base=<E-1> _SUCCESS
     publish but BEFORE the compacted epoch dirs are removed must not

@@ -4,6 +4,8 @@ q116 batch twin on ordered arrival."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import time
@@ -71,6 +73,7 @@ def _write_json(path, rows):
     os.rename(tmp, path)
 
 
+@pytest.mark.slow
 def test_streaming_replay_matches_batch_twin(spark, tmp_path):
     in_dir = str(tmp_path / "events")
     out_dir = str(tmp_path / "bursts")

@@ -3,6 +3,8 @@ replay-driven, plus unit checks on the stateless signature stage."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import time
@@ -231,6 +233,7 @@ def test_same_batch_overflow_and_chunk_split_parity():
     assert sorted(st_c.get[1]) == [5, 6, 7]
 
 
+@pytest.mark.slow
 def test_coarse_layout_parity(spark, tmp_path, sf_dir):
     """The coarse-group state layout (W9's scale shape, SCALING_R9) must
     emit EXACTLY the per-bucket layout's candidate multiset over a real
@@ -353,6 +356,7 @@ def test_ttl_timeout_evicts_bucket():
     assert st2.timeout_set == 5000
 
 
+@pytest.mark.slow
 def test_ttl_in_horizon_parity(spark, tmp_path, sf_dir):
     """With a TTL far longer than the run, the horizon contains every
     epoch, so the TTL path must emit EXACTLY the no-TTL output — the

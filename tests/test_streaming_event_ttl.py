@@ -91,6 +91,7 @@ def _run_neardup_stream(spark, tmp_path, ttl_ms: int, tag: str):
         return set()
 
 
+@pytest.mark.slow
 def test_w9_event_ttl_evicts_under_available_now(spark, tmp_path):
     """Horizon (1h) passed by the watermark before doc2 arrives: the
     bucket holding doc1 was evicted, so NO candidate pair emits."""
@@ -98,6 +99,7 @@ def test_w9_event_ttl_evicts_under_available_now(spark, tmp_path):
     assert got == set(), f"expired bucket still produced {got}"
 
 
+@pytest.mark.slow
 def test_w9_event_ttl_pre_horizon_parity(spark, tmp_path):
     """Same replay with a 10h horizon: nothing expires, and the output
     matches the no-TTL layout's (doc2 dup_of doc1) — post-eviction
@@ -168,6 +170,7 @@ def test_w19_event_timeout_never_set_in_past():
     assert st.timeout_ts == 500_001
 
 
+@pytest.mark.slow
 def test_w19_event_time_replay_closes_bursts(spark, tmp_path):
     """availableNow replay: start rows equal the base layout's output
     for the same ordered stream; the watermark batch closes the first
@@ -284,6 +287,7 @@ def _image_ttl_run(spark, sf_dir, tmp_path, tag, make_stream):
         return set()
 
 
+@pytest.mark.slow
 def test_w20_image_event_ttl(spark, sf_dir, tmp_path):
     from kinesyslog_spark.streaming.imagedup import (
         streaming_image_neardup_event_ttl,
@@ -304,6 +308,7 @@ def test_w20_image_event_ttl(spark, sf_dir, tmp_path):
     assert got == {(2, 1)}
 
 
+@pytest.mark.slow
 def test_w33_proj_event_ttl(spark, sf_dir, tmp_path):
     from kinesyslog_spark.streaming.projdup import (
         frozen_projection_artifacts,
@@ -326,6 +331,7 @@ def test_w33_proj_event_ttl(spark, sf_dir, tmp_path):
     assert got == {(2, 1)}
 
 
+@pytest.mark.slow
 def test_w9_coarse_event_ttl(spark, tmp_path):
     """Coarse-layout event TTL is PER-MEMBER: doc1's member expires on
     its own event time even though the watermark-pushing docs keep the

@@ -7,6 +7,8 @@ the batch framer's output on the whole stream.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import time
@@ -102,6 +104,7 @@ def test_runaway_buffer_force_frames():
     assert leftover == b"" and n == 1
 
 
+@pytest.mark.slow
 def test_stream_frames_across_batches(spark, tmp_path):
     in_dir = str(tmp_path / "chunks")
     os.makedirs(in_dir)

@@ -6,6 +6,8 @@ the streaming pair set must equal q175's (ordered by arrival)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -44,6 +46,7 @@ def test_frozen_artifacts_reproduce_batch_hashes(spark, sf_dir):
     assert (np.sort(proj, axis=0)[k - 1] == art["medians"]).all()
 
 
+@pytest.mark.slow
 def test_streaming_projdup_replay(spark, tmp_path, sf_dir):
     """Two-epoch replay over real rendered payloads: the streaming pair
     set must equal batch q175's pair set, each pair oriented by arrival

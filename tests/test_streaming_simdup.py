@@ -95,6 +95,7 @@ def test_kernel_matches_batch_fingerprints(spark, sf_dir):
     assert got_rep_keys == want_rep_keys
 
 
+@pytest.mark.slow
 def test_replay_matches_batch_q27(spark, sf_dir, tmp_path):
     """In-order availableNow replay over the full corpus: the distinct
     streamed pair set equals the rep-star sparsification of batch q27,
@@ -198,6 +199,7 @@ def test_distinct_fp_collapse_is_idempotent():
     assert st.get == state_before
 
 
+@pytest.mark.slow
 def test_event_ttl_horizon_evicts(spark, sf_dir, tmp_path):
     """W34 with the event-time horizon: a near-dup arriving after the
     watermark passed the original's horizon emits NO candidate; with a

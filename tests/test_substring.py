@@ -108,6 +108,63 @@ def test_q123_registry_shape(spark, sf_dir):
             assert s2 > e1
 
 
+def test_planted_hot_gram_skew(spark):
+    # Skew guard for the two-level duplicated-gram count (r13): one
+    # boilerplate gram carries >= 20% of all gram occurrences. The
+    # level-1 (g, salt) aggregate must still produce exactly the
+    # brute-force spans — every position of the hot gram appears in
+    # exactly one salt bucket, and the level-2 per-gram total (sum of
+    # bucket counts) equals the old single-window count.
+    boiler = ["h1", "h2", "h3"]
+    corpus: dict[int, list[str]] = {}
+    for d in range(20):
+        # boilerplate header on every doc (the planted hot gram),
+        # unique tail per doc
+        corpus[d] = boiler + [f"u{d}_{i}" for i in range(8)]
+    # hot-gram occurrences: 20 of ~220 total 3-gram positions, and the
+    # 3-gram "h1 h2 h3" alone is 20 identical keys — far beyond any
+    # single salt bucket.
+    assert _spark_spans(spark, corpus, 3) == brute_force_spans(corpus, 3)
+
+    # SUBSTR_SALTS must genuinely split the hot gram: with 20 identical
+    # (g) keys and deterministic position salts, more than one salt
+    # bucket is occupied (probability of collapse is 16^-19).
+    from pyspark.sql import functions as F
+
+    from kinesyslog_spark.queries.substring import SUBSTR_SALTS
+
+    df = spark.createDataFrame(
+        [(d, " ".join(ts)) for d, ts in corpus.items()],
+        "doc_id long, text string",
+    )
+    k = 3
+    from kinesyslog_spark.operators.text import tokens
+
+    gpos = df.select(
+        "doc_id", tokens(F.col("text")).alias("ts")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(ts) - {k}),"
+                f" i -> unhex(md5(array_join(slice(ts, i + 1, {k}), ' '))))"
+            )
+        ).alias("s", "g"),
+    )
+    buckets = (
+        gpos.groupBy(
+            "g",
+            F.pmod(F.xxhash64("doc_id", "s"), F.lit(SUBSTR_SALTS)).alias("salt"),
+        )
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_buckets"), F.sum("c1").alias("total"))
+        .filter(F.col("total") >= 20)
+        .collect()
+    )
+    assert buckets and all(r.n_buckets > 1 for r in buckets)
+
+
 def test_q125_consistent_with_q123(spark, sf_dir):
     spans = QUERIES["q123_substring_dedup"](spark, sf_dir).collect()
     dup_by_doc: dict[int, int] = {}

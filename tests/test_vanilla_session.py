@@ -20,6 +20,8 @@ red set end-to-end.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -87,6 +89,7 @@ print(f"vanilla gate OK: {len(QUERIES)} analyzed, {len(execute)} executed")
 """
 
 
+@pytest.mark.slow
 def test_vanilla_session_gate(sf_dir):
     proc = subprocess.run(
         [sys.executable, "-c", _SCRIPT.replace("@@REPO@@", REPO),

@@ -1,4 +1,5 @@
-"""Capture .explain('formatted') for the named queries into plans/r12/.
+"""Capture .explain('formatted') for the named queries into plans/
+(round subdir via $PLANS_ROUND, default r13).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 Defaults to the headline + heavy bench sets at $SPARK_GRAFT_SF_DIR
@@ -23,7 +24,8 @@ def main() -> None:
     names = sys.argv[2:] or (HEADLINE + HEAVY)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     for name in names:
