@@ -529,7 +529,8 @@ def _pair_candidates(keyed: DataFrame, key_cols: list[str],
                      max_bucket=_USE_GLOBAL_CAP,
                      name: str = "LSH",
                      budget_cache_key=None,
-                     budget_family: str | None = None) -> DataFrame:
+                     budget_family: str | None = None,
+                     unique_ids: bool = False) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing every key column.
 
     One groupBy per bucket key collects the member set, applies the
@@ -549,7 +550,8 @@ def _pair_candidates(keyed: DataFrame, key_cols: list[str],
         max_bucket = LSH_MAX_BUCKET
     _lsh_slot_budget_check(name, keyed, key_cols, max_bucket,
                            cache_key=budget_cache_key,
-                           family=budget_family)
+                           family=budget_family,
+                           unique_ids=unique_ids)
     members = (
         keyed.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_set("doc_id")).alias("_ms"))
@@ -680,19 +682,36 @@ def hot_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # HOF-heavy) and the explode+MIN signature aggregation run once
         # per session and are shared with q96's incremental dedup.
         sh, sigs = hot_shingle_sigs(spark, sf_dir)
+        # bands is read TWICE in the build (slot-budget estimate +
+        # member aggregate): persist the skinny (doc_id, band_idx,
+        # band_key) frame for the two passes instead of re-running the
+        # band-key md5 explode, and drop it once the pairs are
+        # materialized (guide §5: persist only what >=2 consumers read,
+        # for exactly as long as they read it). unique_ids=True: sigs is
+        # one row per doc and the explode emits distinct band_idx
+        # values, so the bucket-size aggregate can run COUNT(*) in ONE
+        # shuffle instead of COUNT(DISTINCT doc_id)'s two.
+        from kinesyslog_spark.tables import HOT_LEVEL
+
         bands = sigs.select(
             "doc_id",
             F.explode(
                 lsh_band_keys([f"mh{i}" for i in range(MINHASH_K)], LSH_BANDS, LSH_ROWS)
             ).alias("bd"),
-        ).select("doc_id", "bd.band_idx", "bd.band_key")
+        ).select("doc_id", "bd.band_idx", "bd.band_key").persist(HOT_LEVEL)
         cand = _pair_candidates(bands, ["band_idx", "band_key"],
                                 name="q26_minhash_lsh",
                                 budget_cache_key=sf_dir.rstrip("/"),
-                                budget_family="minhash_bands")
+                                budget_family="minhash_bands",
+                                unique_ids=True)
         # Unordered build: every consumer either persists (here), joins,
         # or re-aggregates — q26 alone re-sorts its 0(pairs) report.
-        got = persist_now(_verify_jaccard(cand, sh, JACCARD_THR, ordered=False))
+        try:
+            got = persist_now(
+                _verify_jaccard(cand, sh, JACCARD_THR, ordered=False)
+            )
+        finally:
+            bands.unpersist()  # build-only; dead weight once pairs exist
         _MH_PAIR_CACHE[key] = got
     return got
 
@@ -1200,11 +1219,17 @@ def ngram_candidates_frame(
             (budget_cache_key, rows)
             if budget_cache_key is not None else None
         )
+        # unique_ids=True: one keyed row per (doc, n) and the explode
+        # emits distinct (t, bucket) per doc, so bucket size is a plain
+        # COUNT(*) — one shuffle instead of COUNT(DISTINCT doc_id)'s two
+        # in the slot estimate (the q27 combo-frame lesson: 28 -> 8 s
+        # at sf1).
         cand = persist_now(
             _pair_candidates(blocked, ["t", "bk", "bucket"],
                              name=name,
                              budget_cache_key=memo_key,
-                             budget_family="ngram_bands")
+                             budget_family="ngram_bands",
+                             unique_ids=True)
         )
     except Exception:
         # abort path must not leak the persisted frames

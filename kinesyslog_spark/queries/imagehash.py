@@ -352,22 +352,97 @@ def _mih_slot_budget_check(name: str, keys: DataFrame) -> None:
         )
 
 
-def _phash_bucket_pairs(pdf):
-    """q124's kernel: 64-bit hashes packed as 8 8-bit block values."""
+def _pack64(a):
+    """64-bit hashes packed as 8 8-bit block values -> byte matrix."""
     import numpy as np
 
-    return _mih_bucket_pairs(
-        pdf, HAM_T,
-        lambda a: a.astype(np.uint64).view(np.uint8).reshape(len(a), 64),
-    )
+    return a.astype(np.uint64).view(np.uint8).reshape(len(a), 64)
+
+
+def _phash_bucket_pairs(pdf):
+    """q124's kernel (pandas form; the query runs the arrow twin)."""
+    return _mih_bucket_pairs(pdf, HAM_T, _pack64)
 
 
 def _mih_bucket_pairs(pdf, thr, pack):
-    """One coarse group = many whole multi-index buckets: emit every
-    candidate pair with hamming <= thr over the full hash (`pack` turns
-    the stacked block-value matrix into the per-doc byte matrix).
-    numpy xor + uint8-LUT popcount, row-at-a-time against the member
-    matrix (peak temp is one (m, nbytes) uint8 slab).
+    """pandas form of the multi-index kernel (kept as the direct-call
+    surface for the bucket-cap tests; the queries run the mapInArrow
+    twin below — same math via _mih_pairs_np)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"doc_a": [], "doc_b": [], "hamming": []}
+    ).astype("int64")
+    if len(pdf) < 2:
+        return empty
+    got = _mih_pairs_np(
+        pdf["g"].to_numpy(dtype=np.int64),
+        pdf["b"].to_numpy(dtype=np.int64),
+        pdf["v"].to_numpy(dtype=np.int64),
+        pdf["side"].to_numpy(dtype=np.int64),
+        pdf["doc_id"].to_numpy(dtype=np.int64),
+        np.stack(pdf["ba"].to_numpy()),
+        thr, pack,
+    )
+    if got is None:
+        return empty
+    a, bb, h = got
+    return pd.DataFrame({"doc_a": a, "doc_b": bb, "hamming": h})
+
+
+def _mih_arrow_kernel(thr, pack):
+    """mapInArrow form of the multi-index kernel (guide §4.3): the
+    coarse (gid) groups arrive as whole partitions — batches are
+    concatenated (the applyInPandas form materialized each group the
+    same way; several gids per partition are fine, the lexsort-run
+    bucket detection is keyed (g, b, v) regardless) and `ba` arrives as
+    ONE flat Arrow list buffer reshaped to the block-value matrix,
+    where pandas delivered an object Series that np.stack re-copied
+    row by row."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(it):
+        batches = list(it)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n = tbl.num_rows
+        if n < 2:
+            return
+        bcol = tbl.column("ba")
+        bc = bcol.chunk(0) if isinstance(bcol, pa.ChunkedArray) else bcol
+        nblk = len(bc[0])
+        got = _mih_pairs_np(
+            tbl.column("g").to_numpy().astype(np.int64, copy=False),
+            tbl.column("b").to_numpy().astype(np.int64, copy=False),
+            tbl.column("v").to_numpy().astype(np.int64, copy=False),
+            tbl.column("side").to_numpy().astype(np.int64, copy=False),
+            tbl.column("doc_id").to_numpy().astype(np.int64, copy=False),
+            np.asarray(bc.values).reshape(n, nblk),
+            thr, pack,
+        )
+        if got is None:
+            return
+        a, bb, h = got
+        yield pa.RecordBatch.from_pydict({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(bb, pa.int64()),
+            "hamming": pa.array(h, pa.int64()),
+        })
+
+    return fn
+
+
+def _mih_pairs_np(g, b, v, side, ids, ba, thr, pack):
+    """Shared math of the multi-index kernel — one coarse group = many
+    whole multi-index buckets: emit every candidate pair with
+    hamming <= thr over the full hash (`pack` turns the stacked
+    block-value matrix into the per-doc byte matrix). numpy xor +
+    uint8-LUT popcount, row-at-a-time against the member matrix (peak
+    temp is one (m, nbytes) uint8 slab). Returns (doc_a, doc_b,
+    hamming) int64 arrays or None.
 
     Two bucket kinds, keyed (g, b, v):
     - b = -1: EXACT buckets (v = the doc's group value) — all member
@@ -380,22 +455,11 @@ def _mih_bucket_pairs(pdf, thr, pack):
     Buckets whose exact membership (or either masked side) exceeds the
     global hot-bucket cap are skipped, mirroring cap_hot_buckets."""
     import numpy as np
-    import pandas as pd
 
     from kinesyslog_spark.queries.dedup import LSH_MAX_BUCKET
 
-    empty = pd.DataFrame(
-        {"doc_a": [], "doc_b": [], "hamming": []}
-    ).astype("int64")
-    m = len(pdf)
-    if m < 2:
-        return empty
+    m = len(ids)
     pop = _POP_LUT
-    g = pdf["g"].to_numpy(dtype=np.int64)
-    b = pdf["b"].to_numpy(dtype=np.int64)
-    v = pdf["v"].to_numpy(dtype=np.int64)
-    side = pdf["side"].to_numpy(dtype=np.int64)
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     # Bucket runs via ONE lexsort instead of a pandas groupby: a coarse
     # partition holds millions of near-singleton (g, b, v) buckets and
     # per-group sub-frame construction measured ~10 us each — the
@@ -403,7 +467,7 @@ def _mih_bucket_pairs(pdf, thr, pack):
     # vectorized diff; only multi-member buckets enter the Python loop.
     order = np.lexsort((ids, side, v, b, g))
     g, b, v, side, ids = g[order], b[order], v[order], side[order], ids[order]
-    bv8 = pack(np.stack(pdf["ba"].to_numpy()[order]))
+    bv8 = pack(ba[order])
     change = (np.diff(g) != 0) | (np.diff(b) != 0) | (np.diff(v) != 0)
     starts = np.concatenate(([0], np.flatnonzero(change) + 1, [m]))
     lens = np.diff(starts)
@@ -443,12 +507,12 @@ def _mih_bucket_pairs(pdf, thr, pack):
                 out_b.append(np.maximum(ids[s:k][sel], ids[i]))
                 out_h.append(h[sel])
     if not out_a:
-        return empty
-    return pd.DataFrame({
-        "doc_a": np.concatenate(out_a),
-        "doc_b": np.concatenate(out_b),
-        "hamming": np.concatenate(out_h),
-    })
+        return None
+    return (
+        np.concatenate(out_a),
+        np.concatenate(out_b),
+        np.concatenate(out_h),
+    )
 
 
 def _make_pop_lut():
@@ -564,6 +628,16 @@ def _mih64_tail(spark: SparkSession, v: DataFrame, name: str) -> DataFrame:
         "gid", F.pmod(F.hash("g", "b", "v"), F.lit(_PHASH_GROUPS)).cast("int")
     )
     _mih_slot_budget_check(name, keyed.select("g", "b", "v", "side"))
+    # MEASURED AND KEPT AS applyInPandas (r13, guide §4.3 A/B): the
+    # mapInArrow twin (fine (g, b, v) repartition + _mih_arrow_kernel,
+    # kept above for the record) measured 1.51 s vs 0.92 s for this
+    # shape in an interleaved same-session noop A/B at sf0.1
+    # (tools/probe_mih_arrow.py) — the opposite of q38, whose arrow
+    # port cut 28%. The difference: q38 ships few wide GEMM blocks
+    # (object-array stacking dominated); this kernel ships 68 skinny
+    # rows/doc into near-singleton buckets, already amortized by the
+    # coarse gid grouping, and the arrow path's whole-partition
+    # concat+copy costs more than the pandas conversion it removes.
     pairs = keyed.groupBy("gid").applyInPandas(
         _phash_bucket_pairs, "doc_a long, doc_b long, hamming long"
     )
@@ -762,14 +836,16 @@ def _q174_oracle() -> str:
     """
 
 
-def _phash256_bucket_pairs(pdf):
-    """q174's kernel: 256-bit hashes packed as 16 16-bit block values."""
+def _pack256(a):
+    """256-bit hashes packed as 16 16-bit block values -> byte matrix."""
     import numpy as np
 
-    return _mih_bucket_pairs(
-        pdf, HAM_T256,
-        lambda a: a.astype(np.uint16).view(np.uint8).reshape(len(a), 32),
-    )
+    return a.astype(np.uint16).view(np.uint8).reshape(len(a), 32)
+
+
+def _phash256_bucket_pairs(pdf):
+    """q174's kernel (pandas form; the query runs the arrow twin)."""
+    return _mih_bucket_pairs(pdf, HAM_T256, _pack256)
 
 
 @query("q174_image_phash256_neardup", oracle=_q174_oracle())
@@ -830,6 +906,7 @@ def q174_image_phash256_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mih_slot_budget_check(
         "q174_image_phash256_neardup", keyed.select("g", "b", "v", "side")
     )
+    # applyInPandas kept after a measured A/B — see _mih64_tail's note.
     pairs = keyed.groupBy("gid").applyInPandas(
         _phash256_bucket_pairs, "doc_a long, doc_b long, hamming long"
     )

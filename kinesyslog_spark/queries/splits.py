@@ -45,17 +45,7 @@ from pyspark.sql import functions as F
 from kinesyslog_spark.operators.localframe import local_frame
 from kinesyslog_spark.operators.text import md5_int60
 from kinesyslog_spark.queries import query
-from kinesyslog_spark.queries.dedup import (
-    JACCARD_THR,
-    LSH_BANDS,
-    LSH_ROWS,
-    MINHASH_K,
-    _pair_candidates,
-    _verify_jaccard,
-    hot_shingle_sigs,
-    minhash_vpairs_cte,
-)
-from kinesyslog_spark.operators.text import lsh_band_keys
+from kinesyslog_spark.queries.dedup import minhash_vpairs_cte
 from kinesyslog_spark.tables import hot_table
 
 TRAIN_PCT = 90  # buckets 0..89 -> train, 90..94 -> val, 95..99 -> test
@@ -114,20 +104,15 @@ def split_assignment(doc_id: Column) -> Column:
 
 @query("q163_split_leakage", oracle=_Q163_ORACLE)
 def q163_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh, sigs = hot_shingle_sigs(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            lsh_band_keys(
-                [f"mh{i}" for i in range(MINHASH_K)], LSH_BANDS, LSH_ROWS
-            )
-        ).alias("bd"),
-    ).select("doc_id", "bd.band_idx", "bd.band_key")
-    cand = _pair_candidates(bands, ["band_idx", "band_key"],
-                            name="q163_split_leakage",
-                            budget_cache_key=sf_dir.rstrip("/"),
-                            budget_family="minhash_bands")
-    ver = _verify_jaccard(cand, sh, JACCARD_THR)
+    from kinesyslog_spark.queries.dedup import hot_minhash_pairs
+
+    # The verified pair set IS the MinHash-family session artifact
+    # (identical blocking, budget family and threshold); this query
+    # previously re-derived the whole band + candidate + Jaccard-verify
+    # plan per call — including an output sort its joins/aggregates
+    # below immediately discard (r13: the last private rebuild among
+    # the artifact's consumers).
+    ver = hot_minhash_pairs(spark, sf_dir)
     sp = hot_table(spark, sf_dir, "documents").select(
         "doc_id", split_assignment(F.col("doc_id")).alias("split")
     )

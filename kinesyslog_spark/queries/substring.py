@@ -57,19 +57,14 @@ from kinesyslog_spark.tables import hot_table
 
 SUBSTR_K = 8  # minimum duplicated span length, in tokens
 
-# Salt width for the two-level duplicated-gram count (guide §2.2). A
-# single count-over-partition window on the gram digest co-locates
-# EVERY occurrence of one gram in one task — on a boilerplate-heavy
-# corpus a single gram can be a measurable fraction of the corpus, and
-# no AQE skew handling applies to windows. Level 1 aggregates by
-# (g, salt) with salt = pmod(xxhash64(doc_id, s), SUBSTR_SALTS)
-# (deterministic — guide §2.5 forbids rand-derived shuffle keys), so
-# the heavy grouping splits a hot gram across SUBSTR_SALTS tasks;
-# level 2 is a window over the per-bucket rows, whose partitions are
-# <= SUBSTR_SALTS rows per gram BY CONSTRUCTION. 16 bounds the worst
-# key at 1/16 of its mass while keeping the level-2 fan-in trivial;
-# it is scale-free (not tied to core count), so the same value is
-# right locally and on a cluster.
+# Salt width for the two-level duplicated-gram count (guide §2.2) —
+# the measured-and-shelved skew armor for the hot-gram window below
+# (see the in-query note): salt = pmod(xxhash64(doc_id, s),
+# SUBSTR_SALTS) is deterministic (guide §2.5 forbids rand-derived
+# shuffle keys) and splits a hot gram across SUBSTR_SALTS level-1
+# tasks; the salt arithmetic stays pinned by
+# tests/test_substring.py::test_planted_hot_gram_skew so the form can
+# be re-applied verbatim on a boilerplate-saturated corpus.
 SUBSTR_SALTS = 16
 
 
@@ -101,45 +96,40 @@ def duplicated_spans(docs: DataFrame, k: int = SUBSTR_K,
             )
         ).alias("s", "g"),
     )
-    # Duplicated-gram detection, two-level (guide §2.2), evolved from
-    # r12's single count-over-partition window. That window computed the
-    # grams once and avoided the corpus-scale dup-gram broadcast (both
-    # kept here), but partitioned by the RAW gram key: every occurrence
-    # of one gram lands in one task, with no map-side collapse and no
-    # AQE skew handling (windows are exempt) — on a boilerplate-heavy
-    # corpus one hot gram is a measurable fraction of the corpus in a
-    # single straggler task (r12 VERDICT #4). Level 1 groups by
-    # (g, salt): the heavy per-occurrence pass is spread over
-    # SUBSTR_SALTS tasks per gram, positions collapse to one array row
-    # per bucket, and the partial aggregation is map-side combinable.
-    # Level 2 re-counts over a window keyed by g whose partitions are
-    # <= SUBSTR_SALTS ROWS per gram by construction — bounded for any
-    # corpus. A bucket row qualifies iff its gram's TOTAL count >= 2
-    # (sum of per-bucket counts), exactly the old window's predicate,
-    # then the kept buckets explode back to (doc_id, s) — each position
-    # appears in exactly one bucket, so hit rows are identical.
-    bucketed = (
-        gpos.groupBy(
-            "g",
-            F.pmod(F.xxhash64("doc_id", "s"), F.lit(SUBSTR_SALTS))
-            .alias("salt"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("c1"),
-            F.collect_list(F.struct("doc_id", "s")).alias("ps"),
-        )
-    )
+    # Duplicated-gram detection as a count-over-partition window rather
+    # than groupBy + join-back: the former aggregate/join shape evaluated
+    # the tokenize+md5 Generate subtree TWICE (once under the aggregate,
+    # once on the join's stream side — plans/r12/q123_*_before.txt nodes
+    # 12 and 18) and broadcast the full duplicated-gram set, which is
+    # corpus-scale on a boilerplate-heavy corpus and dies at the 8 GiB
+    # broadcast cap long before 100 TB. The window form computes the
+    # grams ONCE and replaces the broadcast with one hash exchange on
+    # the 16-byte gram key (guide §2.4: remove shuffles/recompute
+    # outright; §3.3: no unbounded broadcast).
+    #
+    # KNOWN SKEW SURFACE, measured and deliberately kept (r13): every
+    # occurrence of one gram co-locates in one window task with no
+    # map-side collapse and no AQE skew handling (windows are exempt),
+    # so a boilerplate gram carrying x% of the corpus pins x% of the
+    # rows in one task. The guide §2.2 fix — two-level count by
+    # (g, salt = pmod(xxhash64(doc_id, s), SUBSTR_SALTS)), positions
+    # collapsed to per-bucket arrays, totals re-aggregated per gram —
+    # was built, proven output-identical (planted-hot-gram test below
+    # pins the salt arithmetic), and measured in interleaved noop A/Bs
+    # at sf0.1: window 1.83-2.12 s vs two-level 2.43 (window level 2)
+    # / 2.75 (hash-agg level 2). Unique grams dominate real corpora, so
+    # level 1 collapses almost nothing and the second exchange re-ships
+    # ~the whole gram stream — a guaranteed ~30% tax at every scale to
+    # insure only the adversarial-boilerplate tail. Re-apply the
+    # two-level form (tests/test_substring.py::test_planted_hot_gram_skew
+    # documents the exact shape) if a target corpus shows a hot-gram
+    # straggler here.
     hit = (
-        bucketed.withColumn(
-            "c", F.sum("c1").over(Window.partitionBy("g"))
+        gpos.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("g"))
         )
         .filter(F.col("c") >= 2)
-        .select(F.explode("ps").alias("p"))
-        .select(
-            F.col("p.doc_id").alias("doc_id"),
-            F.col("p.s").alias("s"),
-            (F.col("p.s") + k).alias("e"),
-        )
+        .select("doc_id", "s", (F.col("s") + k).alias("e"))
     )
     w = Window.partitionBy("doc_id").orderBy("s")
     brk = hit.withColumn(

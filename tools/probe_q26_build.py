@@ -47,23 +47,12 @@ def main() -> None:
     lap("1 hot_table(documents)")
     tables.hot_tokens(spark, sf_dir)
     lap("2 hot_tokens")
-    sh, sigs = dd.hot_shingle_sigs(spark, sf_dir)
+    dd.hot_shingle_sigs(spark, sf_dir)
     lap("3 shingles+sigs")
-    from pyspark.sql import functions as F
-
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            dd.lsh_band_keys(
-                [f"mh{i}" for i in range(dd.MINHASH_K)],
-                dd.LSH_BANDS, dd.LSH_ROWS,
-            )
-        ).alias("bd"),
-    ).select("doc_id", "bd.band_idx", "bd.band_key")
-    dd.lsh_slot_estimate(bands, ["band_idx", "band_key"], dd.LSH_MAX_BUCKET)
-    lap("4 slot estimate")
+    # stage 4 (the slot-budget estimate) runs INSIDE hot_minhash_pairs'
+    # _pair_candidates call — timed as part of stage 5
     dd.hot_minhash_pairs(spark, sf_dir)
-    lap("5 cand+verify persist")
+    lap("5 estimate+cand+verify persist")
     QUERIES["q26_minhash_lsh"](spark, sf_dir).count()
     lap("6 q26 action (cache read)")
 
